@@ -1,0 +1,170 @@
+"""From-scratch hierarchical spatial cell encoder (H3/S2-style).
+
+64-bit Morton (Z-order) key over a planar CRS: 4 bits of resolution +
+interleaved 30+30-bit quantized x/y. This is the partitioning/shuffle
+key for every wide op in the engine (SURVEY.md §7.3): the PIP
+crown-assignment join, kNN halo replication, per-cell NMS, tile
+co-location. The reference has no such concept — it grids rasters into
+file tiles instead (tree_delineation/get_polygons.py:588-663); here the
+cell key is a first-class column so Ray Data `groupby(cell)` co-locates
+both sides of every spatial join.
+
+Resolution r → cell edge = BASE_CELL_M / 2**r meters. All functions are
+vectorized over numpy arrays and deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "cell_of",
+    "cell_edge_m",
+    "cell_bounds",
+    "neighbors",
+    "cells_covering",
+    "cell_grid_xy",
+    "DEFAULT_RES",
+    "BASE_CELL_M",
+]
+
+# World extent handled: [0, BASE_CELL_M) on each axis at res 0. With 30
+# bits per axis, res 20 still gives sub-millimeter cells — far below any
+# raster resolution the reference uses (0.1 m/px, config.py:53).
+BASE_CELL_M = float(1 << 20)  # 1,048,576 m square world plane
+DEFAULT_RES = 13  # 1048576 / 2**13 = 128 m cells (~ reference 100 m tiles)
+_AXIS_BITS = 30
+
+
+def cell_edge_m(res: int) -> float:
+    return BASE_CELL_M / float(1 << res)
+
+
+def _part1by1(v: np.ndarray) -> np.ndarray:
+    """Spread the low 30 bits of v so there is a 0 bit between each."""
+    v = v.astype(np.uint64) & np.uint64((1 << _AXIS_BITS) - 1)
+    v = (v | (v << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x3333333333333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return v
+
+
+def _compact1by1(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.uint64) & np.uint64(0x5555555555555555)
+    v = (v | (v >> np.uint64(1))) & np.uint64(0x3333333333333333)
+    v = (v | (v >> np.uint64(2))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v >> np.uint64(4))) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v >> np.uint64(8))) & np.uint64(0x0000FFFF0000FFFF)
+    v = (v | (v >> np.uint64(16))) & np.uint64(0x00000000FFFFFFFF)
+    return v
+
+
+def cell_grid_xy(x, y, res: int = DEFAULT_RES) -> tuple[np.ndarray, np.ndarray]:
+    """Integer grid coordinates (gx, gy) of each point at resolution
+    ``res``. SQL-oracle-friendly: equals floor(x / edge), floor(y / edge)."""
+    edge = cell_edge_m(res)
+    gx = np.floor(np.asarray(x, dtype=np.float64) / edge).astype(np.int64)
+    gy = np.floor(np.asarray(y, dtype=np.float64) / edge).astype(np.int64)
+    n = np.int64(1 << res)
+    return np.clip(gx, 0, n - 1), np.clip(gy, 0, n - 1)
+
+
+def cell_of(x, y, res: int = DEFAULT_RES) -> np.ndarray:
+    """Vectorized: 64-bit cell key of each (x, y).
+
+    Layout: [4 bits res][60 bits morton(gx, gy)] — keys at different
+    resolutions never collide, and sorting by key at one resolution
+    yields Z-order spatial locality (good block co-location)."""
+    gx, gy = cell_grid_xy(x, y, res)
+    code = _part1by1(gx.astype(np.uint64)) | (
+        _part1by1(gy.astype(np.uint64)) << np.uint64(1)
+    )
+    return (np.uint64(res) << np.uint64(60)) | code
+
+
+def cell_decode(cell) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Inverse of cell_of → (res, gx, gy)."""
+    cell = np.asarray(cell, dtype=np.uint64)
+    res = (cell >> np.uint64(60)).astype(np.int64)
+    code = cell & np.uint64((1 << 60) - 1)
+    gx = _compact1by1(code).astype(np.int64)
+    gy = _compact1by1(code >> np.uint64(1)).astype(np.int64)
+    return res, gx, gy
+
+
+def cell_bounds(cell) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(minx, miny, maxx, maxy) of each cell key (vectorized)."""
+    res, gx, gy = cell_decode(cell)
+    edge = BASE_CELL_M / (1 << res).astype(np.float64)
+    minx = gx * edge
+    miny = gy * edge
+    return minx, miny, minx + edge, miny + edge
+
+
+def neighbors(cell: int, include_self: bool = True) -> np.ndarray:
+    """The ≤9-cell Moore neighborhood of one cell (halo expansion for
+    kNN / NMS, SURVEY.md §7.1 steps 5-8)."""
+    res, gx, gy = cell_decode(np.array([cell], dtype=np.uint64))
+    r, gx, gy = int(res[0]), int(gx[0]), int(gy[0])
+    n = 1 << r
+    out = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if not include_self and dx == 0 and dy == 0:
+                continue
+            nx, ny = gx + dx, gy + dy
+            if 0 <= nx < n and 0 <= ny < n:
+                out.append(_encode_grid(nx, ny, r))
+    return np.array(sorted(set(out)), dtype=np.uint64)
+
+
+def _encode_grid(gx: int, gy: int, res: int) -> int:
+    code = int(
+        _part1by1(np.array([gx], dtype=np.uint64))[0]
+        | (_part1by1(np.array([gy], dtype=np.uint64))[0] << np.uint64(1))
+    )
+    return (res << 60) | code
+
+
+def cells_covering(
+    minx: float, miny: float, maxx: float, maxy: float, res: int = DEFAULT_RES
+) -> np.ndarray:
+    """All cell keys whose square intersects the bbox — the halo
+    replication set for a polygon/tile (a crown is sent to every cell
+    its bbox touches; ownership = cell of the centroid)."""
+    edge = cell_edge_m(res)
+    n = 1 << res
+    gx0 = max(0, int(np.floor(minx / edge)))
+    gy0 = max(0, int(np.floor(miny / edge)))
+    gx1 = min(n - 1, int(np.floor(maxx / edge)))
+    gy1 = min(n - 1, int(np.floor(maxy / edge)))
+    if gx1 < gx0 or gy1 < gy0:
+        return np.empty(0, dtype=np.uint64)
+    gxs, gys = np.meshgrid(
+        np.arange(gx0, gx1 + 1, dtype=np.uint64),
+        np.arange(gy0, gy1 + 1, dtype=np.uint64),
+    )
+    code = _part1by1(gxs.ravel()) | (_part1by1(gys.ravel()) << np.uint64(1))
+    return np.sort((np.uint64(res) << np.uint64(60)) | code)
+
+
+def cells_covering_many(
+    minx: np.ndarray,
+    miny: np.ndarray,
+    maxx: np.ndarray,
+    maxy: np.ndarray,
+    res: int = DEFAULT_RES,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized-ish covering for row arrays: returns (row_index,
+    cell_key) pairs, i.e. the exploded halo-replication table."""
+    idx_out: list[np.ndarray] = []
+    cell_out: list[np.ndarray] = []
+    for i in range(len(minx)):
+        cs = cells_covering(minx[i], miny[i], maxx[i], maxy[i], res)
+        idx_out.append(np.full(len(cs), i, dtype=np.int64))
+        cell_out.append(cs)
+    if not idx_out:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
+    return np.concatenate(idx_out), np.concatenate(cell_out)

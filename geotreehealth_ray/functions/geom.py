@@ -1,0 +1,394 @@
+"""Pure-numpy planar geometry kernels (zero external deps).
+
+From-scratch replacements for every shapely primitive the reference uses
+(see SURVEY.md §2.8 and reference cites per function). All kernels are
+vectorized where the hot path demands it; polygons are simple rings
+represented as ``(n, 2)`` float64 arrays (open ring — last vertex is NOT
+a repeat of the first; closure is implicit).
+
+Crowns synthesized by this engine are *star-convex about their center*
+(as the reference's mask→contour polygons effectively are, see
+reference tree_delineation/get_polygons.py:705-780), which lets
+polygon∩polygon area be computed exactly by fan-triangulating each ring
+about its centroid and clipping convex triangle pairs
+(Sutherland–Hodgman) — no general-polygon clipping dependency needed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "ring_area",
+    "ring_centroid",
+    "ring_bbox",
+    "points_in_ring",
+    "points_in_rings_any",
+    "clip_ring_to_bbox",
+    "convex_clip",
+    "intersection_area_star",
+    "iou_star",
+    "overlap_of_max_area",
+    "simplify_ring",
+    "ring_perimeter",
+    "point_ring_distance",
+    "make_star_ring",
+    "bbox_intersects",
+    "bbox_intersection_area",
+]
+
+
+def ring_area(ring: np.ndarray) -> float:
+    """Shoelace area of a simple ring (reference: shapely ``.area``,
+    used at tree_health_detection/main.py:120, batch_sam.py:784)."""
+    x, y = ring[:, 0], ring[:, 1]
+    return float(abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))) / 2.0
+
+
+def signed_ring_area(ring: np.ndarray) -> float:
+    x, y = ring[:, 0], ring[:, 1]
+    return float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))) / 2.0
+
+
+def ring_centroid(ring: np.ndarray) -> tuple[float, float]:
+    """Area-weighted centroid (reference: shapely ``.centroid``,
+    batch_sam.py:413, get_polygons.py:776). Falls back to the vertex
+    mean for degenerate (zero-area) rings."""
+    x, y = ring[:, 0], ring[:, 1]
+    xn, yn = np.roll(x, -1), np.roll(y, -1)
+    cross = x * yn - xn * y
+    a = cross.sum() / 2.0
+    if abs(a) < 1e-12:
+        return float(x.mean()), float(y.mean())
+    cx = ((x + xn) * cross).sum() / (6.0 * a)
+    cy = ((y + yn) * cross).sum() / (6.0 * a)
+    return float(cx), float(cy)
+
+
+def ring_bbox(ring: np.ndarray) -> tuple[float, float, float, float]:
+    """(minx, miny, maxx, maxy) — reference: shapely ``.bounds``
+    (batch_sam.py:565)."""
+    return (
+        float(ring[:, 0].min()),
+        float(ring[:, 1].min()),
+        float(ring[:, 0].max()),
+        float(ring[:, 1].max()),
+    )
+
+
+def ring_perimeter(ring: np.ndarray) -> float:
+    """Reference: shapely ``.length`` (delineation_utils.py:169,241)."""
+    d = np.diff(np.vstack([ring, ring[:1]]), axis=0)
+    return float(np.hypot(d[:, 0], d[:, 1]).sum())
+
+
+def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized ray-casting point-in-polygon over arrays of points.
+
+    Boundary points count as inside (matches shapely ``contains`` being
+    used by the reference for crown assignment where stems sit well
+    inside crowns; we make the edge rule explicit and deterministic).
+    Reference semantics: ``sjoin(..., predicate='contains')``
+    (delineation_utils.py:437) and ``polygon.contains(point)``
+    (tree_health_detection/utils.py:310-339).
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    x1, y1 = ring[:, 0], ring[:, 1]
+    x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+    # (n_edges, n_points) broadcast
+    pyb = py[None, :]
+    pxb = px[None, :]
+    y1b, y2b = y1[:, None], y2[:, None]
+    x1b, x2b = x1[:, None], x2[:, None]
+    cond = (y1b <= pyb) != (y2b <= pyb)
+    denom = y2b - y1b
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x1b + (pyb - y1b) * (x2b - x1b) / np.where(denom == 0, 1.0, denom)
+    crossings = (cond & (pxb < xint)).sum(axis=0)
+    inside = (crossings % 2) == 1
+    # boundary: point exactly on an edge segment → inside
+    on_edge = _points_on_edges(pxb, pyb, x1b, y1b, x2b, y2b)
+    return inside | on_edge
+
+
+def _points_on_edges(pxb, pyb, x1b, y1b, x2b, y2b, eps: float = 1e-9) -> np.ndarray:
+    cross = (x2b - x1b) * (pyb - y1b) - (y2b - y1b) * (pxb - x1b)
+    collinear = np.abs(cross) <= eps * (
+        np.abs(x2b - x1b) + np.abs(y2b - y1b) + 1.0
+    )
+    within = (
+        (pxb >= np.minimum(x1b, x2b) - eps)
+        & (pxb <= np.maximum(x1b, x2b) + eps)
+        & (pyb >= np.minimum(y1b, y2b) - eps)
+        & (pyb <= np.maximum(y1b, y2b) + eps)
+    )
+    return (collinear & within).any(axis=0)
+
+
+def points_in_rings_any(
+    px: np.ndarray, py: np.ndarray, rings: list[np.ndarray]
+) -> np.ndarray:
+    """True for each point contained by at least one ring."""
+    out = np.zeros(len(px), dtype=bool)
+    for ring in rings:
+        rem = ~out
+        if not rem.any():
+            break
+        out[rem] = points_in_ring(px[rem], py[rem], ring)
+    return out
+
+
+def clip_ring_to_bbox(
+    ring: np.ndarray, minx: float, miny: float, maxx: float, maxy: float
+) -> np.ndarray | None:
+    """Sutherland–Hodgman clip of a ring to an axis-aligned box.
+
+    Reference semantics: ``gpd.clip(itcs, batch_bounds)`` and raster
+    window clipping (get_polygons.py:625-630, store_data_structures.py:15-39).
+    Returns the clipped ring or None when the intersection is empty.
+    """
+    poly = ring
+    for edge in range(4):
+        if len(poly) == 0:
+            return None
+        out: list[np.ndarray] = []
+        prev = poly[-1]
+        prev_in = _inside_bbox_edge(prev, edge, minx, miny, maxx, maxy)
+        for cur in poly:
+            cur_in = _inside_bbox_edge(cur, edge, minx, miny, maxx, maxy)
+            if cur_in:
+                if not prev_in:
+                    out.append(
+                        _bbox_edge_intersect(prev, cur, edge, minx, miny, maxx, maxy)
+                    )
+                out.append(cur)
+            elif prev_in:
+                out.append(
+                    _bbox_edge_intersect(prev, cur, edge, minx, miny, maxx, maxy)
+                )
+            prev, prev_in = cur, cur_in
+        poly = np.array(out) if out else np.empty((0, 2))
+    if len(poly) < 3:
+        return None
+    return poly
+
+
+def _inside_bbox_edge(p, edge, minx, miny, maxx, maxy) -> bool:
+    if edge == 0:
+        return p[0] >= minx
+    if edge == 1:
+        return p[0] <= maxx
+    if edge == 2:
+        return p[1] >= miny
+    return p[1] <= maxy
+
+
+def _bbox_edge_intersect(p, q, edge, minx, miny, maxx, maxy) -> np.ndarray:
+    if edge == 0 or edge == 1:
+        xb = minx if edge == 0 else maxx
+        t = (xb - p[0]) / (q[0] - p[0])
+        return np.array([xb, p[1] + t * (q[1] - p[1])])
+    yb = miny if edge == 2 else maxy
+    t = (yb - p[1]) / (q[1] - p[1])
+    return np.array([p[0] + t * (q[0] - p[0]), yb])
+
+
+def convex_clip(subject: np.ndarray, clipper: np.ndarray) -> np.ndarray:
+    """Sutherland–Hodgman: clip ``subject`` by CONVEX ``clipper``
+    (both CCW). Returns possibly-empty ring."""
+    cx, cy = clipper[:, 0], clipper[:, 1]
+    nxt = np.roll(np.arange(len(clipper)), -1)
+    poly = subject
+    for i in range(len(clipper)):
+        if len(poly) == 0:
+            return np.empty((0, 2))
+        ax, ay = cx[i], cy[i]
+        bx, by = cx[nxt[i]], cy[nxt[i]]
+        ex, ey = bx - ax, by - ay
+        side = ex * (poly[:, 1] - ay) - ey * (poly[:, 0] - ax)
+        inside = side >= -1e-12
+        out: list = []
+        n = len(poly)
+        for j in range(n):
+            k = (j + 1) % n
+            if inside[j]:
+                out.append(poly[j])
+                if not inside[k]:
+                    out.append(_seg_line_intersect(poly[j], poly[k], ax, ay, ex, ey))
+            elif inside[k]:
+                out.append(_seg_line_intersect(poly[j], poly[k], ax, ay, ex, ey))
+        poly = np.array(out) if out else np.empty((0, 2))
+    return poly
+
+
+def _seg_line_intersect(p, q, ax, ay, ex, ey) -> np.ndarray:
+    dx, dy = q[0] - p[0], q[1] - p[1]
+    denom = ex * dy - ey * dx
+    if abs(denom) < 1e-300:
+        return p
+    t = (ex * (p[1] - ay) - ey * (p[0] - ax)) / -denom
+    return np.array([p[0] + t * dx, p[1] + t * dy])
+
+
+def _ensure_ccw(ring: np.ndarray) -> np.ndarray:
+    return ring if signed_ring_area(ring) >= 0 else ring[::-1]
+
+
+def _fan_triangles(ring: np.ndarray) -> np.ndarray:
+    """Fan-triangulate a star-convex ring about its vertex mean.
+    Returns (n, 3, 2). Valid partition iff the ring is star-shaped
+    about that point (true for all crowns this engine synthesizes)."""
+    c = ring.mean(axis=0)
+    n = len(ring)
+    tris = np.empty((n, 3, 2))
+    tris[:, 0] = c
+    tris[:, 1] = ring
+    tris[:, 2] = np.roll(ring, -1, axis=0)
+    return tris
+
+
+def intersection_area_star(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact area of intersection of two star-convex rings via pairwise
+    convex triangle clipping (reference: ``intersection(...).area``,
+    batch_sam.py:150-151, delineation_utils.py:38-47).
+
+    Fast path: when both rings are convex, one Sutherland–Hodgman clip.
+    """
+    if not bbox_intersects(*ring_bbox(a), *ring_bbox(b)):
+        return 0.0
+    a = _ensure_ccw(a)
+    b = _ensure_ccw(b)
+    if _is_convex(a) and _is_convex(b):
+        clipped = convex_clip(a, b)
+        return ring_area(clipped) if len(clipped) >= 3 else 0.0
+    ta = _fan_triangles(a)
+    tb = _fan_triangles(b)
+    total = 0.0
+    tb_boxes = [
+        (t[:, 0].min(), t[:, 1].min(), t[:, 0].max(), t[:, 1].max()) for t in tb
+    ]
+    for tri_a in ta:
+        abox = (
+            tri_a[:, 0].min(),
+            tri_a[:, 1].min(),
+            tri_a[:, 0].max(),
+            tri_a[:, 1].max(),
+        )
+        tri_a_ccw = _ensure_ccw(tri_a)
+        for tri_b, bbox_b in zip(tb, tb_boxes):
+            if not bbox_intersects(*abox, *bbox_b):
+                continue
+            clipped = convex_clip(tri_a_ccw, _ensure_ccw(tri_b))
+            if len(clipped) >= 3:
+                total += ring_area(clipped)
+    return total
+
+
+def _is_convex(ring: np.ndarray) -> bool:
+    d = np.diff(np.vstack([ring, ring[:2]]), axis=0)
+    cross = d[:-1, 0] * d[1:, 1] - d[:-1, 1] * d[1:, 0]
+    return bool((cross >= -1e-9).all() or (cross <= 1e-9).all())
+
+
+def iou_star(a: np.ndarray, b: np.ndarray) -> float:
+    """IoU = |a∩b| / |a∪b| (reference ``calculate_overlap``,
+    batch_sam.py:150-151)."""
+    inter = intersection_area_star(a, b)
+    if inter == 0.0:
+        return 0.0
+    union = ring_area(a) + ring_area(b) - inter
+    return inter / union if union > 0 else 0.0
+
+
+def overlap_of_max_area(a: np.ndarray, b: np.ndarray) -> float:
+    """intersection / max(area_a, area_b) — the reference NMS criterion
+    (get_polygons.py:810-816 suppresses when > 0.3)."""
+    inter = intersection_area_star(a, b)
+    if inter == 0.0:
+        return 0.0
+    return inter / max(ring_area(a), ring_area(b))
+
+
+def simplify_ring(ring: np.ndarray, tolerance: float) -> np.ndarray:
+    """Douglas–Peucker simplification (reference ``simplify(0.1)``,
+    delineation_pipeline.py:169). Keeps at least a triangle."""
+    closed = np.vstack([ring, ring[:1]])
+    keep = _dp_mask(closed, tolerance)
+    out = closed[keep][:-1]
+    if len(out) < 3:
+        return ring
+    return out
+
+
+def _dp_mask(pts: np.ndarray, tol: float) -> np.ndarray:
+    n = len(pts)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        seg = pts[i + 1 : j]
+        a, b = pts[i], pts[j]
+        ab = b - a
+        denom = np.hypot(*ab)
+        if denom < 1e-300:
+            d = np.hypot(seg[:, 0] - a[0], seg[:, 1] - a[1])
+        else:
+            d = np.abs(ab[0] * (seg[:, 1] - a[1]) - ab[1] * (seg[:, 0] - a[0])) / denom
+        k = int(np.argmax(d))
+        if d[k] > tol:
+            keep[i + 1 + k] = True
+            stack.append((i, i + 1 + k))
+            stack.append((i + 1 + k, j))
+    return keep
+
+
+def point_ring_distance(px: float, py: float, ring: np.ndarray) -> float:
+    """Distance from a point to a ring boundary (0 if on it); used with
+    containment for nearest-polygon picks (get_polygons.py:764-776)."""
+    a = ring
+    b = np.roll(ring, -1, axis=0)
+    ab = b - a
+    ap = np.array([px, py]) - a
+    denom = (ab * ab).sum(axis=1)
+    t = np.clip(
+        np.where(denom > 0, (ap * ab).sum(axis=1) / np.where(denom == 0, 1, denom), 0),
+        0,
+        1,
+    )
+    proj = a + t[:, None] * ab
+    d = np.hypot(px - proj[:, 0], py - proj[:, 1])
+    return float(d.min())
+
+
+def bbox_intersects(
+    aminx, aminy, amaxx, amaxy, bminx, bminy, bmaxx, bmaxy
+) -> bool:
+    return not (amaxx < bminx or bmaxx < aminx or amaxy < bminy or bmaxy < aminy)
+
+
+def bbox_intersection_area(aminx, aminy, amaxx, amaxy, bminx, bminy, bmaxx, bmaxy):
+    """Vectorized bbox∩bbox area (arrays broadcast)."""
+    w = np.minimum(amaxx, bmaxx) - np.maximum(aminx, bminx)
+    h = np.minimum(amaxy, bmaxy) - np.maximum(aminy, bminy)
+    return np.where((w > 0) & (h > 0), w * h, 0.0)
+
+
+def make_star_ring(
+    cx: float,
+    cy: float,
+    mean_radius: float,
+    n_vertices: int,
+    seed: int,
+    jitter: float = 0.35,
+) -> np.ndarray:
+    """Deterministic star-convex ring generator (synthetic crowns,
+    FIXTURES.md §3). Radii are seeded per-ring so any process
+    regenerates the identical polygon from (seed, id)."""
+    rng = np.random.default_rng(seed)
+    ang = np.linspace(0, 2 * np.pi, n_vertices, endpoint=False)
+    radii = mean_radius * (1.0 + jitter * (rng.random(n_vertices) * 2 - 1))
+    return np.column_stack([cx + radii * np.cos(ang), cy + radii * np.sin(ang)])
