@@ -1,0 +1,208 @@
+"""Crown-assignment join: point-in-polygon assignment of stem points to
+crown polygons, Ray-Data-native.
+
+Reference semantics (mirrored exactly, validated by golden tests):
+- ``sjoin(..., predicate='contains')`` — reference
+  tree_delineation/delineation_utils.py:437
+- ``assign_polygon_to_crown`` — reference
+  tree_health_detection/utils.py:310-339: per crown, the contained stem
+  nearest to the crown centroid wins (ties broken by stem_id asc here,
+  making the parallel result deterministic where the reference's
+  iterrows order was incidental).
+- stems contained by no crown → "unassigned" report — reference
+  utils.py:330-332 (a left-anti output of the join).
+
+Physical plan (SURVEY.md §7.1 step 5):
+1. cell-encode stems at resolution ``res`` (narrow projection only);
+2. halo-replicate crowns to every cell their bbox covers, rings packed
+   as binary;
+3. union both sides and ``groupby(cell)`` — ONE all-to-all exchange
+   co-locating each cell's stems with every crown that can contain
+   them;
+4. per cell: vectorized bbox prefilter + exact ray-casting PIP + local
+   nearest-stem partial argmin (combiner);
+5. tiny ``groupby(crown_id)`` over the ≤#covered-cells partials per
+   crown resolves the global winner (dedups halo replication);
+6. unassigned = groupby(stem_id) anti of distinct stems vs winners.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions import cells, geom
+from ..stages.spatial import (
+    attach_cell,
+    explode_to_covering_cells,
+    pack_rings,
+    rings_from_binary,
+)
+
+__all__ = ["assign_stems_to_crowns", "candidate_pairs_schema"]
+
+_UNION_SCHEMA = pa.schema(
+    [
+        ("side", pa.int8()),  # 0 = stem, 1 = crown
+        ("cell", pa.uint64()),
+        ("stem_id", pa.string()),
+        ("x", pa.float64()),
+        ("y", pa.float64()),
+        ("crown_id", pa.string()),
+        ("ring_b", pa.binary()),
+        ("ccx", pa.float64()),
+        ("ccy", pa.float64()),
+    ]
+)
+
+
+def _stem_side(batch: pa.Table, res: int) -> pa.Table:
+    batch = attach_cell(batch, res=res)
+    n = len(batch)
+    return pa.table(
+        {
+            "side": pa.array(np.zeros(n, np.int8)),
+            "cell": batch["cell"],
+            "stem_id": batch["stem_id"],
+            "x": batch["x"],
+            "y": batch["y"],
+            "crown_id": pa.nulls(n, pa.string()),
+            "ring_b": pa.nulls(n, pa.binary()),
+            "ccx": pa.nulls(n, pa.float64()),
+            "ccy": pa.nulls(n, pa.float64()),
+        },
+        schema=_UNION_SCHEMA,
+    )
+
+
+def _crown_side(batch: pa.Table, res: int) -> pa.Table:
+    batch = pack_rings(batch)
+    batch = explode_to_covering_cells(batch, res=res)
+    n = len(batch)
+    return pa.table(
+        {
+            "side": pa.array(np.ones(n, np.int8)),
+            "cell": batch["cell"],
+            "stem_id": pa.nulls(n, pa.string()),
+            "x": batch["minx"],  # carried for bbox prefilter
+            "y": batch["miny"],
+            "crown_id": batch["crown_id"],
+            "ring_b": batch["ring_b"],
+            "ccx": batch["cx"],
+            "ccy": batch["cy"],
+        },
+        schema=_UNION_SCHEMA,
+    )
+
+
+def _assign_cell(group: pa.Table) -> pa.Table:
+    """Per-cell kernel: PIP + local nearest-stem partial argmin."""
+    side = group["side"].to_numpy()
+    stems = group.filter(pa.array(side == 0))
+    crowns = group.filter(pa.array(side == 1))
+    empty = pa.table(
+        {
+            "crown_id": pa.array([], pa.string()),
+            "stem_id": pa.array([], pa.string()),
+            "dist": pa.array([], pa.float64()),
+        }
+    )
+    if len(stems) == 0 or len(crowns) == 0:
+        return empty
+    sx = stems["x"].to_numpy()
+    sy = stems["y"].to_numpy()
+    sid = stems["stem_id"].to_numpy(zero_copy_only=False)
+    rings = rings_from_binary(crowns["ring_b"])
+    cids = crowns["crown_id"].to_numpy(zero_copy_only=False)
+    ccx = crowns["ccx"].to_numpy()
+    ccy = crowns["ccy"].to_numpy()
+    out_c: list[str] = []
+    out_s: list[str] = []
+    out_d: list[float] = []
+    order = np.lexsort((sid,))  # stable stem order for deterministic ties
+    sx, sy, sid = sx[order], sy[order], sid[order]
+    for i, ring in enumerate(rings):
+        minx, miny, maxx, maxy = (
+            ring[:, 0].min(),
+            ring[:, 1].min(),
+            ring[:, 0].max(),
+            ring[:, 1].max(),
+        )
+        cand = (sx >= minx) & (sx <= maxx) & (sy >= miny) & (sy <= maxy)
+        if not cand.any():
+            continue
+        cx_, cy_ = sx[cand], sy[cand]
+        inside = geom.points_in_ring(cx_, cy_, ring)
+        if not inside.any():
+            continue
+        d = np.hypot(cx_[inside] - ccx[i], cy_[inside] - ccy[i])
+        j = int(np.argmin(d))  # first minimum → stem_id-asc tie-break
+        out_c.append(cids[i])
+        out_s.append(sid[cand][inside][j])
+        out_d.append(float(d[j]))
+    return pa.table(
+        {
+            "crown_id": pa.array(out_c, pa.string()),
+            "stem_id": pa.array(out_s, pa.string()),
+            "dist": pa.array(out_d, pa.float64()),
+        }
+    )
+
+
+def _final_pick(group: pd.DataFrame) -> pd.DataFrame:
+    g = group.sort_values(["dist", "stem_id"], kind="stable")
+    return g.head(1)
+
+
+def assign_stems_to_crowns(stems, crowns, res: int = cells.DEFAULT_RES):
+    """Returns (assignment_ds, unassigned_ds).
+
+    assignment: (crown_id, stem_id, dist) — one row per crown that
+    contains ≥1 stem. unassigned: (stem_id) — distinct stems no crown
+    selected.
+    """
+    s = stems.select_columns(["stem_id", "x", "y"]).map_batches(
+        _stem_side, batch_format="pyarrow", fn_kwargs={"res": res}
+    )
+    c = crowns.select_columns(
+        ["crown_id", "ring", "cx", "cy", "minx", "miny", "maxx", "maxy"]
+    ).map_batches(_crown_side, batch_format="pyarrow", fn_kwargs={"res": res})
+    both = s.union(c)
+    candidates = both.groupby("cell").map_groups(
+        _assign_cell, batch_format="pyarrow"
+    )
+    assignment = candidates.groupby("crown_id").map_groups(
+        _final_pick, batch_format="pandas"
+    )
+    # left-anti: distinct stems minus winners
+    stem_ids = stems.select_columns(["stem_id"]).map_batches(
+        lambda t: pa.table(
+            {"stem_id": t["stem_id"], "tag": pa.array(np.zeros(len(t), np.int8))}
+        ),
+        batch_format="pyarrow",
+    )
+    winner_ids = assignment.map_batches(
+        lambda t: pa.table(
+            {"stem_id": t["stem_id"], "tag": pa.array(np.ones(len(t), np.int8))}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def _anti(group: pa.Table) -> pa.Table:
+        if pa.compute.max(group["tag"]).as_py() == 1:
+            return pa.table({"stem_id": pa.array([], pa.string())})
+        return pa.table({"stem_id": group["stem_id"].slice(0, 1)})
+
+    unassigned = (
+        stem_ids.union(winner_ids)
+        .groupby("stem_id")
+        .map_groups(_anti, batch_format="pyarrow")
+    )
+    return assignment, unassigned
+
+
+def candidate_pairs_schema() -> pa.Schema:
+    return pa.schema(
+        [("crown_id", pa.string()), ("stem_id", pa.string()), ("dist", pa.float64())]
+    )
