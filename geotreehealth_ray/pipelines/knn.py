@@ -1,0 +1,181 @@
+"""kNN neighbor search over point tables, cell-partitioned with
+neighbor-cell halo replication.
+
+Reference semantics: per target stem, the k nearest other stems by
+Euclidean distance (argsort of norms — reference
+tree_delineation/get_polygons.py:326-329, full_image_sam.py:65-72), and
+the cardinal-bucket variant (nearest neighbor per NE/NW/SE/SW quadrant
+with a minimum-distance exclusion floor — reference
+batch_sam.py:425-452 + ``remove_too_close`` config.py:34; quadrant
+classification ``find_cardinal_direction`` batch_sam.py:195-207).
+
+Physical plan: every point is replicated to its own cell plus the 8
+Moore neighbors (halo); ``groupby(cell)`` co-locates each cell's
+targets with all candidate neighbors within one cell edge; the per-cell
+kernel answers queries only for points OWNED by the cell (ownership =
+point's own cell), so output rows are exact and unduplicated.
+Correctness requires cell edge ≥ max neighbor distance of interest —
+the kernel also returns each answer's k-th distance so callers can
+assert `kth_dist <= cell_edge` (guaranteed-exact region).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions import cells
+
+__all__ = ["knn_points", "knn_cardinal"]
+
+
+def _halo_explode(batch: pa.Table, res: int) -> pa.Table:
+    """Replicate each point to its 3×3 cell neighborhood; ``owner`` marks
+    the copy living in the point's own cell (query rows)."""
+    x = batch["x"].to_numpy()
+    y = batch["y"].to_numpy()
+    edge = cells.cell_edge_m(res)
+    n_axis = 1 << res
+    gx = np.clip((x // edge).astype(np.int64), 0, n_axis - 1)
+    gy = np.clip((y // edge).astype(np.int64), 0, n_axis - 1)
+    idx_out, cell_out, owner_out = [], [], []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            nx, ny = gx + dx, gy + dy
+            ok = (nx >= 0) & (nx < n_axis) & (ny >= 0) & (ny < n_axis)
+            w = np.where(ok)[0]
+            idx_out.append(w)
+            cell_out.append(
+                cells._part1by1(nx[w].astype(np.uint64))
+                | (cells._part1by1(ny[w].astype(np.uint64)) << np.uint64(1))
+                | (np.uint64(res) << np.uint64(60))
+            )
+            owner_out.append(np.full(len(w), dx == 0 and dy == 0))
+    idx = np.concatenate(idx_out)
+    taken = batch.take(pa.array(idx))
+    if "cell" in taken.column_names:
+        taken = taken.drop_columns(["cell"])
+    return taken.append_column(
+        "cell", pa.array(np.concatenate(cell_out), pa.uint64())
+    ).append_column("owner", pa.array(np.concatenate(owner_out), pa.bool_()))
+
+
+def _knn_cell(group: pa.Table, k: int) -> pa.Table:
+    ids = group["id"].to_numpy(zero_copy_only=False)
+    x = group["x"].to_numpy()
+    y = group["y"].to_numpy()
+    owner = group["owner"].to_numpy(zero_copy_only=False)
+    # candidates: all copies in this cell, deduped by id (a point's own
+    # copy and a halo copy never coexist for the same cell)
+    qi = np.where(owner)[0]
+    out_id, out_nb, out_rank, out_d = [], [], [], []
+    if len(qi) == 0 or len(ids) <= 1:
+        return pa.table(
+            {
+                "id": pa.array([], pa.string()),
+                "neighbor_id": pa.array([], pa.string()),
+                "rank": pa.array([], pa.int32()),
+                "dist": pa.array([], pa.float64()),
+            }
+        )
+    order = np.lexsort((ids,))
+    x_s, y_s, ids_s = x[order], y[order], ids[order]
+    for q in qi:
+        d = np.hypot(x_s - x[q], y_s - y[q])
+        self_mask = ids_s == ids[q]
+        d[self_mask] = np.inf
+        kk = min(k, len(d) - int(self_mask.sum()))
+        if kk <= 0:
+            continue
+        # deterministic (dist asc, id asc) order — exact tie-breaks even
+        # when equal distances straddle the k boundary
+        part = np.lexsort((ids_s, d))[:kk]
+        for r, j in enumerate(part):
+            out_id.append(ids[q])
+            out_nb.append(ids_s[j])
+            out_rank.append(r)
+            out_d.append(float(d[j]))
+    return pa.table(
+        {
+            "id": pa.array(out_id, pa.string()),
+            "neighbor_id": pa.array(out_nb, pa.string()),
+            "rank": pa.array(np.array(out_rank, np.int32), pa.int32()),
+            "dist": pa.array(out_d, pa.float64()),
+        }
+    )
+
+
+def knn_points(points, k: int = 5, res: int = cells.DEFAULT_RES,
+               id_col: str = "stem_id"):
+    """(id, neighbor_id, rank, dist) — k nearest other points per point.
+
+    Exact when the k-th neighbor lies within one cell edge (the halo
+    guarantee); choose ``res`` so cell_edge ≥ the search radius.
+    """
+    pts = points.select_columns([id_col, "x", "y"]).map_batches(
+        lambda t: t.rename_columns(["id", "x", "y"]), batch_format="pyarrow"
+    )
+    exploded = pts.map_batches(
+        _halo_explode, batch_format="pyarrow", fn_kwargs={"res": res}
+    )
+    return exploded.groupby("cell").map_groups(
+        _knn_cell, batch_format="pyarrow", fn_kwargs={"k": k}
+    )
+
+
+_QUADS = ("NE", "NW", "SE", "SW")
+
+
+def _cardinal_cell(group: pa.Table, min_dist: float) -> pa.Table:
+    """Nearest neighbor per cardinal quadrant with a too-close exclusion
+    floor (reference batch_sam.py:425-452)."""
+    ids = group["id"].to_numpy(zero_copy_only=False)
+    x = group["x"].to_numpy()
+    y = group["y"].to_numpy()
+    owner = group["owner"].to_numpy(zero_copy_only=False)
+    qi = np.where(owner)[0]
+    rows = {"id": [], "quad": [], "neighbor_id": [], "dist": []}
+    order = np.lexsort((ids,))
+    x_s, y_s, ids_s = x[order], y[order], ids[order]
+    for q in qi:
+        dx = x_s - x[q]
+        dy = y_s - y[q]
+        d = np.hypot(dx, dy)
+        valid = (d >= min_dist) & (ids_s != ids[q])
+        # quadrant of neighbor relative to target (find_cardinal_direction)
+        # E = dx>=0, N = dy>=0 → 0:NE 1:NW 2:SE 3:SW (_QUADS order)
+        quad = np.where(dx >= 0, np.where(dy >= 0, 0, 2), np.where(dy >= 0, 1, 3))
+        for qcode, qname in enumerate(_QUADS):
+            m = valid & (quad == qcode)
+            if not m.any():
+                continue
+            dd = np.where(m, d, np.inf)
+            j = int(np.argmin(dd))  # ids sorted → lowest-id tie-break
+            rows["id"].append(ids[q])
+            rows["quad"].append(qname)
+            rows["neighbor_id"].append(ids_s[j])
+            rows["dist"].append(float(dd[j]))
+    return pa.table(
+        {
+            "id": pa.array(rows["id"], pa.string()),
+            "quad": pa.array(rows["quad"], pa.string()),
+            "neighbor_id": pa.array(rows["neighbor_id"], pa.string()),
+            "dist": pa.array(rows["dist"], pa.float64()),
+        }
+    )
+
+
+def knn_cardinal(points, min_dist: float = 3.0, res: int = cells.DEFAULT_RES,
+                 id_col: str = "stem_id"):
+    """(id, quad, neighbor_id, dist) — nearest neighbor per NE/NW/SE/SW
+    quadrant at distance ≥ min_dist (reference 3 m floor, config.py:34)."""
+    pts = points.select_columns([id_col, "x", "y"]).map_batches(
+        lambda t: t.rename_columns(["id", "x", "y"]), batch_format="pyarrow"
+    )
+    exploded = pts.map_batches(
+        _halo_explode, batch_format="pyarrow", fn_kwargs={"res": res}
+    )
+    return exploded.groupby("cell").map_groups(
+        _cardinal_cell, batch_format="pyarrow", fn_kwargs={"min_dist": min_dist}
+    )

@@ -1,0 +1,231 @@
+"""Near-duplicate suppression of crown polygons (the NMS family),
+cell-partitioned with halo.
+
+Reference semantics mirrored:
+- greedy max-overlap NMS: sort score desc, suppress when
+  intersection / max(area) > 0.3 — reference
+  tree_delineation/get_polygons.py:785-819
+  (``merge_and_apply_max_suppression``; sets ``selected`` flag).
+- plain IoU NMS: keep-first, suppress when IoU > 0.8 — reference
+  batch_sam.py:604-625.
+- weighted NMS: priority = Σ normalized priority columns (Crwnpst,
+  DBH), greedy keep while IoU ≤ 0.5 — reference batch_sam.py:692-731,
+  invoked at batch_sam.py:570-583.
+- merge-overlapping components: union-find over pairs whose
+  intersection > 50% of the smaller area — reference
+  from_mask_to_polygons.py:9-42.
+
+Distributed plan: each crown is replicated to every cell its bbox
+EXPANDED BY ``halo_m`` intersects; the per-cell kernel runs the full
+greedy pass in deterministic (score desc, crown_id asc) order over the
+whole group but emits decisions only for rows the cell OWNS (centroid
+in cell). Exactness vs the reference's single global greedy pass holds
+when no suppression chain reaches further than ``halo_m`` (chains are
+bounded by overlapping-crown runs; halo defaults to several crown
+diameters). The golden test validates exact equality against a
+driver-side global implementation on the synthetic distribution
+(SURVEY.md §7.4 "NMS global-order equivalence").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import cells, geom
+from ..stages.spatial import pack_rings, rings_from_binary
+
+__all__ = ["greedy_nms", "merge_overlapping_components", "DEFAULT_HALO_M"]
+
+DEFAULT_HALO_M = 50.0  # ≥ 2× max crown diameter (synth max radius 12 m)
+
+
+def _explode_with_halo(batch: pa.Table, res: int, halo_m: float) -> pa.Table:
+    idx, cell_keys = cells.cells_covering_many(
+        batch["minx"].to_numpy() - halo_m,
+        batch["miny"].to_numpy() - halo_m,
+        batch["maxx"].to_numpy() + halo_m,
+        batch["maxy"].to_numpy() + halo_m,
+        res,
+    )
+    owner_cell = cells.cell_of(batch["cx"].to_numpy(), batch["cy"].to_numpy(), res)
+    taken = batch.take(pa.array(idx))
+    if "cell" in taken.column_names:
+        taken = taken.drop_columns(["cell"])
+    return taken.append_column(
+        "cell", pa.array(cell_keys, pa.uint64())
+    ).append_column("owner", pa.array(owner_cell[idx] == cell_keys, pa.bool_()))
+
+
+def _greedy_kernel(group: pa.Table, criterion: str, threshold: float) -> pa.Table:
+    ids = group["crown_id"].to_numpy(zero_copy_only=False)
+    score = group["nms_score"].to_numpy()
+    owner = group["owner"].to_numpy(zero_copy_only=False)
+    rings = rings_from_binary(group["ring_b"])
+    order = np.lexsort((ids, -score))
+    bboxes = np.array([geom.ring_bbox(r) for r in rings])
+    areas = np.array([geom.ring_area(r) for r in rings])
+    kept: list[int] = []
+    sel = np.zeros(len(ids), dtype=bool)
+    for i in order:
+        ok = True
+        for j in kept:
+            if not geom.bbox_intersects(*bboxes[i], *bboxes[j]):
+                continue
+            inter = geom.intersection_area_star(rings[i], rings[j])
+            if inter <= 0:
+                continue
+            if criterion == "max_area_frac":
+                metric = inter / max(areas[i], areas[j])
+            else:  # iou
+                metric = inter / (areas[i] + areas[j] - inter)
+            if metric > threshold:
+                ok = False
+                break
+        sel[i] = ok
+        if ok:
+            kept.append(i)
+    out_mask = owner
+    return pa.table(
+        {
+            "crown_id": pa.array(ids[out_mask]),
+            "selected": pa.array(sel[out_mask], pa.bool_()),
+        }
+    )
+
+
+def greedy_nms(crowns, threshold: float = 0.3, criterion: str = "max_area_frac",
+               res: int = cells.DEFAULT_RES, halo_m: float = DEFAULT_HALO_M,
+               score_col: str = "score", priority_cols: list[str] | None = None):
+    """(crown_id, selected) for every crown.
+
+    ``criterion``: 'max_area_frac' (reference get_polygons.py:815,
+    threshold 0.3) or 'iou' (batch_sam.py:618, threshold 0.8; weighted
+    variant uses 0.5 with ``priority_cols``).
+
+    ``priority_cols``: when given, the greedy order uses the sum of
+    min-max-normalized priority columns instead of ``score_col``
+    (reference weighted NMS, batch_sam.py:692-731 with (Crwnpst, DBH)).
+    Normalization bounds are computed globally in a first cheap pass.
+    """
+    cols = ["crown_id", "ring", "cx", "cy", "minx", "miny", "maxx", "maxy"]
+    if priority_cols:
+        cols += priority_cols
+    else:
+        cols.append(score_col)
+    c = crowns.select_columns(cols).map_batches(pack_rings, batch_format="pyarrow")
+
+    if priority_cols:
+        import pyarrow.compute as pc
+
+        # global min/max per priority column (tiny aggregate pass)
+        stats = {}
+        agg = c.aggregate(
+            *[a for col in priority_cols for a in _minmax_aggs(col)]
+        )
+        for col in priority_cols:
+            stats[col] = (agg[f"min({col})"], agg[f"max({col})"])
+
+        def _score(batch: pa.Table) -> pa.Table:
+            total = np.zeros(len(batch))
+            for col in priority_cols:
+                lo, hi = stats[col]
+                v = batch[col].to_numpy().astype(np.float64)
+                rng_ = (hi - lo) or 1.0
+                total += (v - lo) / rng_
+            return batch.append_column("nms_score", pa.array(total, pa.float64()))
+
+        c = c.map_batches(_score, batch_format="pyarrow")
+    else:
+        c = c.map_batches(
+            lambda t: t.append_column(
+                "nms_score", t[score_col].cast(pa.float64())
+            ),
+            batch_format="pyarrow",
+        )
+
+    exploded = c.map_batches(
+        _explode_with_halo,
+        batch_format="pyarrow",
+        fn_kwargs={"res": res, "halo_m": halo_m},
+    )
+    return exploded.groupby("cell").map_groups(
+        _greedy_kernel,
+        batch_format="pyarrow",
+        fn_kwargs={"criterion": criterion, "threshold": threshold},
+    )
+
+
+def _minmax_aggs(col: str):
+    from ray.data.aggregate import Max, Min
+
+    return [Min(col), Max(col)]
+
+
+def _components_kernel(group: pa.Table, min_frac: float) -> pa.Table:
+    """Union-find components of >min_frac-of-smaller-area overlap pairs
+    (reference from_mask_to_polygons.py:9-42). Component id = min
+    crown_id in the component; emitted for owner rows only."""
+    ids = group["crown_id"].to_numpy(zero_copy_only=False)
+    owner = group["owner"].to_numpy(zero_copy_only=False)
+    rings = rings_from_binary(group["ring_b"])
+    n = len(ids)
+    order = np.lexsort((ids,))
+    parent = list(range(n))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+
+    bboxes = np.array([geom.ring_bbox(r) for r in rings]) if n else np.empty((0, 4))
+    areas = np.array([geom.ring_area(r) for r in rings])
+    for ii in range(n):
+        i = order[ii]
+        for jj in range(ii + 1, n):
+            j = order[jj]
+            if not geom.bbox_intersects(*bboxes[i], *bboxes[j]):
+                continue
+            inter = geom.intersection_area_star(rings[i], rings[j])
+            if inter > min_frac * min(areas[i], areas[j]):
+                union(i, j)
+    comp_min: dict[int, str] = {}
+    for i in range(n):
+        r = find(i)
+        if r not in comp_min or ids[i] < comp_min[r]:
+            comp_min[r] = ids[i]
+    out_ids, out_comp = [], []
+    for i in range(n):
+        if owner[i]:
+            out_ids.append(ids[i])
+            out_comp.append(comp_min[find(i)])
+    return pa.table(
+        {
+            "crown_id": pa.array(out_ids, pa.string()),
+            "component_id": pa.array(out_comp, pa.string()),
+        }
+    )
+
+
+def merge_overlapping_components(crowns, min_frac: float = 0.5,
+                                 res: int = cells.DEFAULT_RES,
+                                 halo_m: float = DEFAULT_HALO_M):
+    """(crown_id, component_id) — connected components of the
+    >50%-of-smaller-area overlap graph. Exact when every component's
+    diameter ≤ halo_m (crowns ≪ cell size, SURVEY.md §2.5)."""
+    cols = ["crown_id", "ring", "cx", "cy", "minx", "miny", "maxx", "maxy"]
+    c = crowns.select_columns(cols).map_batches(pack_rings, batch_format="pyarrow")
+    exploded = c.map_batches(
+        _explode_with_halo,
+        batch_format="pyarrow",
+        fn_kwargs={"res": res, "halo_m": halo_m},
+    )
+    return exploded.groupby("cell").map_groups(
+        _components_kernel, batch_format="pyarrow", fn_kwargs={"min_frac": min_frac}
+    )
