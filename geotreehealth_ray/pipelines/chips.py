@@ -1,0 +1,281 @@
+"""Raster↔vector tile clipping: per-crown chip extraction.
+
+Reference semantics mirrored (validated per-row by golden tests):
+- crop the raster to the crown's bbox window and mask pixels whose
+  center falls outside the polygon — reference
+  tree_health_detection/store_data_structures.py:14-39 (rasterio.mask)
+  and windowed variant tree_health_detection/utils.py:68-81;
+- chips stored per crown with the label/caption carried alongside —
+  reference store_data_structures.py:148-184 + label CSV row; here the
+  chip is an inline ``bytes`` column and the caption comes from the
+  ``images`` table (BASELINE.json caption-equality invariant);
+- crowns touching a tile boundary are served by the overlapping
+  neighbor tile instead (reference drops them per tile and relies on
+  overlap, batch_sam.py:563-568): each crown is assigned to the unique
+  LOWEST tile_id whose buffered extent fully contains its bbox.
+
+Physical plan: the tile grid is analytic (the tiling operator's
+contract), so crown→tile assignment is a pure map — NO join needed to
+find the tile. The only exchange is ``groupby(tile_id)`` co-locating
+each tile's bytes + caption with its crowns; tile bytes cross the
+shuffle once per tile, never once per crown. Output is partitionable by
+``cell`` for resumable writes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import codec, geom
+from ..stages.spatial import pack_rings, rings_from_binary
+
+__all__ = ["extract_chips", "assign_crowns_to_tiles", "GridSpec"]
+
+
+class GridSpec:
+    """Analytic description of a regular tile grid with overlap (the
+    contract produced by the tiling operator / synth generator)."""
+
+    def __init__(self, origin_x: float, origin_y: float, tile_m: float,
+                 overlap_m: float, extent_m: float):
+        self.origin_x = origin_x
+        self.origin_y = origin_y
+        self.tile_m = tile_m
+        self.overlap_m = overlap_m
+        self.extent_m = extent_m
+        self.n = int(np.ceil(extent_m / tile_m))
+
+    @classmethod
+    def from_synth(cls, cfg) -> "GridSpec":
+        return cls(cfg.origin_m, cfg.origin_m, cfg.tile_m, cfg.overlap_m, cfg.extent_m)
+
+    def tile_id(self, row: np.ndarray, col: np.ndarray) -> np.ndarray:
+        return np.char.add(
+            np.char.add("t_", np.char.zfill(row.astype(str), 4)),
+            np.char.add("_", np.char.zfill(col.astype(str), 4)),
+        )
+
+    def owning_tile(self, minx, miny, maxx, maxy) -> np.ndarray:
+        """Lowest (row, col) tile whose buffered extent fully contains
+        each bbox; '' when none does (crown larger than overlap)."""
+        minx = np.asarray(minx) - self.origin_x
+        miny = np.asarray(miny) - self.origin_y
+        maxx = np.asarray(maxx) - self.origin_x
+        maxy = np.asarray(maxy) - self.origin_y
+        c0 = np.floor(minx / self.tile_m).astype(np.int64)
+        r0 = np.floor(miny / self.tile_m).astype(np.int64)
+        out = np.full(len(c0), "", dtype=object)
+        # candidates: own tile and the previous row/col tiles (their
+        # overlap region may cover the bbox). Iterate so the LOWEST
+        # (r, c) candidate that fits wins (written last).
+        for dr in (0, -1):
+            for dc in (0, -1):
+                r = np.clip(r0 + dr, 0, self.n - 1)
+                c = np.clip(c0 + dc, 0, self.n - 1)
+                tminx = c * self.tile_m
+                tmaxx = np.minimum(tminx + self.tile_m + self.overlap_m, self.extent_m)
+                tminy = r * self.tile_m
+                tmaxy = np.minimum(tminy + self.tile_m + self.overlap_m, self.extent_m)
+                fits = (
+                    (minx >= tminx) & (maxx <= tmaxx)
+                    & (miny >= tminy) & (maxy <= tmaxy)
+                )
+                out[fits] = self.tile_id(r[fits], c[fits])
+        return out
+
+
+def assign_crowns_to_tiles(crowns, grid: GridSpec):
+    """Adds ``tile_id`` ('' = unservable) to crown rows; pure map."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        tid = grid.owning_tile(
+            t["minx"].to_numpy(), t["miny"].to_numpy(),
+            t["maxx"].to_numpy(), t["maxy"].to_numpy(),
+        )
+        return t.append_column("tile_id", pa.array(tid.astype(str)))
+
+    return crowns.map_batches(fn, batch_format="pyarrow")
+
+
+# unified shuffle schema: crowns (side 0), tiles (side 1), captions (side 2)
+_UNION_SCHEMA = pa.schema(
+    [
+        ("side", pa.int8()),
+        ("tile_id", pa.string()),
+        ("crown_id", pa.string()),
+        ("ring_b", pa.binary()),
+        ("cell", pa.uint64()),
+        ("bytes", pa.binary()),
+        ("fmt", pa.string()),
+        ("caption", pa.string()),
+        ("a", pa.float64()),
+        ("c", pa.float64()),
+        ("e", pa.float64()),
+        ("f", pa.float64()),
+    ]
+)
+
+_CHIP_SCHEMA = pa.schema(
+    [
+        ("crown_id", pa.string()),
+        ("tile_id", pa.string()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("bytes", pa.binary()),
+        ("mask", pa.binary()),
+        ("fmt", pa.string()),
+        ("caption", pa.string()),
+        ("mask_px_count", pa.int64()),
+        ("pixel_checksum", pa.int64()),
+        ("cell", pa.uint64()),
+    ]
+)
+
+
+def _empty_chips() -> pa.Table:
+    return pa.Table.from_arrays(
+        [pa.array([], f.type) for f in _CHIP_SCHEMA], schema=_CHIP_SCHEMA
+    )
+
+
+def _chip_kernel(group: pa.Table) -> pa.Table:
+    """Per-tile kernel: decode the tile raster ONCE, then crop + mask +
+    encode every crown chip of this tile."""
+    side = group["side"].to_numpy()
+    tiles = group.filter(pa.array(side == 1))
+    crowns = group.filter(pa.array(side == 0))
+    caps = group.filter(pa.array(side == 2))
+    if len(tiles) == 0 or len(crowns) == 0:
+        return _empty_chips()
+    t = tiles.slice(0, 1)
+    tile_id = t["tile_id"][0].as_py()
+    img = codec.decode(t["bytes"][0].as_py(), t["fmt"][0].as_py())
+    if img.ndim == 2:
+        img = img[:, :, None]
+    fmt = t["fmt"][0].as_py()
+    caption = caps["caption"][0].as_py() if len(caps) else ""
+    a = t["a"][0].as_py(); c0 = t["c"][0].as_py()
+    e = t["e"][0].as_py(); f0 = t["f"][0].as_py()
+    th, tw = img.shape[0], img.shape[1]
+    rings = rings_from_binary(crowns["ring_b"])
+    cids = crowns["crown_id"].to_numpy(zero_copy_only=False)
+    cells_ = crowns["cell"].to_numpy()
+    cols: dict[str, list] = {f.name: [] for f in _CHIP_SCHEMA}
+    for i in np.lexsort((cids,)):
+        ring = rings[i]
+        minx, miny, maxx, maxy = geom.ring_bbox(ring)
+        # world → pixel (x = a*col + c ; y = e*row + f, e < 0)
+        col0 = max(0, int(np.floor((minx - c0) / a)))
+        col1 = min(tw, int(np.ceil((maxx - c0) / a)))
+        row0 = max(0, int(np.floor((maxy - f0) / e)))
+        row1 = min(th, int(np.ceil((miny - f0) / e)))
+        if col1 <= col0 or row1 <= row0:
+            continue
+        crop = img[row0:row1, col0:col1]
+        hh, ww = crop.shape[0], crop.shape[1]
+        wx = c0 + (np.arange(col0, col1) + 0.5) * a
+        wy = f0 + (np.arange(row0, row1) + 0.5) * e
+        gx, gy = np.meshgrid(wx, wy)
+        inside = geom.points_in_ring(gx.ravel(), gy.ravel(), ring).reshape(hh, ww)
+        masked = crop * inside[:, :, None]
+        cols["crown_id"].append(cids[i])
+        cols["tile_id"].append(tile_id)
+        cols["w"].append(ww)
+        cols["h"].append(hh)
+        cols["bytes"].append(codec.encode(masked, fmt))
+        cols["mask"].append(codec.encode_png((inside * 255).astype(np.uint8)))
+        cols["fmt"].append(fmt)
+        cols["caption"].append(caption)
+        cols["mask_px_count"].append(int(inside.sum()))
+        cols["pixel_checksum"].append(int(masked.astype(np.int64).sum()))
+        cols["cell"].append(int(cells_[i]))
+    return pa.table(
+        {f.name: pa.array(cols[f.name], f.type) for f in _CHIP_SCHEMA},
+        schema=_CHIP_SCHEMA,
+    )
+
+
+def _nulls_like(schema: pa.Schema, n: int, present: dict[str, pa.Array]) -> pa.Table:
+    arrays = []
+    for f in schema:
+        if f.name in present:
+            arrays.append(present[f.name])
+        else:
+            arrays.append(pa.nulls(n, f.type))
+    return pa.Table.from_arrays(arrays, schema=schema)
+
+
+def extract_chips(crowns, tiles, captions, grid: GridSpec):
+    """crowns × tiles (× captions) → chip rows, one per servable crown.
+
+    ``captions``: Dataset with (image_id|tile_id, caption) — the
+    ``images`` table; image_id == tile_id for grid-derived images.
+    """
+    cap_cols = captions.columns()
+    cap_key = "image_id" if "image_id" in cap_cols else "tile_id"
+    captions = captions.select_columns([cap_key, "caption"])  # prune bytes
+    crowns_t = assign_crowns_to_tiles(
+        crowns.select_columns(
+            ["crown_id", "ring", "minx", "miny", "maxx", "maxy", "cell"]
+        ).map_batches(pack_rings, batch_format="pyarrow"),
+        grid,
+    ).map_batches(
+        lambda t: t.filter(pc.not_equal(t["tile_id"], "")), batch_format="pyarrow"
+    )
+
+    def crown_side(t: pa.Table) -> pa.Table:
+        return _nulls_like(
+            _UNION_SCHEMA,
+            len(t),
+            {
+                "side": pa.array(np.zeros(len(t), np.int8)),
+                "tile_id": t["tile_id"].combine_chunks(),
+                "crown_id": t["crown_id"].combine_chunks(),
+                "ring_b": t["ring_b"].combine_chunks(),
+                "cell": t["cell"].combine_chunks(),
+            },
+        )
+
+    def tile_side(t: pa.Table) -> pa.Table:
+        return _nulls_like(
+            _UNION_SCHEMA,
+            len(t),
+            {
+                "side": pa.array(np.ones(len(t), np.int8)),
+                "tile_id": t["tile_id"].combine_chunks(),
+                "cell": t["cell"].combine_chunks(),
+                "bytes": t["bytes"].combine_chunks(),
+                "fmt": t["fmt"].combine_chunks(),
+                "a": t["a"].combine_chunks(),
+                "c": t["c"].combine_chunks(),
+                "e": t["e"].combine_chunks(),
+                "f": t["f"].combine_chunks(),
+            },
+        )
+
+    def caption_side(t: pa.Table) -> pa.Table:
+        key = "image_id" if "image_id" in t.column_names else "tile_id"
+        return _nulls_like(
+            _UNION_SCHEMA,
+            len(t),
+            {
+                "side": pa.array(np.full(len(t), 2, np.int8)),
+                "tile_id": t[key].combine_chunks(),
+                "caption": t["caption"].combine_chunks(),
+            },
+        )
+
+    union = (
+        crowns_t.map_batches(crown_side, batch_format="pyarrow")
+        .union(
+            tiles.select_columns(
+                ["tile_id", "cell", "bytes", "fmt", "a", "c", "e", "f"]
+            ).map_batches(tile_side, batch_format="pyarrow")
+        )
+        .union(
+            captions.map_batches(caption_side, batch_format="pyarrow")
+        )
+    )
+    return union.groupby("tile_id").map_groups(_chip_kernel, batch_format="pyarrow")

@@ -1,0 +1,101 @@
+"""Golden test: cell-partitioned kNN must match the driver-side
+all-pairs reference (reference get_polygons.py:326-329 argsort of
+Euclidean norms; cardinal variant batch_sam.py:425-452)."""
+
+import numpy as np
+import pytest
+
+import reference_impl
+from geotreehealth_ray.pipelines.knn import knn_cardinal, knn_points
+from geotreehealth_ray.sources import synth
+
+
+@pytest.fixture(scope="module")
+def tiny(tmp_path_factory):
+    out = tmp_path_factory.mktemp("synth_knn")
+    return synth.write_all(synth.TINY, str(out))
+
+
+def _unique_stems(paths):
+    import pyarrow.parquet as pq
+
+    st = pq.read_table(paths["stems"]).to_pandas().drop_duplicates("stem_id")
+    return st
+
+
+def test_knn_matches_reference(tiny, ray_session):
+    import ray.data as rd
+
+    stems = rd.from_pandas(_unique_stems(tiny))
+    k = 4
+    got = knn_points(stems, k=k, res=13).to_pandas()
+    got_map = {}
+    for r in got.itertuples():
+        got_map.setdefault(r.id, []).append((r.rank, r.neighbor_id, r.dist))
+    for v in got_map.values():
+        v.sort()
+
+    st = _unique_stems(tiny)
+    ids = list(st["stem_id"])
+    exp = reference_impl.knn_reference(ids, st["x"].to_numpy(), st["y"].to_numpy(), k)
+
+    # TINY extent is 160 m < cell edge 128 m → some points' k-th
+    # neighbor exceeds a cell edge; restrict the exactness claim to the
+    # guaranteed region (kth distance ≤ cell edge), per knn_points doc.
+    from geotreehealth_ray.functions.cells import cell_edge_m
+
+    edge = cell_edge_m(13)
+    checked = 0
+    for pid, neighbors in exp.items():
+        got_n = [nb for _, nb, _ in got_map.get(pid, [])]
+        dmax = max(d for _, _, d in got_map.get(pid, [(0, "", 0.0)]))
+        if dmax <= edge:
+            assert got_n == neighbors, (pid, got_n, neighbors)
+            checked += 1
+    assert checked >= len(exp) * 0.9
+
+
+def test_cardinal_knn_quadrants(tiny, ray_session):
+    import ray.data as rd
+
+    stems = rd.from_pandas(_unique_stems(tiny))
+    got = knn_cardinal(stems, min_dist=3.0, res=13).to_pandas()
+    st = _unique_stems(tiny).set_index("stem_id")
+    assert len(got) > 0
+    # verify invariants per row: distance floor, quadrant correctness
+    for r in got.itertuples():
+        assert r.dist >= 3.0
+        tx, ty = st.loc[r.id, "x"], st.loc[r.id, "y"]
+        nx, ny = st.loc[r.neighbor_id, "x"], st.loc[r.neighbor_id, "y"]
+        dx, dy = nx - tx, ny - ty
+        quad = "NE" if (dx >= 0 and dy >= 0) else (
+            "SE" if dx >= 0 else ("NW" if dy >= 0 else "SW"))
+        assert quad == r.quad
+    # ≤ 4 rows per target
+    assert got.groupby("id").size().max() <= 4
+    # exhaustive check for a sample of targets: got neighbor is the true
+    # nearest in that quadrant (within the halo-exact region)
+    ids = list(st.index)
+    x, y = st["x"].to_numpy(), st["y"].to_numpy()
+    sample = sorted(set(got["id"]))[:25]
+    gm = {(r.id, r.quad): (r.neighbor_id, r.dist) for r in got.itertuples()}
+    for pid in sample:
+        i = ids.index(pid)
+        dx = x - x[i]
+        dy = y - y[i]
+        d = np.hypot(dx, dy)
+        for quad, mask in (
+            ("NE", (dx >= 0) & (dy >= 0)),
+            ("NW", (dx < 0) & (dy >= 0)),
+            ("SE", (dx >= 0) & (dy < 0)),
+            ("SW", (dx < 0) & (dy < 0)),
+        ):
+            m = mask & (d >= 3.0) & (np.array(ids) != pid)
+            if not m.any():
+                continue
+            dd = np.where(m, d, np.inf)
+            j = int(np.argmin(dd))
+            if dd[j] <= 128.0:  # halo-exact region
+                key = (pid, quad)
+                assert key in gm
+                assert gm[key][1] == pytest.approx(float(dd[j]), abs=1e-9)
