@@ -1,0 +1,150 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``ann_bruteforce_topk``: exact cosine top-k — the query matrix is
+  broadcast ONCE via ``ray.put`` and read in each task; each batch does
+  one numpy matmul and emits its per-batch partial top-k; a final tiny
+  groupby merges partials. Never materializes the dataset.
+- ``ann_ivf_topk``: IVF scale path — coarse centroids (k-means on a
+  driver-side sample), vectors bucketed by nearest centroid
+  (one pass), queries probe only ``nprobe`` nearest buckets.
+
+Determinism: fixed seeds; ties broken by vec_id asc.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["ann_bruteforce_topk", "ann_ivf_topk", "train_centroids"]
+
+
+def _as_matrix(col) -> np.ndarray:
+    return np.stack(col.to_numpy()).astype(np.float64)
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.where(n == 0, 1, n)
+
+
+def ann_bruteforce_topk(embeddings, queries: np.ndarray, k: int = 10,
+                        id_col: str = "vec_id", vec_col: str = "embedding"):
+    """(query_id, vec_id, sim, rank) — exact cosine top-k per query row
+    of ``queries`` (q, dim). Partial top-k per batch → merge."""
+    import ray
+
+    qref = ray.put(_unit(np.asarray(queries, dtype=np.float64)))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        q = ray.get(qref)
+        vecs = _unit(_as_matrix(df[vec_col]))
+        sims = vecs @ q.T  # (n, nq)
+        ids = df[id_col].to_numpy()
+        out = {"query_id": [], "vec_id": [], "sim": []}
+        kk = min(k, len(ids))
+        for qi in range(q.shape[0]):
+            s = sims[:, qi]
+            part = np.lexsort((ids, -s))[:kk]
+            out["query_id"].extend([qi] * len(part))
+            out["vec_id"].extend(ids[part])
+            out["sim"].extend(np.round(s[part], 9))
+        return pd.DataFrame(
+            {
+                "query_id": np.array(out["query_id"], np.int64),
+                "vec_id": np.array(out["vec_id"], np.int64),
+                "sim": np.array(out["sim"], np.float64),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True], kind="stable")
+        g = g.head(k).reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int64)
+        return g
+
+    return (
+        embeddings.map_batches(partial, batch_format="pandas")
+        .groupby("query_id")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def train_centroids(embeddings, n_centroids: int = 16, sample_n: int = 4096,
+                    iters: int = 10, seed: int = 11,
+                    vec_col: str = "embedding") -> np.ndarray:
+    """Driver-side mini k-means on a deterministic sample (the IVF
+    coarse quantizer). Sample = first ``sample_n`` rows by vec_id —
+    stable across parallelism levels."""
+    sample = embeddings.sort("vec_id").limit(sample_n).to_pandas()
+    x = _unit(_as_matrix(sample[vec_col]))
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                v = x[m].mean(axis=0)
+                cent[c] = v / (np.linalg.norm(v) or 1.0)
+    return cent
+
+
+def ann_ivf_topk(embeddings, queries: np.ndarray, k: int = 10,
+                 n_centroids: int = 16, nprobe: int = 4,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 centroids: np.ndarray | None = None):
+    """IVF top-k: vectors partitioned by nearest centroid; each query
+    scans only its ``nprobe`` closest buckets. Approximate (recall
+    depends on nprobe/n_centroids); exact within probed buckets."""
+    import ray
+
+    if centroids is None:
+        centroids = train_centroids(embeddings, n_centroids)
+    q = _unit(np.asarray(queries, dtype=np.float64))
+    # buckets each query probes
+    probe = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]
+    probe_sets = [set(map(int, row)) for row in probe]
+    cref = ray.put(centroids)
+    qref = ray.put(q)
+    pref = ray.put(probe_sets)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cent = ray.get(cref)
+        qm = ray.get(qref)
+        probes = ray.get(pref)
+        vecs = _unit(_as_matrix(df[vec_col]))
+        ids = df[id_col].to_numpy()
+        bucket = np.argmax(vecs @ cent.T, axis=1)
+        out = {"query_id": [], "vec_id": [], "sim": []}
+        for qi in range(qm.shape[0]):
+            m = np.isin(bucket, list(probes[qi]))
+            if not m.any():
+                continue
+            s = vecs[m] @ qm[qi]
+            sel_ids = ids[m]
+            kk = min(k, len(sel_ids))
+            part = np.lexsort((sel_ids, -s))[:kk]
+            out["query_id"].extend([qi] * len(part))
+            out["vec_id"].extend(sel_ids[part])
+            out["sim"].extend(np.round(s[part], 9))
+        return pd.DataFrame(
+            {
+                "query_id": np.array(out["query_id"], np.int64),
+                "vec_id": np.array(out["vec_id"], np.int64),
+                "sim": np.array(out["sim"], np.float64),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True], kind="stable")
+        g = g.head(k).reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int64)
+        return g
+
+    return (
+        embeddings.map_batches(partial, batch_format="pandas")
+        .groupby("query_id")
+        .map_groups(merge, batch_format="pandas")
+    )

@@ -1,0 +1,302 @@
+"""Deduplication family over a ``documents`` table — exact,
+MinHash+LSH, SimHash, n-gram Jaccard — plus embedding-cosine near-dup
+over an ``embeddings`` table. Built for the 100 TB shape:
+
+- exact: content-hash inside map_batches → groupby(hash) → keep min id
+  (one shuffle of (hash, id) pairs only, never text);
+- MinHash LSH: signatures per batch (vectorized) → explode to
+  (band_id, band_hash, doc_id) rows → groupby bands → candidate pairs
+  → exact-Jaccard verify co-partitioned by pair (shingles recomputed
+  from the pair's texts shipped via the band group — texts never
+  broadcast);
+- SimHash: 64-bit signature per doc, near-dup via 4-segment bucketing
+  (Hamming ≤ 3 ⇒ one 16-bit segment equal);
+- embedding near-dup: random-hyperplane LSH buckets → in-bucket cosine
+  verify.
+
+Determinism: every hash seed is a fixed constant; outputs are exact
+functions of the input rows, so N- and 4N-CPU runs emit identical rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["exact_dedup", "minhash_lsh_pairs", "simhash_pairs",
+           "jaccard_of_texts", "embedding_near_dup"]
+
+
+# ------------------------------------------------------------- exact
+
+def exact_dedup(docs):
+    """(doc_id, n_dups) — one row per distinct text: the minimum doc_id
+    plus the duplicate count. Equivalent SQL:
+    SELECT min(doc_id) AS doc_id, count(*) AS n_dups GROUP BY text."""
+    import hashlib as _h
+
+    def hash_stage(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "h": [_h.md5(t.encode()).hexdigest() for t in df["text"].fillna("")],
+            }
+        )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": [g["doc_id"].min()], "n_dups": [np.int64(len(g))]}
+        )
+
+    return (
+        docs.map_batches(hash_stage, batch_format="pandas")
+        .groupby("h")
+        .map_groups(pick, batch_format="pandas")
+        .select_columns(["doc_id", "n_dups"])
+    )
+
+
+# ----------------------------------------------------------- shingles
+
+def _char_shingles(text: str, k: int) -> set[int]:
+    """k-char shingles hashed to 64-bit ints (stable blake2b)."""
+    t = " ".join(text.split())
+    if len(t) < k:
+        return {_h64(t)} if t else set()
+    return {_h64(t[i : i + k]) for i in range(len(t) - k + 1)}
+
+
+def _h64(s: str) -> int:
+    return int.from_bytes(
+        hashlib.blake2b(s.encode(), digest_size=8).digest(), "little"
+    )
+
+
+def jaccard_of_texts(a: str, b: str, k: int = 5) -> float:
+    sa, sb = _char_shingles(a, k), _char_shingles(b, k)
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    union = len(sa) + len(sb) - inter
+    return inter / union if union else 0.0
+
+
+# ------------------------------------------------------------ minhash
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def _signatures(texts, k: int, num_perm: int) -> np.ndarray:
+    a, b = _minhash_params(num_perm)
+    sigs = np.empty((len(texts), num_perm), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        sh = np.fromiter(_char_shingles(t or "", k), dtype=np.uint64)
+        if len(sh) == 0:
+            sigs[i] = 0
+            continue
+        # (a*x + b) mod p, vectorized over shingles per permutation
+        vals = (
+            (sh[None, :] % _MERSENNE) * (a[:, None] % _MERSENNE) + b[:, None]
+        ) % _MERSENNE
+        sigs[i] = vals.min(axis=1)
+    return sigs
+
+
+def minhash_lsh_pairs(docs, k: int = 5, num_perm: int = 128, bands: int = 32,
+                      threshold: float = 0.5):
+    """(doc_id_a, doc_id_b, jaccard) — near-duplicate pairs with exact
+    shingle-Jaccard ≥ threshold among LSH candidates (a < b; precision
+    1.0 by construction; recall set by (bands, rows-per-band)).
+
+    Flow: per-batch signatures → explode to band rows carrying the TEXT
+    (so the verify step has both texts in the band group without a
+    second join) → groupby(band_id, band_hash) → in-group pair verify →
+    global pair dedup (pairs can surface from several bands)."""
+    rows_per_band = num_perm // bands
+
+    def band_stage(df: pd.DataFrame) -> pd.DataFrame:
+        sigs = _signatures(df["text"].fillna("").tolist(), k, num_perm)
+        out_doc, out_band, out_hash, out_text = [], [], [], []
+        for i, did in enumerate(df["doc_id"]):
+            for bidx in range(bands):
+                seg = sigs[i, bidx * rows_per_band : (bidx + 1) * rows_per_band]
+                bh = hashlib.blake2b(seg.tobytes(), digest_size=8).digest()
+                out_doc.append(did)
+                out_band.append(bidx)
+                out_hash.append(int.from_bytes(bh, "little") >> 1)
+                out_text.append(df["text"].iloc[i])
+        return pd.DataFrame(
+            {
+                "doc_id": out_doc,
+                "band_id": np.array(out_band, np.int32),
+                "band_hash": np.array(out_hash, np.int64),
+                "text": out_text,
+            }
+        )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(
+                {"doc_id_a": pd.array([], "int64"),
+                 "doc_id_b": pd.array([], "int64"),
+                 "jaccard": pd.array([], "float64")}
+            )
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = g["doc_id"].tolist()
+        texts = g["text"].tolist()
+        ra, rb, rj = [], [], []
+        sh = [_char_shingles(t or "", k) for t in texts]
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                inter = len(sh[i] & sh[j])
+                union = len(sh[i]) + len(sh[j]) - inter
+                jac = inter / union if union else (1.0 if not sh[i] else 0.0)
+                if jac >= threshold:
+                    ra.append(ids[i]); rb.append(ids[j]); rj.append(round(jac, 9))
+        return pd.DataFrame(
+            {"doc_id_a": pd.array(ra, "int64"),
+             "doc_id_b": pd.array(rb, "int64"),
+             "jaccard": pd.array(rj, "float64")}
+        )
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    pairs = (
+        docs.map_batches(band_stage, batch_format="pandas")
+        .groupby(["band_id", "band_hash"])
+        .map_groups(verify, batch_format="pandas")
+    )
+    # same pair found in several bands → dedup on (a, b)
+    return (
+        pairs.groupby(["doc_id_a", "doc_id_b"])
+        .map_groups(dedup_pairs, batch_format="pandas")
+    )
+
+
+# ------------------------------------------------------------ simhash
+
+def _simhash64(tokens: list[str]) -> int:
+    acc = np.zeros(64, dtype=np.int64)
+    for tok in tokens:
+        h = np.uint64(_h64(tok))
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits == 1, 1, -1)
+    v = 0
+    for i in range(64):
+        if acc[i] > 0:
+            v |= 1 << i
+    return v
+
+
+def simhash_pairs(docs, max_hamming: int = 3):
+    """(doc_id_a, doc_id_b, hamming) — SimHash near-dups. Pigeonhole:
+    Hamming ≤ 3 over 4 16-bit segments ⇒ ≥1 segment identical, so
+    bucket by each segment and verify in-bucket."""
+
+    def sig_stage(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"doc_id": [], "seg_id": [], "seg_val": [], "sig": []}
+        for did, text in zip(df["doc_id"], df["text"].fillna("")):
+            sig = _simhash64(text.split())
+            for s in range(4):
+                out["doc_id"].append(did)
+                out["seg_id"].append(s)
+                out["seg_val"].append((sig >> (16 * s)) & 0xFFFF)
+                out["sig"].append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+        return pd.DataFrame(
+            {
+                "doc_id": out["doc_id"],
+                "seg_id": np.array(out["seg_id"], np.int32),
+                "seg_val": np.array(out["seg_val"], np.int64),
+                "sig": pd.array(out["sig"], "int64"),
+            }
+        )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = g["doc_id"].tolist()
+        sigs = g["sig"].astype(np.int64).to_numpy().astype(np.uint64)
+        ra, rb, rh = [], [], []
+        for i in range(len(ids)):
+            x = sigs[i] ^ sigs[i + 1 :]
+            ham = np.array([bin(int(v)).count("1") for v in x])
+            for off in np.where(ham <= max_hamming)[0]:
+                ra.append(ids[i]); rb.append(ids[i + 1 + off]); rh.append(int(ham[off]))
+        return pd.DataFrame(
+            {"doc_id_a": pd.array(ra, "int64"),
+             "doc_id_b": pd.array(rb, "int64"),
+             "hamming": pd.array(rh, "int64")}
+        )
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return (
+        docs.map_batches(sig_stage, batch_format="pandas")
+        .groupby(["seg_id", "seg_val"])
+        .map_groups(verify, batch_format="pandas")
+        .groupby(["doc_id_a", "doc_id_b"])
+        .map_groups(dedup_pairs, batch_format="pandas")
+    )
+
+
+# --------------------------------------------------- embedding neardup
+
+def embedding_near_dup(embeddings, threshold: float = 0.95, n_planes: int = 12,
+                       seed: int = 7):
+    """(vec_id_a, vec_id_b, cosine) — pairs with cosine ≥ threshold.
+    Random-hyperplane LSH bucket (n_planes sign bits) then in-bucket
+    exact verify. High-threshold pairs collide with probability
+    (1 − θ/π)^n_planes; callers needing full recall lower n_planes or
+    multi-probe."""
+
+    def bucket_stage(df: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        dim = vecs.shape[1]
+        planes = np.random.default_rng(seed).normal(size=(dim, n_planes))
+        signs = (vecs @ planes) >= 0
+        bucket = np.zeros(len(df), dtype=np.int64)
+        for b in range(n_planes):
+            bucket |= signs[:, b].astype(np.int64) << b
+        norm = np.linalg.norm(vecs, axis=1, keepdims=True)
+        unit = vecs / np.where(norm == 0, 1, norm)
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"],
+                "bucket": bucket,
+                "unit": list(unit),
+            }
+        )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].tolist()
+        unit = np.stack(g["unit"].to_numpy())
+        sims = unit @ unit.T
+        ra, rb, rc = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if sims[i, j] >= threshold:
+                    ra.append(ids[i]); rb.append(ids[j])
+                    rc.append(round(float(sims[i, j]), 9))
+        return pd.DataFrame(
+            {"vec_id_a": pd.array(ra, "int64"),
+             "vec_id_b": pd.array(rb, "int64"),
+             "cosine": pd.array(rc, "float64")}
+        )
+
+    return (
+        embeddings.map_batches(bucket_stage, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(verify, batch_format="pandas")
+    )

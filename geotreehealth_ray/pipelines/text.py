@@ -1,0 +1,166 @@
+"""Text-analysis operators over a ``documents`` table — the
+training-data-pipeline extensions (language-ID, quality scoring, token
+counting, fingerprinting). All are vectorized ``map_batches`` stages;
+the language-ID stage is a callable class (actor pool) so its n-gram
+profiles are built once per actor.
+
+Column-naming contract: every computed column name here matches the
+oracle SQL in ``__ray_entry__.oracle_sql`` exactly (driver hash gate).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["token_counts", "quality_scores", "LangId", "lang_id",
+           "fingerprints", "content_hashes"]
+
+_WS = re.compile(r"\s+")
+
+
+def token_counts(docs):
+    """(doc_id, n_tokens) — whitespace tokenization. Matches DuckDB
+    ``len(regexp_split_to_array(trim(text), '\\s+'))`` (empty text → 1
+    empty token, both sides)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.strip().str.split(_WS)
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "n_tokens": toks.map(len).astype("int64")}
+        )
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
+def quality_scores(docs, min_words: int = 10, max_punct_ratio: float = 0.1):
+    """(doc_id, n_words, punct_ratio, mean_word_len, is_quality) —
+    length/punctuation heuristics (the classic pre-training quality
+    gate). punct_ratio = punctuation chars / n_chars."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].fillna("")
+        stripped = text.str.strip()
+        words = stripped.str.split(_WS)
+        n_words = words.map(len).astype("int64")
+        n_chars = text.str.len().astype("int64")
+        punct = text.str.count(r"[.,;:!?]").astype("int64")
+        total_word_len = words.map(lambda ws: sum(len(w) for w in ws)).astype("int64")
+        punct_ratio = (punct / n_chars.clip(lower=1)).round(6)
+        mean_word_len = (total_word_len / n_words.clip(lower=1)).round(6)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_words": n_words,
+                "punct_ratio": punct_ratio,
+                "mean_word_len": mean_word_len,
+                "is_quality": (n_words >= min_words)
+                & (punct_ratio < max_punct_ratio),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
+_LANG_PROFILES = {
+    # tiny public-knowledge stopword profiles (heuristic n-gram/stopword
+    # language ID — no external model available in-sandbox)
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "es", "se", "no"},
+    "de": {"der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu", "ich"},
+    "fr": {"le", "la", "et", "les", "des", "un", "une", "est", "que", "pour"},
+}
+
+
+class LangId:
+    """Actor-pool stage: heuristic language ID by stopword-profile hit
+    rate; falls back to character-class evidence (CJK → zh). Profiles
+    compiled once per actor (__init__)."""
+
+    def __init__(self):
+        self.word = re.compile(r"[a-zA-Z']+")
+        self.cjk = re.compile(r"[一-鿿]")
+        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        preds = []
+        confs = []
+        for text in df["text"].fillna(""):
+            if self.cjk.search(text):
+                preds.append("zh")
+                confs.append(1.0)
+                continue
+            toks = [t.lower() for t in self.word.findall(text)]
+            if not toks:
+                preds.append("und")
+                confs.append(0.0)
+                continue
+            best, best_hits = "und", 0
+            for lang in sorted(self.profiles):
+                hits = sum(1 for t in toks if t in self.profiles[lang])
+                if hits > best_hits:
+                    best, best_hits = lang, hits
+            preds.append(best)
+            confs.append(best_hits / len(toks))
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "lang_pred": preds, "lang_conf": confs}
+        )
+
+
+def lang_id(docs, concurrency: int = 2):
+    # callable class → actor pool; concurrency is required by Ray Data
+    return docs.map_batches(
+        LangId, batch_format="pandas", batch_size=2048, concurrency=concurrency
+    )
+
+
+_FP_BASE = np.uint64(1099511628211)
+_FP_OFF = np.uint64(14695981039346656037)
+
+
+def _fnv1a_bytes(data: bytes) -> int:
+    h = _FP_OFF
+    for b in data:
+        h = np.uint64((int(h) ^ b) * int(_FP_BASE) & 0xFFFFFFFFFFFFFFFF)
+    return int(h)
+
+
+def fingerprints(docs):
+    """(doc_id, fingerprint) — 64-bit rolling FNV-1a hash of the
+    whitespace-normalized text (document fingerprinting for dedup
+    pipelines). int64 (two's complement) for Arrow storage."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        norm = df["text"].fillna("").str.strip().str.replace(_WS, " ", regex=True)
+        fps = [
+            v - (1 << 64) if (v := _fnv1a_bytes(t.encode())) >= (1 << 63) else v
+            for t in norm
+        ]
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "fingerprint": pd.array(fps, dtype="int64")}
+        )
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
+def content_hashes(docs):
+    """(doc_id, content_hash) — md5 hex of the raw text; matches DuckDB
+    ``md5(text)`` exactly (SQL-oracle-able dedup key)."""
+    import hashlib
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "content_hash": [
+                    hashlib.md5(t.encode()).hexdigest()
+                    for t in df["text"].fillna("")
+                ],
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pandas")

@@ -1,0 +1,187 @@
+"""Training-data operators over the driver testdata tables: text
+analysis, dedup family, ANN — verified against DuckDB / brute force."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from geotreehealth_ray.pipelines import ann, dedup, text
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/embeddings.parquet")
+
+
+def _duck(sql):
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    return con.sql(sql).df()
+
+
+def test_token_counts_match_duckdb(docs_ds):
+    got = text.token_counts(docs_ds).to_pandas().sort_values("doc_id")
+    exp = _duck(
+        "SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens "
+        "FROM documents ORDER BY doc_id"
+    )
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+
+
+def test_quality_scores_match_duckdb(docs_ds):
+    got = text.quality_scores(docs_ds).to_pandas().sort_values("doc_id")
+    exp = _duck(
+        """
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_words,
+               round(len(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                     / greatest(length(text), 1), 6) AS punct_ratio,
+               round((length(trim(text)) - len(regexp_split_to_array(trim(text), '\\s+')) + 1)
+                     / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 6)
+                 AS mean_word_len_approx
+        FROM documents ORDER BY doc_id
+        """
+    )
+    np.testing.assert_array_equal(got["n_words"].to_numpy(), exp["n_words"].to_numpy())
+    np.testing.assert_allclose(
+        got["punct_ratio"].to_numpy(), exp["punct_ratio"].to_numpy(), atol=1e-9
+    )
+
+
+def test_content_hashes_match_duckdb(docs_ds):
+    got = text.content_hashes(docs_ds).to_pandas().sort_values("doc_id")
+    exp = _duck("SELECT doc_id, md5(text) AS content_hash FROM documents ORDER BY doc_id")
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+
+
+def test_lang_id_heuristics(docs_ds):
+    got = text.lang_id(docs_ds).to_pandas()
+    assert set(got.columns) == {"doc_id", "lang_pred", "lang_conf"}
+    assert len(got) == docs_ds.count()
+    # crafted sanity checks on the kernel itself
+    li = text.LangId()
+    out = li(pd.DataFrame({"doc_id": [1, 2, 3],
+                           "text": ["the cat and the dog in a house",
+                                    "el perro y la casa de un que no se",
+                                    "你好世界"]}))
+    assert list(out["lang_pred"]) == ["en", "es", "zh"]
+
+
+def test_exact_dedup_with_planted_dups(ray_session):
+    import ray.data as rd
+
+    df = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    # plant duplicates: copy first 10 texts onto new ids
+    extra = df.head(10).copy()
+    extra["doc_id"] = extra["doc_id"] + 100000
+    full = pd.concat([df, extra], ignore_index=True)
+    ds = rd.from_pandas(full)
+    got = dedup.exact_dedup(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    exp = (
+        full.groupby("text", sort=False)
+        .agg(doc_id=("doc_id", "min"), n_dups=("doc_id", "size"))
+        .reset_index(drop=True)
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp.astype({"n_dups": "int64"}))
+    assert (got["n_dups"] > 1).sum() == 10
+
+
+def test_minhash_precision_and_recall(ray_session):
+    import ray.data as rd
+
+    df = pq.read_table(f"{SF}/documents.parquet").to_pandas().head(120)
+    # plant near-dups: light edits of existing texts
+    edits = df.head(15).copy()
+    edits["doc_id"] = edits["doc_id"] + 100000
+    edits["text"] = edits["text"].str.replace("table", "tables", regex=False)
+    full = pd.concat([df, edits], ignore_index=True)
+    ds = rd.from_pandas(full)
+    got = dedup.minhash_lsh_pairs(ds, k=5, num_perm=128, bands=32, threshold=0.6)
+    gp = got.to_pandas()
+    pairs = {(a, b) for a, b in zip(gp["doc_id_a"], gp["doc_id_b"])}
+    # brute-force truth
+    truth = set()
+    texts = dict(zip(full["doc_id"], full["text"]))
+    ids = sorted(texts)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if dedup.jaccard_of_texts(texts[ids[i]], texts[ids[j]], k=5) >= 0.6:
+                truth.add((ids[i], ids[j]))
+    assert pairs <= truth  # precision 1.0 (every pair verified exactly)
+    planted = {(d, d + 100000) for d in df.head(15)["doc_id"]}
+    planted_true = planted & truth
+    assert planted_true and len(pairs & planted_true) >= 0.9 * len(planted_true)
+
+
+def test_simhash_finds_planted_dups(ray_session):
+    import ray.data as rd
+
+    df = pq.read_table(f"{SF}/documents.parquet").to_pandas().head(100)
+    dup = df.head(8).copy()
+    dup["doc_id"] = dup["doc_id"] + 100000  # identical text → hamming 0
+    full = pd.concat([df, dup], ignore_index=True)
+    got = dedup.simhash_pairs(rd.from_pandas(full), max_hamming=3).to_pandas()
+    pairs = {(a, b) for a, b in zip(got["doc_id_a"], got["doc_id_b"])}
+    for d in dup["doc_id"]:
+        assert (d - 100000, d) in pairs
+    assert (got["hamming"] <= 3).all()
+
+
+def test_embedding_near_dup(emb_ds, ray_session):
+    import ray.data as rd
+
+    df = pq.read_table(f"{SF}/embeddings.parquet").to_pandas().head(120)
+    twin = df.head(6).copy()
+    twin["vec_id"] = twin["vec_id"] + 100000  # identical vectors
+    full = pd.concat([df, twin], ignore_index=True)
+    got = dedup.embedding_near_dup(rd.from_pandas(full), threshold=0.999).to_pandas()
+    pairs = {(a, b) for a, b in zip(got["vec_id_a"], got["vec_id_b"])}
+    for v in twin["vec_id"]:
+        assert (v - 100000, v) in pairs
+    assert (got["cosine"] >= 0.999).all()
+
+
+def test_ann_bruteforce_matches_numpy(emb_ds):
+    df = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    vecs = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    queries = vecs[:3]
+    got = ann.ann_bruteforce_topk(emb_ds, queries, k=5).to_pandas()
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qu = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    sims = unit @ qu.T
+    ids = df["vec_id"].to_numpy()
+    for qi in range(3):
+        g = got[got["query_id"] == qi].sort_values("rank")
+        exp_idx = np.lexsort((ids, -sims[:, qi]))[:5]
+        assert list(g["vec_id"]) == list(ids[exp_idx])
+
+
+def test_ann_ivf_recall(emb_ds):
+    df = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    vecs = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    queries = vecs[:5]
+    exact = ann.ann_bruteforce_topk(emb_ds, queries, k=10).to_pandas()
+    approx = ann.ann_ivf_topk(emb_ds, queries, k=10, n_centroids=8, nprobe=4).to_pandas()
+    recalls = []
+    for qi in range(5):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.6  # nprobe=4 of 8 buckets
