@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes the engine's operator surface over the driver's
+parquet tables. Spatial operators run on coordinates derived from the
+relational keys with SQL-expressible integer-hash formulas
+(geotreehealth_ray/pipelines/derive.py), so the DuckDB oracle reproduces
+them bit-for-bit; the arbitrary-polygon / raster paths are additionally
+validated by golden tests on synthetic tables (tests/).
 """
 
 from __future__ import annotations
@@ -18,27 +16,526 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
 
-def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+def _read(sf_dir: str, table: str):
+    return _rd().read_parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ------------------------------------------------------------ queries
+
+def _q_pip_join(sf_dir: str):
+    from geotreehealth_ray.pipelines.assign import pip_join_pairs
+    from geotreehealth_ray.pipelines.derive import derive_boxes, derive_points
+
+    pts = derive_points(_read(sf_dir, "orders"))
+    boxes = derive_boxes(_read(sf_dir, "part"))
+    pairs = pip_join_pairs(pts, boxes, res=15)
+
+    def to_keys(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": pa.array(
+                    np.array([int(v) for v in t["crown_id"].to_pylist()], np.int64)
+                ),
+                "o_orderkey": pa.array(
+                    np.array([int(v) for v in t["stem_id"].to_pylist()], np.int64)
+                ),
+            }
+        )
+
+    return pairs.map_batches(to_keys, batch_format="pyarrow")
+
+
+def _q_crown_assign(sf_dir: str):
+    from geotreehealth_ray.pipelines.assign import assign_stems_to_crowns
+    from geotreehealth_ray.pipelines.derive import derive_boxes, derive_points
+
+    pts = derive_points(_read(sf_dir, "orders"))
+    boxes = derive_boxes(_read(sf_dir, "part"))
+    assignment, _ = assign_stems_to_crowns(pts, boxes, res=15)
+
+    def to_keys(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": pa.array(
+                    np.array([int(v) for v in t["crown_id"].to_pylist()], np.int64)
+                ),
+                "o_orderkey": pa.array(
+                    np.array([int(v) for v in t["stem_id"].to_pylist()], np.int64)
+                ),
+            }
+        )
+
+    return assignment.map_batches(to_keys, batch_format="pyarrow")
+
+
+def _q_unassigned(sf_dir: str):
+    from geotreehealth_ray.pipelines.assign import assign_stems_to_crowns
+    from geotreehealth_ray.pipelines.derive import derive_boxes, derive_points
+
+    pts = derive_points(_read(sf_dir, "orders"))
+    boxes = derive_boxes(_read(sf_dir, "part"))
+    _, unassigned = assign_stems_to_crowns(pts, boxes, res=15)
+    return unassigned.map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": pa.array(
+                    np.array([int(v) for v in t["stem_id"].to_pylist()], np.int64)
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_knn_join(sf_dir: str):
+    from geotreehealth_ray.pipelines.derive import _coords
+
+    rd = _rd()
+    import ray
+
+    sup = _read(sf_dir, "supplier").select_columns(["s_suppkey"]).to_pandas()
+    skey = sup["s_suppkey"].to_numpy()
+    sx, sy = _coords(skey)
+    sref = ray.put((skey, sx, sy))
+
+    def fn(t: pa.Table) -> pa.Table:
+        skey_, sx_, sy_ = ray.get(sref)
+        ckey = t["c_custkey"].to_numpy()
+        cx, cy = _coords(ckey)
+        out_c, out_s, out_r = [], [], []
+        k = 3
+        for i in range(len(ckey)):
+            d2 = (sx_ - cx[i]) ** 2 + (sy_ - cy[i]) ** 2
+            order = np.lexsort((skey_, d2))[:k]
+            out_c.extend([ckey[i]] * len(order))
+            out_s.extend(skey_[order])
+            out_r.extend(range(len(order)))
+        return pa.table(
+            {
+                "c_custkey": pa.array(np.array(out_c, np.int64)),
+                "s_suppkey": pa.array(np.array(out_s, np.int64)),
+                "rank": pa.array(np.array(out_r, np.int64)),
+            }
+        )
+
+    return (
+        _read(sf_dir, "customer")
+        .select_columns(["c_custkey"])
+        .map_batches(fn, batch_format="pyarrow")
+    )
+
+
+def _q_cell_counts(sf_dir: str):
+    from geotreehealth_ray.functions.cells import cell_grid_xy
+    from geotreehealth_ray.pipelines.derive import _coords
+    from geotreehealth_ray.pipelines.relational import grouped_agg
+
+    def fn(t: pa.Table) -> pa.Table:
+        key = t["o_orderkey"].to_numpy()
+        x, y = _coords(key)
+        gx, gy = cell_grid_xy(x, y, res=15)  # edge = 32 m
+        return pa.table(
+            {"gx": pa.array(gx, pa.int64()), "gy": pa.array(gy, pa.int64())}
+        )
+
+    cellsds = (
+        _read(sf_dir, "orders")
+        .select_columns(["o_orderkey"])
+        .map_batches(fn, batch_format="pyarrow")
+    )
+    return grouped_agg(cellsds, ["gx", "gy"], {}, count_alias="n_points")
+
+
+def _q_q1(sf_dir: str):
+    """TPC-H Q1-style pricing summary. Money sums are computed as
+    integer cents/10^-4 units (floor(x*scale+0.5) per row — identical
+    doubles on the Ray and DuckDB sides, then exact int64 sums), so the
+    result is bit-identical regardless of summation order. At larger
+    scales the int64 partials would be widened to decimal128."""
+    from geotreehealth_ray.pipelines.relational import grouped_agg
+
+    def prep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02"))))
+        ep = t["l_extendedprice"].to_numpy()
+        disc = ep * (1.0 - t["l_discount"].to_numpy())
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "l_quantity": t["l_quantity"],
+                "base_c": pa.array(np.floor(ep * 100 + 0.5).astype(np.int64)),
+                "disc_c4": pa.array(np.floor(disc * 10000 + 0.5).astype(np.int64)),
+            }
+        )
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_shipdate"]
+    ).map_batches(prep, batch_format="pyarrow")
+    out = grouped_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {"sum_qty": "l_quantity", "base_c": "base_c", "disc_c4": "disc_c4"},
+        count_alias="n",
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "l_linestatus": df["l_linestatus"],
+                "sum_qty": df["sum_qty"],
+                "sum_base_price": df["base_c"] / 100.0,
+                "sum_disc_price": df["disc_c4"] / 10000.0,
+                "avg_qty": df["sum_qty"] / df["n"],
+                "n": df["n"],
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def _q_top_orders(sf_dir: str):
+    from geotreehealth_ray.pipelines.relational import grouped_agg
+
+    def prep(t: pa.Table) -> pa.Table:
+        disc = t["l_extendedprice"].to_numpy() * (1.0 - t["l_discount"].to_numpy())
+        return pa.table(
+            {
+                "o_orderkey": t["l_orderkey"],
+                "disc_c4": pa.array(np.floor(disc * 10000 + 0.5).astype(np.int64)),
+            }
+        )
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(prep, batch_format="pyarrow")
+    rev = grouped_agg(li, ["o_orderkey"], {"disc_c4": "disc_c4"})
+    rev = rev.map_batches(
+        lambda df: pd.DataFrame(
+            {"o_orderkey": df["o_orderkey"], "revenue": df["disc_c4"] / 10000.0}
+        ),
+        batch_format="pandas",
+    )
+    return rev.sort(["revenue", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def _q_revenue_by_nation(sf_dir: str):
+    from geotreehealth_ray.pipelines.relational import broadcast_join, grouped_agg
+
+    # dimension sides are small → broadcast once (ray_guide joins);
+    # the lineitem fact side streams.
+    orders = _read(sf_dir, "orders").select_columns(["o_orderkey", "o_custkey"]).to_pandas()
+    cust = _read(sf_dir, "customer").select_columns(["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation").select_columns(["n_nationkey", "n_name"]).to_pandas()
+    dim = orders.merge(cust, left_on="o_custkey", right_on="c_custkey").merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    )[["o_orderkey", "n_name"]]
+
+    def prep(t: pa.Table) -> pa.Table:
+        disc = t["l_extendedprice"].to_numpy() * (1.0 - t["l_discount"].to_numpy())
+        return pa.table(
+            {
+                "o_orderkey": t["l_orderkey"],
+                "disc_c4": pa.array(np.floor(disc * 10000 + 0.5).astype(np.int64)),
+            }
+        )
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(prep, batch_format="pyarrow")
+    joined = broadcast_join(li, dim, on="o_orderkey")
+    out = grouped_agg(joined, ["n_name"], {"disc_c4": "disc_c4"})
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"n_name": df["n_name"], "revenue": df["disc_c4"] / 10000.0}
+        ),
+        batch_format="pandas",
+    )
+
+
+def _q_events_hourly(sf_dir: str):
+    from geotreehealth_ray.pipelines.relational import hourly_window_agg
+
+    return hourly_window_agg(_read(sf_dir, "events"))
+
+
+def _q_latest_event(sf_dir: str):
+    from geotreehealth_ray.pipelines.relational import latest_per_key
+
+    ev = _read(sf_dir, "events").select_columns(
+        ["user_id", "event_id", "event_type", "value", "ts"]
+    )
+    latest = latest_per_key(ev, "user_id", ["ts", "event_id"])
+    return latest.map_batches(
+        lambda df: df[["user_id", "event_id", "event_type"]].assign(
+            value=df["value"].round(6)
+        ),
+        batch_format="pandas",
+    )
+
+
+def _q_doc_tokens(sf_dir: str):
+    from geotreehealth_ray.pipelines.text import token_counts
+
+    return token_counts(_read(sf_dir, "documents"))
+
+
+def _q_doc_quality(sf_dir: str):
+    from geotreehealth_ray.pipelines.text import quality_scores
+
+    return quality_scores(_read(sf_dir, "documents"))
+
+
+def _q_doc_hash(sf_dir: str):
+    from geotreehealth_ray.pipelines.text import content_hashes
+
+    return content_hashes(_read(sf_dir, "documents"))
+
+
+def _q_doc_dedup(sf_dir: str):
+    from geotreehealth_ray.pipelines.dedup import exact_dedup
+
+    return exact_dedup(_read(sf_dir, "documents"))
+
+
+def _q_doc_lang(sf_dir: str):
+    from geotreehealth_ray.pipelines.text import lang_id
+
+    return lang_id(_read(sf_dir, "documents"))
+
+
+def _q_doc_fingerprints(sf_dir: str):
+    from geotreehealth_ray.pipelines.text import fingerprints
+
+    return fingerprints(_read(sf_dir, "documents"))
+
+
+def _q_minhash_pairs(sf_dir: str):
+    from geotreehealth_ray.pipelines.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_read(sf_dir, "documents"), threshold=0.5)
+
+
+def _q_simhash_pairs(sf_dir: str):
+    from geotreehealth_ray.pipelines.dedup import simhash_pairs
+
+    return simhash_pairs(_read(sf_dir, "documents"))
+
+
+def _q_emb_near_dup(sf_dir: str):
+    from geotreehealth_ray.pipelines.dedup import embedding_near_dup
+
+    return embedding_near_dup(_read(sf_dir, "embeddings"), threshold=0.95)
+
+
+def _query_vectors(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id").head(3)
+    return np.stack(df["embedding"].to_numpy()).astype(np.float64)
+
+
+def _q_ann_topk(sf_dir: str):
+    from geotreehealth_ray.pipelines.ann import ann_bruteforce_topk
+
+    return ann_bruteforce_topk(_read(sf_dir, "embeddings"), _query_vectors(sf_dir), k=10)
+
+
+def _q_ann_ivf(sf_dir: str):
+    from geotreehealth_ray.pipelines.ann import ann_ivf_topk
+
+    return ann_ivf_topk(_read(sf_dir, "embeddings"), _query_vectors(sf_dir), k=10)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # spatial operators (derived coordinates — SQL-oracled)
+        "pip_join": _q_pip_join,
+        "crown_assign": _q_crown_assign,
+        "unassigned_stems": _q_unassigned,
+        "knn_join": _q_knn_join,
+        "cell_counts": _q_cell_counts,
+        # relational operators
+        "q1_pricing": _q_q1,
+        "top_orders": _q_top_orders,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "events_hourly": _q_events_hourly,
+        "latest_event": _q_latest_event,
+        # text / training-data operators
+        "doc_token_counts": _q_doc_tokens,
+        "doc_quality": _q_doc_quality,
+        "doc_content_hash": _q_doc_hash,
+        "doc_exact_dedup": _q_doc_dedup,
+        "doc_lang_id": _q_doc_lang,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "emb_near_dup": _q_emb_near_dup,
+        "ann_topk": _q_ann_topk,
+        "ann_ivf": _q_ann_ivf,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_PTS = (
+    "SELECT o_orderkey, ((o_orderkey*7919)%10000)/10.0 AS x, "
+    "((o_orderkey*104729)%10000)/10.0 AS y FROM orders"
+)
+_BX = (
+    "SELECT p_partkey, ((p_partkey*7919)%10000)/10.0 AS cx, "
+    "((p_partkey*104729)%10000)/10.0 AS cy, "
+    "CAST(1 + (p_size%10) AS DOUBLE) AS half FROM part"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pip_join": f"""
+            WITH pts AS ({_PTS}), bx AS ({_BX})
+            SELECT b.p_partkey, p.o_orderkey
+            FROM bx b JOIN pts p
+              ON p.x BETWEEN b.cx - b.half AND b.cx + b.half
+             AND p.y BETWEEN b.cy - b.half AND b.cy + b.half
+        """,
+        "crown_assign": f"""
+            WITH pts AS ({_PTS}), bx AS ({_BX}), j AS (
+              SELECT b.p_partkey, p.o_orderkey,
+                     row_number() OVER (
+                       PARTITION BY b.p_partkey
+                       ORDER BY (p.x-b.cx)*(p.x-b.cx)+(p.y-b.cy)*(p.y-b.cy),
+                                p.o_orderkey) AS rn
+              FROM bx b JOIN pts p
+                ON p.x BETWEEN b.cx - b.half AND b.cx + b.half
+               AND p.y BETWEEN b.cy - b.half AND b.cy + b.half)
+            SELECT p_partkey, o_orderkey FROM j WHERE rn = 1
+        """,
+        "unassigned_stems": f"""
+            WITH pts AS ({_PTS}), bx AS ({_BX}), j AS (
+              SELECT b.p_partkey, p.o_orderkey,
+                     row_number() OVER (
+                       PARTITION BY b.p_partkey
+                       ORDER BY (p.x-b.cx)*(p.x-b.cx)+(p.y-b.cy)*(p.y-b.cy),
+                                p.o_orderkey) AS rn
+              FROM bx b JOIN pts p
+                ON p.x BETWEEN b.cx - b.half AND b.cx + b.half
+               AND p.y BETWEEN b.cy - b.half AND b.cy + b.half)
+            SELECT o_orderkey FROM orders
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM j WHERE rn = 1)
+        """,
+        "knn_join": """
+            WITH cpts AS (SELECT c_custkey, ((c_custkey*7919)%10000)/10.0 AS x,
+                                 ((c_custkey*104729)%10000)/10.0 AS y FROM customer),
+                 spts AS (SELECT s_suppkey, ((s_suppkey*7919)%10000)/10.0 AS x,
+                                 ((s_suppkey*104729)%10000)/10.0 AS y FROM supplier)
+            SELECT c_custkey, s_suppkey, rank FROM (
+              SELECT c.c_custkey, s.s_suppkey,
+                     row_number() OVER (
+                       PARTITION BY c.c_custkey
+                       ORDER BY (c.x-s.x)*(c.x-s.x)+(c.y-s.y)*(c.y-s.y),
+                                s.s_suppkey) - 1 AS rank
+              FROM cpts c CROSS JOIN spts s) t
+            WHERE rank < 3
+        """,
+        "cell_counts": f"""
+            WITH pts AS ({_PTS})
+            SELECT CAST(floor(x/32) AS BIGINT) AS gx,
+                   CAST(floor(y/32) AS BIGINT) AS gy,
+                   count(*) AS n_points
+            FROM pts GROUP BY 1, 2
+        """,
+        "q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) / 100.0
+                     AS sum_base_price,
+                   sum(CAST(floor(l_extendedprice*(1 - l_discount)*10000 + 0.5) AS BIGINT)) / 10000.0
+                     AS sum_disc_price,
+                   sum(l_quantity) / count(*) AS avg_qty,
+                   count(*) AS n
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_orders": """
+            SELECT o_orderkey, revenue FROM (
+              SELECT l_orderkey AS o_orderkey,
+                     sum(CAST(floor(l_extendedprice*(1 - l_discount)*10000 + 0.5) AS BIGINT)) / 10000.0
+                       AS revenue
+              FROM lineitem GROUP BY l_orderkey) t
+            ORDER BY revenue DESC, o_orderkey LIMIT 10
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   sum(CAST(floor(l_extendedprice*(1 - l_discount)*10000 + 0.5) AS BIGINT)) / 10000.0
+                     AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "events_hourly": """
+            SELECT user_id,
+                   CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS window_start,
+                   sum(CAST(floor(value*1000000 + 0.5) AS BIGINT)) / 1000000.0
+                     AS total_value,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        """,
+        "latest_event": """
+            SELECT user_id, event_id, event_type, round(value, 6) AS value FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) t
+            WHERE rn = 1
+        """,
+        "doc_token_counts": """
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                     AS n_tokens
+            FROM documents
+        """,
+        "doc_quality": """
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                     AS n_words,
+                   round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                         / greatest(length(text), 1), 6) AS punct_ratio,
+                   round(length(regexp_replace(text, '\\s', '', 'g'))
+                         / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 6)
+                     AS mean_word_len,
+                   (len(regexp_split_to_array(trim(text), '\\s+')) >= 10
+                    AND (length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                         * 1.0 / greatest(length(text), 1)) < 0.1) AS is_quality
+            FROM documents
+        """,
+        "doc_content_hash": "SELECT doc_id, md5(text) AS content_hash FROM documents",
+        "doc_exact_dedup": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+            FROM documents GROUP BY text
+        """,
+        # minhash_pairs / simhash_pairs / emb_near_dup / ann_* /
+        # doc_lang_id / doc_fingerprints: not ANSI-SQL-expressible
+        # (LSH banding, bit sketches, heuristic models) → rows-only.
+    }
+
+
+def entry() -> Any:
+    """Flagship pipeline on sf0.001: the crown-assignment spatial join
+    (cell co-partitioned PIP + nearest-stem reduce) over derived
+    coordinates. Returns the assignment Dataset."""
+    return _q_crown_assign("/root/testdata/sf0.001")

@@ -202,6 +202,53 @@ def assign_stems_to_crowns(stems, crowns, res: int = cells.DEFAULT_RES):
     return assignment, unassigned
 
 
+def _pairs_cell(group: pa.Table) -> pa.Table:
+    """Per-cell kernel emitting ALL containment pairs (the raw
+    ``sjoin(predicate='contains')`` — reference delineation_utils.py:437).
+    Each pair is discovered exactly once: in the cell that owns the
+    point (crowns are halo-replicated to it)."""
+    side = group["side"].to_numpy()
+    stems = group.filter(pa.array(side == 0))
+    crowns = group.filter(pa.array(side == 1))
+    if len(stems) == 0 or len(crowns) == 0:
+        return pa.table(
+            {"crown_id": pa.array([], pa.string()),
+             "stem_id": pa.array([], pa.string())}
+        )
+    sx = stems["x"].to_numpy()
+    sy = stems["y"].to_numpy()
+    sid = stems["stem_id"].to_numpy(zero_copy_only=False)
+    rings = rings_from_binary(crowns["ring_b"])
+    cids = crowns["crown_id"].to_numpy(zero_copy_only=False)
+    out_c, out_s = [], []
+    for i, ring in enumerate(rings):
+        minx, miny = ring[:, 0].min(), ring[:, 1].min()
+        maxx, maxy = ring[:, 0].max(), ring[:, 1].max()
+        cand = (sx >= minx) & (sx <= maxx) & (sy >= miny) & (sy <= maxy)
+        if not cand.any():
+            continue
+        inside = geom.points_in_ring(sx[cand], sy[cand], ring)
+        for s in sid[cand][inside]:
+            out_c.append(cids[i])
+            out_s.append(s)
+    return pa.table(
+        {"crown_id": pa.array(out_c, pa.string()),
+         "stem_id": pa.array(out_s, pa.string())}
+    )
+
+
+def pip_join_pairs(stems, crowns, res: int = cells.DEFAULT_RES):
+    """(crown_id, stem_id) — every point-in-polygon containment pair
+    (the spatial inner join itself, without the nearest-stem reduce)."""
+    s = stems.select_columns(["stem_id", "x", "y"]).map_batches(
+        _stem_side, batch_format="pyarrow", fn_kwargs={"res": res}
+    )
+    c = crowns.select_columns(
+        ["crown_id", "ring", "cx", "cy", "minx", "miny", "maxx", "maxy"]
+    ).map_batches(_crown_side, batch_format="pyarrow", fn_kwargs={"res": res})
+    return s.union(c).groupby("cell").map_groups(_pairs_cell, batch_format="pyarrow")
+
+
 def candidate_pairs_schema() -> pa.Schema:
     return pa.schema(
         [("crown_id", pa.string()), ("stem_id", pa.string()), ("dist", pa.float64())]

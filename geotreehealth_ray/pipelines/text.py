@@ -50,7 +50,8 @@ def quality_scores(docs, min_words: int = 10, max_punct_ratio: float = 0.1):
         n_chars = text.str.len().astype("int64")
         punct = text.str.count(r"[.,;:!?]").astype("int64")
         total_word_len = words.map(lambda ws: sum(len(w) for w in ws)).astype("int64")
-        punct_ratio = (punct / n_chars.clip(lower=1)).round(6)
+        raw_ratio = punct / n_chars.clip(lower=1)
+        punct_ratio = raw_ratio.round(6)
         mean_word_len = (total_word_len / n_words.clip(lower=1)).round(6)
         return pd.DataFrame(
             {
@@ -58,8 +59,9 @@ def quality_scores(docs, min_words: int = 10, max_punct_ratio: float = 0.1):
                 "n_words": n_words,
                 "punct_ratio": punct_ratio,
                 "mean_word_len": mean_word_len,
+                # gate on the UNROUNDED ratio (matches the SQL oracle)
                 "is_quality": (n_words >= min_words)
-                & (punct_ratio < max_punct_ratio),
+                & (raw_ratio < max_punct_ratio),
             }
         )
 
