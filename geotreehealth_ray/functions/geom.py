@@ -364,6 +364,38 @@ def point_ring_distance(px: float, py: float, ring: np.ndarray) -> float:
     return float(d.min())
 
 
+def raster_mask(ring: np.ndarray, wx: np.ndarray, wy: np.ndarray) -> np.ndarray:
+    """Scanline polygon rasterization: boolean mask of shape
+    (len(wy), len(wx)) — True where the pixel CENTER (wx[j], wy[i])
+    is inside the ring. Same semantics as points_in_ring evaluated on
+    the grid (rasterio.mask default all_touched=False — reference
+    store_data_structures.py:15-39) but O(edges×rows + pixels) instead
+    of O(edges×pixels): per scanline, edge crossings are computed once
+    and each pixel does one searchsorted lookup."""
+    x1, y1 = ring[:, 0], ring[:, 1]
+    x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+    h, w = len(wy), len(wx)
+    out = np.zeros((h, w), dtype=bool)
+    # (E, R): which edges straddle each scanline
+    yr = wy[None, :]
+    cond = (y1[:, None] <= yr) != (y2[:, None] <= yr)
+    denom = (y2 - y1)[:, None]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x1[:, None] + (yr - y1[:, None]) * (x2 - x1)[:, None] / np.where(
+            denom == 0, 1.0, denom
+        )
+    for i in range(h):
+        xs = xint[cond[:, i], i]
+        if len(xs) == 0:
+            continue
+        xs.sort()
+        # crossings strictly right of the pixel center: count of xs > x
+        # is len - upper_bound(x); parity of crossings to the LEFT:
+        crossings_left = np.searchsorted(xs, wx, side="left")
+        out[i] = (crossings_left % 2) == 1
+    return out
+
+
 def bbox_intersects(
     aminx, aminy, amaxx, amaxy, bminx, bminy, bmaxx, bmaxy
 ) -> bool:

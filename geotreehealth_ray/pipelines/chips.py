@@ -103,6 +103,7 @@ def assign_crowns_to_tiles(crowns, grid: GridSpec):
 _UNION_SCHEMA = pa.schema(
     [
         ("side", pa.int8()),
+        ("salt", pa.int8()),
         ("tile_id", pa.string()),
         ("crown_id", pa.string()),
         ("ring_b", pa.binary()),
@@ -177,8 +178,7 @@ def _chip_kernel(group: pa.Table) -> pa.Table:
         hh, ww = crop.shape[0], crop.shape[1]
         wx = c0 + (np.arange(col0, col1) + 0.5) * a
         wy = f0 + (np.arange(row0, row1) + 0.5) * e
-        gx, gy = np.meshgrid(wx, wy)
-        inside = geom.points_in_ring(gx.ravel(), gy.ravel(), ring).reshape(hh, ww)
+        inside = geom.raster_mask(ring, wx, wy)
         masked = crop * inside[:, :, None]
         cols["crown_id"].append(cids[i])
         cols["tile_id"].append(tile_id)
@@ -207,12 +207,143 @@ def _nulls_like(schema: pa.Schema, n: int, present: dict[str, pa.Array]) -> pa.T
     return pa.Table.from_arrays(arrays, schema=schema)
 
 
-def extract_chips(crowns, tiles, captions, grid: GridSpec):
+class ChipExtractor:
+    """Actor-pool stage: per crown batch, fetch + decode the owning
+    tile from storage (pyarrow dataset, row-group pruned by tile_id
+    min/max stats) with an LRU cache, then crop + mask + encode.
+
+    Upstream sorts crowns by tile_id, so consecutive batches touch few
+    tiles and each actor decodes a given tile once per locality run —
+    the stateful-index pattern (SURVEY.md §2.3: index built once per
+    actor, probed per batch). Tile bytes never enter a shuffle; skewed
+    tiles (dense forest patches) fan out across batches/actors with no
+    straggler group. Captions are a broadcast dict here (small side);
+    at production scale the caption column co-lives with the tile row
+    and is fetched in the same read."""
+
+    def __init__(self, tiles_path: str, caption_ref, cache_tiles: int = 8):
+        import ray
+        import pyarrow.dataset as pads
+
+        self.ds = pads.dataset(tiles_path)
+        self.captions = ray.get(caption_ref) if caption_ref is not None else {}
+        self.cache: dict[str, tuple] = {}
+        self.cache_order: list[str] = []
+        self.cache_tiles = cache_tiles
+
+    def _tile(self, tid: str):
+        import pyarrow.dataset as pads
+
+        if tid in self.cache:
+            return self.cache[tid]
+        t = self.ds.to_table(filter=pads.field("tile_id") == tid)
+        if len(t) == 0:
+            raise KeyError(f"tile {tid} not found")
+        img = codec.decode(t["bytes"][0].as_py(), t["fmt"][0].as_py())
+        if img.ndim == 2:
+            img = img[:, :, None]
+        entry = (
+            img,
+            t["fmt"][0].as_py(),
+            t["a"][0].as_py(),
+            t["c"][0].as_py(),
+            t["e"][0].as_py(),
+            t["f"][0].as_py(),
+        )
+        self.cache[tid] = entry
+        self.cache_order.append(tid)
+        if len(self.cache_order) > self.cache_tiles:
+            old = self.cache_order.pop(0)
+            del self.cache[old]
+        return entry
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rings = rings_from_binary(batch["ring_b"])
+        cids = batch["crown_id"].to_numpy(zero_copy_only=False)
+        tids = batch["tile_id"].to_numpy(zero_copy_only=False)
+        cells_ = batch["cell"].to_numpy()
+        cols: dict[str, list] = {f.name: [] for f in _CHIP_SCHEMA}
+        for i in range(len(batch)):
+            img, fmt, a, c0, e, f0 = self._tile(tids[i])
+            th, tw = img.shape[0], img.shape[1]
+            ring = rings[i]
+            minx, miny, maxx, maxy = geom.ring_bbox(ring)
+            col0 = max(0, int(np.floor((minx - c0) / a)))
+            col1 = min(tw, int(np.ceil((maxx - c0) / a)))
+            row0 = max(0, int(np.floor((maxy - f0) / e)))
+            row1 = min(th, int(np.ceil((miny - f0) / e)))
+            if col1 <= col0 or row1 <= row0:
+                continue
+            crop = img[row0:row1, col0:col1]
+            hh, ww = crop.shape[0], crop.shape[1]
+            wx = c0 + (np.arange(col0, col1) + 0.5) * a
+            wy = f0 + (np.arange(row0, row1) + 0.5) * e
+            inside = geom.raster_mask(ring, wx, wy)
+            masked = crop * inside[:, :, None]
+            cols["crown_id"].append(cids[i])
+            cols["tile_id"].append(tids[i])
+            cols["w"].append(ww)
+            cols["h"].append(hh)
+            cols["bytes"].append(codec.encode(masked, fmt))
+            cols["mask"].append(codec.encode_png((inside * 255).astype(np.uint8)))
+            cols["fmt"].append(fmt)
+            cols["caption"].append(self.captions.get(tids[i], ""))
+            cols["mask_px_count"].append(int(inside.sum()))
+            cols["pixel_checksum"].append(int(masked.astype(np.int64).sum()))
+            cols["cell"].append(int(cells_[i]))
+        return pa.table(
+            {f.name: pa.array(cols[f.name], f.type) for f in _CHIP_SCHEMA},
+            schema=_CHIP_SCHEMA,
+        )
+
+
+def extract_chips_storage(crowns, tiles_path: str, captions, grid: GridSpec,
+                          concurrency: int | None = None,
+                          batch_size: int = 256):
+    """Storage-join chip extraction (default path): sort slim crown
+    rows by tile_id (the ONLY shuffle — no raster bytes move), then an
+    actor pool fetches/decodes tiles on demand with an LRU cache."""
+    import ray
+
+    cap_cols = captions.columns()
+    cap_key = "image_id" if "image_id" in cap_cols else "tile_id"
+    cap_df = captions.select_columns([cap_key, "caption"]).to_pandas()
+    cap_ref = ray.put(dict(zip(cap_df[cap_key], cap_df["caption"])))
+
+    crowns_t = assign_crowns_to_tiles(
+        crowns.select_columns(
+            ["crown_id", "ring", "minx", "miny", "maxx", "maxy", "cell"]
+        ).map_batches(pack_rings, batch_format="pyarrow"),
+        grid,
+    ).map_batches(
+        lambda t: t.filter(pc.not_equal(t["tile_id"], "")), batch_format="pyarrow"
+    )
+    ordered = crowns_t.sort("tile_id")
+    kwargs = {"concurrency": concurrency} if concurrency else {"concurrency": (2, 8)}
+    return ordered.map_batches(
+        ChipExtractor,
+        fn_constructor_kwargs={"tiles_path": tiles_path, "caption_ref": cap_ref},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        **kwargs,
+    )
+
+
+def extract_chips(crowns, tiles, captions, grid: GridSpec, n_salt: int = 8):
     """crowns × tiles (× captions) → chip rows, one per servable crown.
 
     ``captions``: Dataset with (image_id|tile_id, caption) — the
     ``images`` table; image_id == tile_id for grid-derived images.
+
+    Skew handling (north_rule): crown density per tile is heavy-tailed
+    (dense forest patches), so the group key is (tile_id, salt) with
+    salt = crc32(crown_id) % n_salt — a hot tile's crowns fan out over
+    ``n_salt`` independent tasks. The tile bytes + caption rows are
+    replicated once per salt (cheap: one small raster per task) while
+    crowns are partitioned; each chip is still produced exactly once.
     """
+    import zlib as _zlib
+
     cap_cols = captions.columns()
     cap_key = "image_id" if "image_id" in cap_cols else "tile_id"
     captions = captions.select_columns([cap_key, "caption"])  # prune bytes
@@ -226,11 +357,16 @@ def extract_chips(crowns, tiles, captions, grid: GridSpec):
     )
 
     def crown_side(t: pa.Table) -> pa.Table:
+        salt = np.array(
+            [_zlib.crc32(v.encode()) % n_salt for v in t["crown_id"].to_pylist()],
+            np.int8,
+        )
         return _nulls_like(
             _UNION_SCHEMA,
             len(t),
             {
                 "side": pa.array(np.zeros(len(t), np.int8)),
+                "salt": pa.array(salt),
                 "tile_id": t["tile_id"].combine_chunks(),
                 "crown_id": t["crown_id"].combine_chunks(),
                 "ring_b": t["ring_b"].combine_chunks(),
@@ -239,11 +375,17 @@ def extract_chips(crowns, tiles, captions, grid: GridSpec):
         )
 
     def tile_side(t: pa.Table) -> pa.Table:
+        # replicate each tile row once per salt bucket
+        n = len(t)
+        idx = np.repeat(np.arange(n), n_salt)
+        t = t.take(pa.array(idx))
+        salt = np.tile(np.arange(n_salt, dtype=np.int8), n)
         return _nulls_like(
             _UNION_SCHEMA,
             len(t),
             {
                 "side": pa.array(np.ones(len(t), np.int8)),
+                "salt": pa.array(salt),
                 "tile_id": t["tile_id"].combine_chunks(),
                 "cell": t["cell"].combine_chunks(),
                 "bytes": t["bytes"].combine_chunks(),
@@ -257,11 +399,16 @@ def extract_chips(crowns, tiles, captions, grid: GridSpec):
 
     def caption_side(t: pa.Table) -> pa.Table:
         key = "image_id" if "image_id" in t.column_names else "tile_id"
+        n = len(t)
+        idx = np.repeat(np.arange(n), n_salt)
+        t = t.take(pa.array(idx))
+        salt = np.tile(np.arange(n_salt, dtype=np.int8), n)
         return _nulls_like(
             _UNION_SCHEMA,
             len(t),
             {
                 "side": pa.array(np.full(len(t), 2, np.int8)),
+                "salt": pa.array(salt),
                 "tile_id": t[key].combine_chunks(),
                 "caption": t["caption"].combine_chunks(),
             },
@@ -278,4 +425,6 @@ def extract_chips(crowns, tiles, captions, grid: GridSpec):
             captions.map_batches(caption_side, batch_format="pyarrow")
         )
     )
-    return union.groupby("tile_id").map_groups(_chip_kernel, batch_format="pyarrow")
+    return union.groupby(["tile_id", "salt"]).map_groups(
+        _chip_kernel, batch_format="pyarrow"
+    )

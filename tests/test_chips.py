@@ -8,7 +8,12 @@ import numpy as np
 import pytest
 
 from geotreehealth_ray.functions import codec, geom
-from geotreehealth_ray.pipelines.chips import GridSpec, assign_crowns_to_tiles, extract_chips
+from geotreehealth_ray.pipelines.chips import (
+    GridSpec,
+    assign_crowns_to_tiles,
+    extract_chips,
+    extract_chips_storage,
+)
 from geotreehealth_ray.sources import synth
 from geotreehealth_ray.stages.spatial import rings_from_arrow
 
@@ -83,6 +88,29 @@ def test_chips_match_reference_semantics(tiny, ray_session):
             assert codec.psnr(expected, got) >= 40.0
             checked_qdct += 1
     assert checked_png >= 5 and checked_qdct >= 5
+
+
+def test_storage_path_equals_shuffle_path(tiny, ray_session):
+    """The storage-join extractor and the salted-shuffle extractor must
+    produce identical chip rows (both orders of the same join)."""
+    import ray.data as rd
+
+    cfg = synth.TINY
+    grid = GridSpec.from_synth(cfg)
+    crowns = rd.read_parquet(tiny["crowns"])
+    tiles = rd.read_parquet(tiny["tiles"])
+    images = rd.read_parquet(tiny["images"])
+    a = extract_chips(crowns, tiles, images, grid).to_pandas()
+    b = extract_chips_storage(crowns, tiny["tiles"], images, grid).to_pandas()
+    key = ["crown_id"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a[["crown_id", "tile_id", "w", "h", "mask_px_count",
+              "pixel_checksum", "caption", "fmt"]].equals(
+        b[["crown_id", "tile_id", "w", "h", "mask_px_count",
+           "pixel_checksum", "caption", "fmt"]]
+    )
+    assert list(a["bytes"]) == list(b["bytes"])
 
 
 def test_unservable_crowns_are_flagged(tiny, ray_session):
