@@ -1,0 +1,142 @@
+"""Resumable partitioned output with per-partition lineage + metrics
+(north_rule: "resumable from per-partition checkpoints with lineage and
+row-count metrics per stage").
+
+Layout:
+    out_dir/
+      part=<pid>/part-<pid>.parquet     # one atomic file per partition
+      _manifest/<pid>.json              # written AFTER the data rename:
+                                        #   {partition, rows, bytes,
+                                        #    stage, wall_sec, input_tag}
+      _manifest/_stage.json             # stage-level rollup
+
+A partition is "done" iff its manifest entry exists; the data file is
+written to a temp name and os.replace()d first, so a crash can never
+leave a manifest without data. ``resume_filter`` drops rows of already
+completed partitions before any work happens (when the upstream source
+is partitioned on the same key the filter prunes whole files).
+
+The partition id is any small-cardinality column — the engine uses a
+coarse prefix of the Morton cell key (``partition_of_cells``), so one
+partition ≈ one contiguous spatial region ≈ one output fragment.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["partition_of_cells", "write_partitioned", "completed_partitions",
+           "resume_filter", "stage_metrics"]
+
+
+def partition_of_cells(cell: np.ndarray, bits: int = 8) -> np.ndarray:
+    """Coarse partition id: top ``bits`` of the key's Morton code
+    (which occupies the low 2*res bits) — a Z-order prefix, so each
+    partition is a spatially contiguous block of cells."""
+    cell = np.asarray(cell, dtype=np.uint64)
+    res = (cell >> np.uint64(60)).astype(np.uint64)
+    code = cell & np.uint64((1 << 60) - 1)
+    shift = np.maximum(np.uint64(0), (np.uint64(2) * res).astype(np.int64) - bits).astype(np.uint64)
+    return (code >> shift).astype(np.int64)
+
+
+def completed_partitions(out_dir: str) -> set[int]:
+    mdir = os.path.join(out_dir, "_manifest")
+    if not os.path.isdir(mdir):
+        return set()
+    out = set()
+    for f in os.listdir(mdir):
+        if f.endswith(".json") and not f.startswith("_"):
+            out.add(int(f[:-5]))
+    return out
+
+
+def resume_filter(ds, out_dir: str, partition_col: str = "partition_id"):
+    """Drop rows of partitions that already have a manifest entry."""
+    done = completed_partitions(out_dir)
+    if not done:
+        return ds
+    done_arr = pa.array(sorted(done), pa.int64())
+
+    def fn(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.invert(pc.is_in(t[partition_col], value_set=done_arr)))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def write_partitioned(ds, out_dir: str, partition_col: str = "partition_id",
+                      stage: str = "stage", input_tag: str = "") -> list[dict]:
+    """Write one parquet file + manifest entry per partition; returns
+    the manifest rows. Each partition is written by its own group task
+    (parallel), atomically (tmp file → os.replace → manifest)."""
+    os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
+
+    def write_group(t: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        pid = int(t[partition_col][0].as_py())
+        t0 = time.perf_counter()
+        pdir = os.path.join(out_dir, f"part={pid}")
+        os.makedirs(pdir, exist_ok=True)
+        final = os.path.join(pdir, f"part-{pid}.parquet")
+        tmp = final + ".tmp"
+        pq.write_table(t, tmp)
+        nbytes = os.path.getsize(tmp)
+        os.replace(tmp, final)
+        entry = {
+            "partition": pid,
+            "rows": len(t),
+            "bytes": nbytes,
+            "stage": stage,
+            "wall_sec": round(time.perf_counter() - t0, 4),
+            "input_tag": input_tag,
+        }
+        mtmp = os.path.join(out_dir, "_manifest", f"{pid}.json.tmp")
+        with open(mtmp, "w") as f:
+            json.dump(entry, f)
+        os.replace(mtmp, os.path.join(out_dir, "_manifest", f"{pid}.json"))
+        return pa.table(
+            {
+                "partition": pa.array([pid], pa.int64()),
+                "rows": pa.array([len(t)], pa.int64()),
+                "bytes": pa.array([nbytes], pa.int64()),
+            }
+        )
+
+    manifest_ds = ds.groupby(partition_col).map_groups(
+        write_group, batch_format="pyarrow"
+    )
+    rows = manifest_ds.to_pandas().to_dict("records")
+    rollup = {
+        "stage": stage,
+        "partitions_written": len(rows),
+        "rows": int(sum(r["rows"] for r in rows)),
+        "bytes": int(sum(r["bytes"] for r in rows)),
+        "input_tag": input_tag,
+    }
+    with open(os.path.join(out_dir, "_manifest", "_stage.json"), "w") as f:
+        json.dump(rollup, f)
+    return rows
+
+
+def stage_metrics(out_dir: str) -> dict:
+    """Lineage rollup across all completed partitions."""
+    mdir = os.path.join(out_dir, "_manifest")
+    rows = 0
+    nbytes = 0
+    parts = []
+    for f in sorted(os.listdir(mdir)) if os.path.isdir(mdir) else []:
+        if f.endswith(".json") and not f.startswith("_"):
+            with open(os.path.join(mdir, f)) as fh:
+                e = json.load(fh)
+            rows += e["rows"]
+            nbytes += e["bytes"]
+            parts.append(e["partition"])
+    return {"partitions": sorted(parts), "rows": rows, "bytes": nbytes}

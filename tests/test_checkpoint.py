@@ -1,0 +1,88 @@
+"""Checkpoint/resume semantics: partial run → resume completes only
+pending partitions; completed partitions are not rewritten; final
+output equals a from-scratch run (north_rule resumability)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from geotreehealth_ray.state import checkpoint as cp
+
+
+def _demo_ds(rd, n=1000):
+    from geotreehealth_ray.functions.cells import BASE_CELL_M, cell_of
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, BASE_CELL_M, n)
+    y = rng.uniform(0, BASE_CELL_M, n)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "cell": cell_of(x, y, 13),
+            "v": np.arange(n, dtype=np.float64),
+        }
+    )
+    df["partition_id"] = cp.partition_of_cells(df["cell"].to_numpy(), bits=3)
+    return rd.from_pandas(df), df
+
+
+def _read_all(out_dir):
+    import glob
+
+    files = sorted(glob.glob(os.path.join(out_dir, "part=*", "*.parquet")))
+    return pd.concat([pq.read_table(f).to_pandas() for f in files], ignore_index=True)
+
+
+def test_write_resume_cycle(tmp_path, ray_session):
+    import ray.data as rd
+
+    ds, df = _demo_ds(rd)
+    out = str(tmp_path / "out")
+
+    # simulate a partial run: only partitions 0..3 written
+    part_ids = sorted(df["partition_id"].unique())
+    first = [p for p in part_ids if p < 4]
+    sub = rd.from_pandas(df[df["partition_id"].isin(first)])
+    rows1 = cp.write_partitioned(sub, out, stage="demo")
+    assert cp.completed_partitions(out) == set(first)
+
+    mtimes = {
+        p: os.path.getmtime(os.path.join(out, f"part={p}", f"part-{p}.parquet"))
+        for p in first
+    }
+
+    # resume: filter drops completed partitions, then write the rest
+    pending = cp.resume_filter(ds, out)
+    pdf = pending.to_pandas()
+    assert set(pdf["partition_id"].unique()) == set(p for p in part_ids if p >= 4)
+    cp.write_partitioned(pending, out, stage="demo")
+    assert cp.completed_partitions(out) == set(part_ids)
+
+    # completed partitions untouched
+    for p in first:
+        assert os.path.getmtime(os.path.join(out, f"part={p}", f"part-{p}.parquet")) == mtimes[p]
+
+    # final content equals input
+    got = _read_all(out).sort_values("id").reset_index(drop=True)
+    exp = df.sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["id", "v"]], exp[["id", "v"]])
+
+    # lineage metrics
+    m = cp.stage_metrics(out)
+    assert m["rows"] == len(df)
+    assert m["partitions"] == list(part_ids)
+
+
+def test_partition_of_cells_contiguous():
+    from geotreehealth_ray.functions.cells import cell_of
+
+    x = np.array([10.0, 11.0, 500000.0])
+    y = np.array([10.0, 11.0, 500000.0])
+    c = cell_of(x, y, 13)
+    p = cp.partition_of_cells(c, bits=8)
+    # nearby points share a partition; far points don't
+    assert p[0] == p[1]
+    assert p[0] != p[2]
