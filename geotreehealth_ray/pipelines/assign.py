@@ -33,6 +33,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions import cells, geom
+from ..functions.gridindex import PointGridIndex
 from ..stages.spatial import (
     attach_cell,
     explode_to_covering_cells,
@@ -122,6 +123,9 @@ def _assign_cell(group: pa.Table) -> pa.Table:
     out_d: list[float] = []
     order = np.lexsort((sid,))  # stable stem order for deterministic ties
     sx, sy, sid = sx[order], sy[order], sid[order]
+    # per-partition grid index (R-tree slot, SURVEY §2.3): bbox probes
+    # are O(log n + hits) — dense cells stay sub-quadratic
+    index = PointGridIndex(sx, sy)
     for i, ring in enumerate(rings):
         minx, miny, maxx, maxy = (
             ring[:, 0].min(),
@@ -129,17 +133,25 @@ def _assign_cell(group: pa.Table) -> pa.Table:
             ring[:, 0].max(),
             ring[:, 1].max(),
         )
-        cand = (sx >= minx) & (sx <= maxx) & (sy >= miny) & (sy <= maxy)
+        hit = index.query_bbox(minx, miny, maxx, maxy)
+        if len(hit) == 0:
+            continue
+        hx, hy = sx[hit], sy[hit]
+        cand = (hx >= minx) & (hx <= maxx) & (hy >= miny) & (hy <= maxy)
         if not cand.any():
             continue
-        cx_, cy_ = sx[cand], sy[cand]
+        hit = hit[cand]
+        cx_, cy_ = sx[hit], sy[hit]
         inside = geom.points_in_ring(cx_, cy_, ring)
         if not inside.any():
             continue
         d = np.hypot(cx_[inside] - ccx[i], cy_[inside] - ccy[i])
-        j = int(np.argmin(d))  # first minimum → stem_id-asc tie-break
+        ids_in = sid[hit[inside]]
+        # deterministic (dist, stem_id) argmin — index order is not
+        # id-sorted, so break ties explicitly
+        j = int(np.lexsort((ids_in, d))[0])
         out_c.append(cids[i])
-        out_s.append(sid[cand][inside][j])
+        out_s.append(ids_in[j])
         out_d.append(float(d[j]))
     return pa.table(
         {
@@ -221,14 +233,20 @@ def _pairs_cell(group: pa.Table) -> pa.Table:
     rings = rings_from_binary(crowns["ring_b"])
     cids = crowns["crown_id"].to_numpy(zero_copy_only=False)
     out_c, out_s = [], []
+    index = PointGridIndex(sx, sy)
     for i, ring in enumerate(rings):
         minx, miny = ring[:, 0].min(), ring[:, 1].min()
         maxx, maxy = ring[:, 0].max(), ring[:, 1].max()
-        cand = (sx >= minx) & (sx <= maxx) & (sy >= miny) & (sy <= maxy)
+        hit = index.query_bbox(minx, miny, maxx, maxy)
+        if len(hit) == 0:
+            continue
+        hx, hy = sx[hit], sy[hit]
+        cand = (hx >= minx) & (hx <= maxx) & (hy >= miny) & (hy <= maxy)
         if not cand.any():
             continue
-        inside = geom.points_in_ring(sx[cand], sy[cand], ring)
-        for s in sid[cand][inside]:
+        hit = hit[cand]
+        inside = geom.points_in_ring(sx[hit], sy[hit], ring)
+        for s in sid[hit[inside]]:
             out_c.append(cids[i])
             out_s.append(s)
     return pa.table(
