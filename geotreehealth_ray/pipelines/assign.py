@@ -162,9 +162,12 @@ def _assign_cell(group: pa.Table) -> pa.Table:
     )
 
 
-def _final_pick(group: pd.DataFrame) -> pd.DataFrame:
-    g = group.sort_values(["dist", "stem_id"], kind="stable")
-    return g.head(1)
+def _final_pick_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized duplicate resolution after halo replication: global
+    (dist, stem_id) argmin per crown across its ≤#covered-cells
+    partial winners."""
+    df = df.sort_values(["crown_id", "dist", "stem_id"], kind="stable")
+    return df.drop_duplicates("crown_id", keep="first")
 
 
 def assign_stems_to_crowns(stems, crowns, res: int = cells.DEFAULT_RES):
@@ -180,14 +183,15 @@ def assign_stems_to_crowns(stems, crowns, res: int = cells.DEFAULT_RES):
     c = crowns.select_columns(
         ["crown_id", "ring", "cx", "cy", "minx", "miny", "maxx", "maxy"]
     ).map_batches(_crown_side, batch_format="pyarrow", fn_kwargs={"res": res})
+    from .relational import bucketed_reduce
+
     both = s.union(c)
     candidates = both.groupby("cell").map_groups(
         _assign_cell, batch_format="pyarrow"
     )
-    assignment = candidates.groupby("crown_id").map_groups(
-        _final_pick, batch_format="pandas"
-    )
-    # left-anti: distinct stems minus winners
+    assignment = bucketed_reduce(candidates, "crown_id", _final_pick_bucket)
+    # left-anti: distinct stems minus winners (co-partitioned on
+    # stem_id hash buckets — no broadcast, works at any winner size)
     stem_ids = stems.select_columns(["stem_id"]).map_batches(
         lambda t: pa.table(
             {"stem_id": t["stem_id"], "tag": pa.array(np.zeros(len(t), np.int8))}
@@ -201,15 +205,12 @@ def assign_stems_to_crowns(stems, crowns, res: int = cells.DEFAULT_RES):
         batch_format="pyarrow",
     )
 
-    def _anti(group: pa.Table) -> pa.Table:
-        if pa.compute.max(group["tag"]).as_py() == 1:
-            return pa.table({"stem_id": pa.array([], pa.string())})
-        return pa.table({"stem_id": group["stem_id"].slice(0, 1)})
+    def _anti_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        no_winner = df.groupby("stem_id")["tag"].transform("max") == 0
+        return df[no_winner].drop_duplicates("stem_id")[["stem_id"]]
 
-    unassigned = (
-        stem_ids.union(winner_ids)
-        .groupby("stem_id")
-        .map_groups(_anti, batch_format="pyarrow")
+    unassigned = bucketed_reduce(
+        stem_ids.union(winner_ids), "stem_id", _anti_bucket
     )
     return assignment, unassigned
 

@@ -34,39 +34,50 @@ __all__ = ["dedup_stems", "select_median_polygon", "best_box_per_stem",
 
 
 def dedup_stems(stems):
-    """One row per stem_id: max DBH, tie → latest year, tie → stable."""
+    """One row per stem_id: max DBH, tie → latest year, tie → stable.
+    Hash-bucketed reduce (vectorized per bucket, not per key)."""
+    from .relational import bucketed_reduce
 
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["dbh", "year"], ascending=[False, False], kind="stable")
-        return g.head(1)
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["stem_id", "dbh", "year"], ascending=[True, False, False], kind="stable"
+        )
+        return df.drop_duplicates("stem_id", keep="first")
 
-    return stems.groupby("stem_id").map_groups(pick, batch_format="pandas")
+    return bucketed_reduce(stems, "stem_id", pick)
 
 
 def select_median_polygon(crowns):
     """Per stem_id (non-null): crown whose area is closest to the group
     median area; ties broken by crown_id asc. Output = full crown rows."""
+    from .relational import bucketed_reduce
 
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        med = g["area"].median()
-        g = g.assign(_d=(g["area"] - med).abs())
-        g = g.sort_values(["_d", "crown_id"], kind="stable")
-        return g.head(1).drop(columns="_d")
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        med = df.groupby("stem_id")["area"].transform("median")
+        df = df.assign(_d=(df["area"] - med).abs())
+        df = df.sort_values(["stem_id", "_d", "crown_id"], kind="stable")
+        return df.drop_duplicates("stem_id", keep="first").drop(columns="_d")
 
     labeled = crowns.map_batches(
         lambda t: t.filter(pc.is_valid(t["stem_id"])), batch_format="pyarrow"
     )
-    return labeled.groupby("stem_id").map_groups(pick, batch_format="pandas")
+    return bucketed_reduce(labeled, "stem_id", pick)
 
 
 def best_box_per_stem(rows, priority=("crwnpst", "dbh")):
+    from .relational import bucketed_reduce
+
     cols = list(priority)
 
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(cols + ["year"], ascending=False, kind="stable")
-        return g.head(1)
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["stem_id"] + cols + ["year"],
+            ascending=[True] + [False] * (len(cols) + 1),
+            kind="stable",
+        )
+        return df.drop_duplicates("stem_id", keep="first")
 
-    return rows.groupby("stem_id").map_groups(pick, batch_format="pandas")
+    return bucketed_reduce(rows, "stem_id", pick)
 
 
 def filter_stems(stems, min_crwnpst: int | None = None, min_dbh: float | None = None,

@@ -46,16 +46,16 @@ def exact_dedup(docs):
             }
         )
 
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"doc_id": [g["doc_id"].min()], "n_dups": [np.int64(len(g))]}
-        )
+    def pick_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("h", sort=False)["doc_id"]
+        out = g.agg(doc_id="min", n_dups="size").reset_index(drop=True)
+        out["n_dups"] = out["n_dups"].astype("int64")
+        return out
 
-    return (
-        docs.map_batches(hash_stage, batch_format="pandas")
-        .groupby("h")
-        .map_groups(pick, batch_format="pandas")
-        .select_columns(["doc_id", "n_dups"])
+    from .relational import bucketed_reduce
+
+    return bucketed_reduce(
+        docs.map_batches(hash_stage, batch_format="pandas"), "h", pick_bucket
     )
 
 
@@ -169,8 +169,7 @@ def minhash_lsh_pairs(docs, k: int = 5, num_perm: int = 128, bands: int = 32,
              "jaccard": pd.array(rj, "float64")}
         )
 
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    from .relational import bucketed_reduce
 
     pairs = (
         docs.map_batches(band_stage, batch_format="pandas")
@@ -178,9 +177,9 @@ def minhash_lsh_pairs(docs, k: int = 5, num_perm: int = 128, bands: int = 32,
         .map_groups(verify, batch_format="pandas")
     )
     # same pair found in several bands → dedup on (a, b)
-    return (
-        pairs.groupby(["doc_id_a", "doc_id_b"])
-        .map_groups(dedup_pairs, batch_format="pandas")
+    return bucketed_reduce(
+        pairs, "doc_id_a",
+        lambda df: df.drop_duplicates(["doc_id_a", "doc_id_b"]),
     )
 
 
@@ -238,15 +237,16 @@ def simhash_pairs(docs, max_hamming: int = 3):
              "hamming": pd.array(rh, "int64")}
         )
 
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    from .relational import bucketed_reduce
 
-    return (
+    found = (
         docs.map_batches(sig_stage, batch_format="pandas")
         .groupby(["seg_id", "seg_val"])
         .map_groups(verify, batch_format="pandas")
-        .groupby(["doc_id_a", "doc_id_b"])
-        .map_groups(dedup_pairs, batch_format="pandas")
+    )
+    return bucketed_reduce(
+        found, "doc_id_a",
+        lambda df: df.drop_duplicates(["doc_id_a", "doc_id_b"]),
     )
 
 

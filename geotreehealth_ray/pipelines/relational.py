@@ -11,7 +11,41 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["grouped_agg", "broadcast_join", "latest_per_key", "hourly_window_agg"]
+__all__ = ["grouped_agg", "broadcast_join", "latest_per_key",
+           "hourly_window_agg", "bucketed_reduce", "NUM_BUCKETS"]
+
+NUM_BUCKETS = 256
+
+
+def bucketed_reduce(ds, key: str | list[str], fn, num_buckets: int = NUM_BUCKETS):
+    """Hash-partitioned grouped reduce with VECTORIZED per-bucket
+    kernels: rows are bucketed by a deterministic hash of ``key``,
+    shuffled once (groupby on the bucket), and ``fn`` — a pandas
+    function that must itself reduce per key (e.g. sort +
+    drop_duplicates, groupby().agg) — runs once per BUCKET over
+    thousands of keys at a time.
+
+    This replaces ``groupby(key).map_groups(fn)`` wherever the key has
+    high cardinality: per-group python overhead (~ms) × 10^5 groups
+    dominates wall time, while 256 vectorized bucket calls cost ~nothing.
+    The hash (pd.util.hash_pandas_object, fixed key) is deterministic
+    across processes and parallelism levels."""
+    first_key = key if isinstance(key, str) else key[0]
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[first_key], index=False)
+        df = df.copy()
+        df["__bucket"] = (h % num_buckets).astype(np.int64)
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return fn(g.drop(columns="__bucket"))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
 
 
 def grouped_agg(ds, keys: list[str], sum_cols: dict[str, str],
@@ -38,18 +72,19 @@ def grouped_agg(ds, keys: list[str], sum_cols: dict[str, str],
 
     partials = ds.map_batches(partial, batch_format="pandas")
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        row = {k: [g[k].iloc[0]] for k in keys}
-        n = int(g["__n"].sum())
+    def final_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False)
+        out = pd.DataFrame(index=g.size().index)
+        n = g["__n"].sum()
         for name in sum_cols:
-            row[name] = [g[f"__s_{name}"].sum()]
+            out[name] = g[f"__s_{name}"].sum()
         for name in mean_cols:
-            row[name] = [g[f"__s_mean_{name}"].sum() / n]
+            out[name] = g[f"__s_mean_{name}"].sum() / n
         if count_alias:
-            row[count_alias] = [np.int64(n)]
-        return pd.DataFrame(row)
+            out[count_alias] = n.astype("int64")
+        return out.reset_index()
 
-    return partials.groupby(keys).map_groups(final, batch_format="pandas")
+    return bucketed_reduce(partials, keys, final_bucket)
 
 
 def broadcast_join(ds, small_df: pd.DataFrame, on: str | list[str],
@@ -70,10 +105,15 @@ def latest_per_key(ds, key: str, order_cols: list[str]):
     """One row per key: max by order_cols (desc), deterministic
     (the 'latest record wins' dedup — reference batch_sam.py:764-765)."""
 
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(order_cols, ascending=False, kind="stable").head(1)
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            [key] + order_cols,
+            ascending=[True] + [False] * len(order_cols),
+            kind="stable",
+        )
+        return df.drop_duplicates(key, keep="first")
 
-    return ds.groupby(key).map_groups(pick, batch_format="pandas")
+    return bucketed_reduce(ds, key, pick)
 
 
 def hourly_window_agg(events, ts_col: str = "ts", key: str = "user_id",
@@ -101,16 +141,13 @@ def hourly_window_agg(events, ts_col: str = "ts", key: str = "user_id",
 
     partials = events.map_batches(bucket, batch_format="pandas")
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                key: [g[key].iloc[0]],
-                "window_start": [np.int64(g["window_start"].iloc[0])],
-                "total_value": [int(g["__s"].sum()) / 1e6],
-                "n_events": [np.int64(g["__n"].sum())],
-            }
-        )
+    def final_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby([key, "window_start"], sort=False)
+        out = pd.DataFrame(index=g.size().index)
+        out["total_value"] = g["__s"].sum() / 1e6
+        out["n_events"] = g["__n"].sum().astype("int64")
+        out = out.reset_index()
+        out["window_start"] = out["window_start"].astype("int64")
+        return out
 
-    return partials.groupby([key, "window_start"]).map_groups(
-        final, batch_format="pandas"
-    )
+    return bucketed_reduce(partials, key, final_bucket)
