@@ -1,0 +1,148 @@
+"""Lidar range join, stratified split, scorer stage contracts."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from geotreehealth_ray.pipelines import lidar as lidar_ops
+from geotreehealth_ray.pipelines.split import stratified_sample_n, stratified_split
+from geotreehealth_ray.sources import synth
+from geotreehealth_ray.stages import scorers
+
+
+@pytest.fixture(scope="module")
+def tiny(tmp_path_factory):
+    out = tmp_path_factory.mktemp("synth_lidar")
+    return synth.write_all(synth.TINY, str(out))
+
+
+def test_crown_lidar_stats_match_bruteforce(tiny, ray_session):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    lidar = rd.read_parquet(tiny["lidar"])
+    crowns = rd.read_parquet(tiny["crowns"])
+    got = lidar_ops.crown_lidar_stats(lidar, crowns).to_pandas()
+
+    lp = pq.read_table(tiny["lidar"]).to_pandas()
+    cp = pq.read_table(tiny["crowns"]).to_pandas()
+    px, py, pz = lp["x"].to_numpy(), lp["y"].to_numpy(), lp["z"].to_numpy()
+    gm = got.set_index("crown_id")
+    checked = 0
+    for r in cp.itertuples():
+        m = (px >= r.minx) & (px <= r.maxx) & (py >= r.miny) & (py <= r.maxy)
+        n = int(m.sum())
+        if n == 0:
+            assert r.crown_id not in gm.index
+            continue
+        row = gm.loc[r.crown_id]
+        assert row["n_points"] == n
+        assert row["max_z"] == pytest.approx(pz[m].max())
+        assert row["mean_z"] == pytest.approx(pz[m].mean())
+        checked += 1
+    assert checked > 50
+
+
+def test_subsample_deterministic_and_padded():
+    xyz = np.random.default_rng(0).normal(size=(5000, 3))
+    a = lidar_ops.subsample_points(xyz, 2700)
+    b = lidar_ops.subsample_points(xyz, 2700)
+    assert a.shape == (2700, 3)
+    np.testing.assert_array_equal(a, b)
+    small = lidar_ops.subsample_points(xyz[:100], 2700)
+    assert small.shape == (2700, 3)
+    assert (small[100:] == 0).all()
+    # centroid ≈ 0 after normalize (reference build_dataloaders oracle)
+    np.testing.assert_allclose(
+        lidar_ops.normalize_xyz(xyz).mean(axis=0), 0, atol=1e-9
+    )
+
+
+def test_stratified_split_proportions(tiny, ray_session):
+    import ray.data as rd
+
+    stems = rd.read_parquet(tiny["stems"])
+    out = stratified_split(stems, "stem_id", ["site_id", "status"]).to_pandas()
+    assert set(out["split"]) == {"train", "val", "test"}
+    frac = out["split"].value_counts(normalize=True)
+    assert frac["train"] == pytest.approx(0.70, abs=0.05)
+    # deterministic
+    out2 = stratified_split(stems, "stem_id", ["site_id", "status"]).to_pandas()
+    a = out.sort_values(["stem_id", "year"]).reset_index(drop=True)
+    b = out2.sort_values(["stem_id", "year"]).reset_index(drop=True)
+    assert (a["split"] == b["split"]).all()
+    # stratified: every large stratum has all three splits
+    for _, g in out.groupby(["site_id", "status"]):
+        if len(g) >= 20:
+            assert set(g["split"]) == {"train", "val", "test"}
+
+
+def test_stratified_sample_n(tiny, ray_session):
+    import ray.data as rd
+
+    stems = rd.read_parquet(tiny["stems"])
+    out = stratified_sample_n(stems, "stem_id", ["status"], n_per=5).to_pandas()
+    sizes = out.groupby("status").size()
+    assert (sizes <= 5).all()
+
+
+def test_sam_slot_embedding_cache_and_determinism(tiny, ray_session):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    import pyarrow as pa
+
+    im = pq.read_table(tiny["images"]).slice(0, 4)
+    rows = []
+    for i in range(len(im)):
+        for p in range(3):
+            rows.append(
+                {
+                    "tile_id": im["image_id"][i].as_py(),
+                    "bytes": im["bytes"][i].as_py(),
+                    "fmt": im["fmt"][i].as_py(),
+                    "prompt_x": 10.0 * p,
+                    "prompt_y": 5.0 * p,
+                }
+            )
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    a = scorers.score_crowns_with_sam_slot(ds).to_pandas()
+    b = scorers.score_crowns_with_sam_slot(ds).to_pandas()
+    key = ["tile_id", "prompt_x", "prompt_y"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["mask_score"] >= 0).all() and (a["mask_score"] <= 1).all()
+
+
+def test_box_detector_slot(tiny, ray_session):
+    import ray.data as rd
+
+    images = rd.read_parquet(tiny["images"])
+    boxes = images.map_batches(
+        scorers.BoxDetectorSlot, batch_format="pyarrow", batch_size=8,
+        concurrency=2,
+    ).to_pandas()
+    assert len(boxes) > 0
+    assert (boxes["xmax"] > boxes["xmin"]).all()
+    assert (boxes["ymax"] > boxes["ymin"]).all()
+
+
+def test_health_classifier_slot(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    ds = rd.from_arrow(
+        pa.table({"crown_id": pa.array([f"c{i}" for i in range(10)])})
+    )
+    out = ds.map_batches(
+        scorers.HealthClassifierSlot, batch_format="pyarrow", concurrency=2
+    ).to_pandas()
+    assert set(out["pred_status"]) <= set(scorers.HealthClassifierSlot.CLASSES)
+    assert len(out) == 10
+
+
+def test_real_model_paths_raise():
+    with pytest.raises(NotImplementedError):
+        scorers.SamSlotScorer(checkpoint="vit_h.pth")
+    with pytest.raises(NotImplementedError):
+        scorers.BoxDetectorSlot(model_name="deepforest")
