@@ -131,8 +131,11 @@ def run_headline(cfg, num_cpus: int) -> dict:
     base = prepare_data(cfg)
     stems = rd.read_parquet(f"{base}/stems")
     crowns = rd.read_parquet(f"{base}/crowns")
-    # warm page cache (measure compute+shuffle, not first disk read)
+    # warm pass (untimed): OS page cache + Ray worker import/jit —
+    # the BASELINE.md protocol measures steady-state compute+shuffle
     stems.count(); crowns.count()
+    warm, _ = assign_stems_to_crowns(stems, crowns)
+    warm.count()
 
     t0 = time.perf_counter()
     assignment, _unassigned = assign_stems_to_crowns(stems, crowns)
@@ -143,14 +146,18 @@ def run_headline(cfg, num_cpus: int) -> dict:
 
     images = rd.read_parquet(f"{base}/images", columns=["image_id", "caption"])
     images.count()
+
+    def chips_pipeline():
+        return extract_chips_storage(
+            crowns, f"{base}/tiles", images, GridSpec.from_synth(cfg),
+            num_out_blocks=num_cpus * 8,
+        ).map_batches(
+            lambda t: t.drop_columns(["bytes", "mask"]), batch_format="pyarrow"
+        )
+
+    chips_pipeline().count()  # warm pass (untimed)
     t0 = time.perf_counter()
-    chips = extract_chips_storage(
-        crowns, f"{base}/tiles", images, GridSpec.from_synth(cfg),
-        concurrency=(2, max(2, num_cpus)),
-    )
-    chips_meta = chips.map_batches(
-        lambda t: t.drop_columns(["bytes", "mask"]), batch_format="pyarrow"
-    ).materialize()
+    chips_meta = chips_pipeline().materialize()
     n_chips = chips_meta.count()
     chips_sec = time.perf_counter() - t0
     from ray.data.aggregate import Sum

@@ -222,33 +222,71 @@ class ChipExtractor:
     and is fetched in the same read."""
 
     def __init__(self, tiles_path: str, caption_ref, cache_tiles: int = 8):
-        import ray
-        import pyarrow.dataset as pads
+        import glob
 
-        self.ds = pads.dataset(tiles_path)
+        import ray
+        import pyarrow.parquet as pq
+
+        # file-range index built ONCE per worker: (min_tid, max_tid,
+        # path) per fragment, from parquet row-group stats — a tile
+        # fetch is then one binary search + one (cached) file read,
+        # not a filtered scan over every fragment's metadata.
+        self.ranges: list[tuple[str, str, str]] = []
+        for path in sorted(glob.glob(f"{tiles_path}/**/*.parquet", recursive=True)):
+            md = pq.read_metadata(path)
+            idx = md.schema.to_arrow_schema().get_field_index("tile_id")
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            self.ranges.append((lo, hi, path))
+        self.ranges.sort()
         self.captions = ray.get(caption_ref) if caption_ref is not None else {}
         self.cache: dict[str, tuple] = {}
         self.cache_order: list[str] = []
         self.cache_tiles = cache_tiles
+        self._file_cache: dict[str, dict] = {}
+        self._file_order: list[str] = []
+
+    def _file_rows(self, tid: str) -> dict:
+        import bisect
+
+        import pyarrow.parquet as pq
+
+        i = bisect.bisect_right([r[0] for r in self.ranges], tid) - 1
+        if i < 0 or tid > self.ranges[i][1]:
+            raise KeyError(f"tile {tid} not found")
+        path = self.ranges[i][2]
+        rows = self._file_cache.get(path)
+        if rows is None:
+            t = pq.read_table(path, columns=["tile_id", "bytes", "fmt", "a", "c", "e", "f"])
+            rows = {
+                t["tile_id"][j].as_py(): j for j in range(len(t))
+            }
+            rows["__table"] = t
+            self._file_cache[path] = rows
+            self._file_order.append(path)
+            if len(self._file_order) > 2:
+                del self._file_cache[self._file_order.pop(0)]
+        return rows
 
     def _tile(self, tid: str):
-        import pyarrow.dataset as pads
-
         if tid in self.cache:
             return self.cache[tid]
-        t = self.ds.to_table(filter=pads.field("tile_id") == tid)
-        if len(t) == 0:
-            raise KeyError(f"tile {tid} not found")
-        img = codec.decode(t["bytes"][0].as_py(), t["fmt"][0].as_py())
+        rows = self._file_rows(tid)
+        t = rows["__table"]
+        j = rows[tid]
+        img = codec.decode(t["bytes"][j].as_py(), t["fmt"][j].as_py())
         if img.ndim == 2:
             img = img[:, :, None]
         entry = (
             img,
-            t["fmt"][0].as_py(),
-            t["a"][0].as_py(),
-            t["c"][0].as_py(),
-            t["e"][0].as_py(),
-            t["f"][0].as_py(),
+            t["fmt"][j].as_py(),
+            t["a"][j].as_py(),
+            t["c"][j].as_py(),
+            t["e"][j].as_py(),
+            t["f"][j].as_py(),
         )
         self.cache[tid] = entry
         self.cache_order.append(tid)
@@ -297,12 +335,28 @@ class ChipExtractor:
         )
 
 
+# worker-process-global extractor cache: stateless TASKS get actor-like
+# state amortization (the pyarrow dataset handle + decoded-tile LRU
+# persist across tasks on the same worker) with elastic scheduling and
+# zero pool-management cost — no actor-startup ramp, no CPU reservation
+# that could starve the upstream sort.
+_WORKER_EXTRACTORS: dict[str, "ChipExtractor"] = {}
+
+
+def _chip_task(batch: pa.Table, tiles_path: str, cap_ref, cache_tiles: int) -> pa.Table:
+    ext = _WORKER_EXTRACTORS.get(tiles_path)
+    if ext is None:
+        ext = ChipExtractor(tiles_path, cap_ref, cache_tiles)
+        _WORKER_EXTRACTORS[tiles_path] = ext
+    return ext(batch)
+
+
 def extract_chips_storage(crowns, tiles_path: str, captions, grid: GridSpec,
                           concurrency: int | None = None,
-                          batch_size: int = 256):
+                          batch_size: int = 256, num_out_blocks: int | None = None):
     """Storage-join chip extraction (default path): sort slim crown
-    rows by tile_id (the ONLY shuffle — no raster bytes move), then an
-    actor pool fetches/decodes tiles on demand with an LRU cache."""
+    rows by tile_id (the ONLY shuffle — no raster bytes move), then
+    tasks fetch/decode tiles on demand with a per-worker LRU cache."""
     import ray
 
     cap_cols = captions.columns()
@@ -318,14 +372,17 @@ def extract_chips_storage(crowns, tiles_path: str, captions, grid: GridSpec,
     ).map_batches(
         lambda t: t.filter(pc.not_equal(t["tile_id"], "")), batch_format="pyarrow"
     )
-    ordered = crowns_t.sort("tile_id")
-    kwargs = {"concurrency": concurrency} if concurrency else {"concurrency": (2, 8)}
+    if num_out_blocks is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_out_blocks = cpus * 8
+    # sort gives tile-locality; repartition so every CPU gets several
+    # blocks (block = task work unit) and stragglers stay short
+    ordered = crowns_t.sort("tile_id").repartition(num_out_blocks)
     return ordered.map_batches(
-        ChipExtractor,
-        fn_constructor_kwargs={"tiles_path": tiles_path, "caption_ref": cap_ref},
+        _chip_task,
+        fn_kwargs={"tiles_path": tiles_path, "cap_ref": cap_ref, "cache_tiles": 8},
         batch_format="pyarrow",
         batch_size=batch_size,
-        **kwargs,
     )
 
 
