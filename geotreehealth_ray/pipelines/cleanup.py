@@ -1,0 +1,178 @@
+"""Geometry cleanup / overlap-resolution family (SURVEY.md §2.7).
+
+Reference semantics mirrored:
+- ``remove_perc_of_smallest``: sort by area, drop the bottom p% —
+  reference delineation_utils.py:276-282. Distributed via an
+  approximate global quantile (driver-side sample of the area column)
+  then a vectorized filter — no global sort.
+- ``remove_smaller_overlapping``: for any pair overlapping more than
+  ``min_frac`` of the smaller area, drop the smaller polygon —
+  reference delineation_utils.py:293-326. Per-cell kernel with halo,
+  deterministic (area desc, id asc) order.
+- ``subtract_overlap_from_larger``: for 10–50% shared pairs, subtract
+  the intersection from the LARGER polygon — reference
+  batch_sam.py:224-259 (remove_shared_region) and :267-324. Polygon
+  difference is computed RASTER-BACKED at the working resolution
+  (0.1 m, reference config.py:53): rasterize both rings over the
+  larger ring's bbox, boolean subtract, re-trace with the contour
+  kernel. The reference's own polygons come from raster masks, so the
+  raster-backed boolean op is faithful to its geometry source.
+- ``explode_multirings``: MultiPolygon → one row per part — reference
+  split_multipolygons_to_polygons, delineation_utils.py:93-104.
+- degenerate-geometry filter: drop rings with < 3 vertices or ~zero
+  area — reference remove_linestring_from_geometrycollection,
+  delineation_utils.py:258-272.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions import cells, contours, geom
+from ..stages.spatial import pack_rings, rings_from_binary
+from .nms import DEFAULT_HALO_M, _explode_with_halo
+
+__all__ = ["remove_perc_of_smallest", "remove_smaller_overlapping",
+           "subtract_overlap_from_larger_kernel", "explode_multirings",
+           "drop_degenerate"]
+
+
+def remove_perc_of_smallest(crowns, pct: float, sample_n: int = 10_000):
+    """Drop the smallest ``pct`` percent of crowns by area. The cut
+    threshold is an approximate global quantile from a deterministic
+    sample (first sample_n rows by crown_id — stable at any
+    parallelism); the filter itself is exact against that threshold."""
+    sample = (
+        crowns.select_columns(["crown_id", "area"])
+        .sort("crown_id")
+        .limit(sample_n)
+        .to_pandas()
+    )
+    thresh = float(np.quantile(sample["area"].to_numpy(), pct / 100.0))
+
+    def fn(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater_equal(t["area"], thresh))
+
+    return crowns.map_batches(fn, batch_format="pyarrow")
+
+
+def _drop_smaller_kernel(group: pa.Table, min_frac: float) -> pa.Table:
+    ids = group["crown_id"].to_numpy(zero_copy_only=False)
+    owner = group["owner"].to_numpy(zero_copy_only=False)
+    rings = rings_from_binary(group["ring_b"])
+    n = len(ids)
+    areas = np.array([geom.ring_area(r) for r in rings])
+    bboxes = np.array([geom.ring_bbox(r) for r in rings]) if n else np.empty((0, 4))
+    # deterministic order: area desc, id asc; larger polygons "defend"
+    order = np.lexsort((ids, -areas))
+    dropped = np.zeros(n, dtype=bool)
+    for oi in range(n):
+        i = order[oi]
+        if dropped[i]:
+            continue
+        for oj in range(oi + 1, n):
+            j = order[oj]
+            if dropped[j]:
+                continue
+            if not geom.bbox_intersects(*bboxes[i], *bboxes[j]):
+                continue
+            inter = geom.intersection_area_star(rings[i], rings[j])
+            if inter > min_frac * min(areas[i], areas[j]):
+                dropped[j] = True  # j is the smaller (order is area desc)
+    keep = owner & ~dropped
+    return pa.table(
+        {
+            "crown_id": pa.array(ids[keep]),
+            "kept": pa.array(np.ones(int(keep.sum()), dtype=bool)),
+        }
+    )
+
+
+def remove_smaller_overlapping(crowns, min_frac: float = 0.5,
+                               res: int = cells.DEFAULT_RES,
+                               halo_m: float = DEFAULT_HALO_M):
+    """(crown_id, kept) — survivors after dropping the smaller of every
+    pair overlapping > min_frac of the smaller area."""
+    cols = ["crown_id", "ring", "cx", "cy", "minx", "miny", "maxx", "maxy"]
+    c = crowns.select_columns(cols).map_batches(pack_rings, batch_format="pyarrow")
+    exploded = c.map_batches(
+        _explode_with_halo, batch_format="pyarrow",
+        fn_kwargs={"res": res, "halo_m": halo_m},
+    )
+    return exploded.groupby("cell").map_groups(
+        _drop_smaller_kernel, batch_format="pyarrow",
+        fn_kwargs={"min_frac": min_frac},
+    )
+
+
+def subtract_overlap_from_larger_kernel(ring_a: np.ndarray, ring_b: np.ndarray,
+                                        res_m: float = 0.1,
+                                        lo: float = 0.10, hi: float = 0.50
+                                        ) -> np.ndarray | None:
+    """Raster-backed difference: when the pair shares between lo and hi
+    of the smaller area, subtract the intersection from the LARGER ring
+    and return its re-traced polygon (in world coords); None = no
+    change (reference batch_sam.py:267-324 semantics)."""
+    a_area = geom.ring_area(ring_a)
+    b_area = geom.ring_area(ring_b)
+    inter = geom.intersection_area_star(ring_a, ring_b)
+    frac = inter / min(a_area, b_area) if min(a_area, b_area) > 0 else 0.0
+    if not (lo < frac <= hi):
+        return None
+    larger, smaller = (ring_a, ring_b) if a_area >= b_area else (ring_b, ring_a)
+    minx, miny, maxx, maxy = geom.ring_bbox(larger)
+    wx = np.arange(minx, maxx + res_m, res_m) + res_m / 2
+    wy = np.arange(miny, maxy + res_m, res_m) + res_m / 2
+    m_large = geom.raster_mask(larger, wx, wy)
+    m_small = geom.raster_mask(smaller, wx, wy)
+    diff = m_large & ~m_small
+    if not diff.any():
+        return None
+    cx, cy = geom.ring_centroid(larger)
+    px = (cx - minx) / res_m
+    py = (cy - miny) / res_m
+    traced = contours.mask_to_polygon(diff, px, py)
+    if traced is None:
+        return None
+    # pixel → world
+    out = np.empty_like(traced)
+    out[:, 0] = minx + traced[:, 0] * res_m
+    out[:, 1] = miny + traced[:, 1] * res_m
+    return out
+
+
+def explode_multirings(ds, rings_col: str = "rings"):
+    """One row per part of a multi-ring row (flat explode)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = t[rings_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offsets = col.offsets.to_numpy()
+        counts = np.diff(offsets)
+        idx = np.repeat(np.arange(len(t)), counts)
+        taken = t.drop_columns([rings_col]).take(pa.array(idx))
+        return taken.append_column("ring", col.flatten())
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def drop_degenerate(crowns, min_area: float = 1e-9):
+    """Filter rings with < 3 vertices or ~zero area (degenerate
+    geometries — reference delineation_utils.py:258-272)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        from ..stages.spatial import rings_from_arrow
+
+        rings = rings_from_arrow(t["ring"])
+        ok = np.array(
+            [len(r) >= 3 and geom.ring_area(r) > min_area for r in rings],
+            dtype=bool,
+        )
+        return t.filter(pa.array(ok))
+
+    return crowns.map_batches(fn, batch_format="pyarrow")
