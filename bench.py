@@ -200,7 +200,12 @@ def main():
     if "--scaling" in sys.argv:
         results = {}
         for n in (8, 32):
+            # scaling protocol uses a 4× dataset so parallel compute
+            # dominates the fixed per-run costs (sort barriers,
+            # driver coordination) — same input at both levels
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+            env.setdefault("GRAFT_BENCH_STEMS", "240000")
+            env.setdefault("GRAFT_BENCH_EXTENT", "4000")
             out = subprocess.run(
                 [sys.executable, "bench.py"], env=env,
                 capture_output=True, text=True, check=True,
