@@ -288,6 +288,47 @@ def _q_latest_event(sf_dir: str):
     )
 
 
+def _q_sessions(sf_dir: str):
+    from geotreehealth_ray.pipelines.relational import sessionize
+
+    return sessionize(_read(sf_dir, "events"), gap_s=1800)
+
+
+def _q_order_priority_revenue(sf_dir: str):
+    """Large-large co-partitioned hash join (orders ⋈ per-order
+    lineitem revenue) then a grouped rollup by priority."""
+    from geotreehealth_ray.pipelines.relational import grouped_agg, hash_join
+
+    def prep(t: pa.Table) -> pa.Table:
+        disc = t["l_extendedprice"].to_numpy() * (1.0 - t["l_discount"].to_numpy())
+        return pa.table(
+            {
+                "o_orderkey": t["l_orderkey"],
+                "disc_c4": pa.array(np.floor(disc * 10000 + 0.5).astype(np.int64)),
+            }
+        )
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(prep, batch_format="pyarrow")
+    per_order = grouped_agg(li, ["o_orderkey"], {"disc_c4": "disc_c4"})
+    orders = _read(sf_dir, "orders").select_columns(["o_orderkey", "o_orderpriority"])
+    joined = hash_join(orders, per_order, on="o_orderkey")
+    out = grouped_agg(
+        joined, ["o_orderpriority"], {"disc_c4": "disc_c4"}, count_alias="n_orders"
+    )
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "o_orderpriority": df["o_orderpriority"],
+                "revenue": df["disc_c4"] / 10000.0,
+                "n_orders": df["n_orders"],
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
 def _q_doc_tokens(sf_dir: str):
     from geotreehealth_ray.pipelines.text import token_counts
 
@@ -376,6 +417,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "events_hourly": _q_events_hourly,
         "latest_event": _q_latest_event,
+        "sessions": _q_sessions,
+        "order_priority_revenue": _q_order_priority_revenue,
         # text / training-data operators
         "doc_token_counts": _q_doc_tokens,
         "doc_quality": _q_doc_quality,
@@ -495,6 +538,37 @@ def oracle_sql() -> dict[str, str]:
                      AS total_value,
                    count(*) AS n_events
             FROM events GROUP BY 1, 2
+        """,
+        "sessions": """
+            WITH e AS (
+              SELECT user_id, event_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS ep
+              FROM events),
+            f AS (
+              SELECT *, CASE WHEN lag(ep) OVER w IS NULL
+                              OR ep - lag(ep) OVER w > 1800
+                         THEN 1 ELSE 0 END AS ns
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)),
+            g AS (
+              SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ep, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM f)
+            SELECT user_id,
+                   min(ep) AS session_start,
+                   count(*) AS n_events,
+                   max(ep) - min(ep) AS duration_s
+            FROM g GROUP BY user_id, sid
+        """,
+        "order_priority_revenue": """
+            SELECT o_orderpriority,
+                   sum(rev_c4) / 10000.0 AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN (
+              SELECT l_orderkey,
+                     sum(CAST(floor(l_extendedprice*(1 - l_discount)*10000 + 0.5) AS BIGINT)) AS rev_c4
+              FROM lineitem GROUP BY l_orderkey) t
+              ON o_orderkey = l_orderkey
+            GROUP BY o_orderpriority
         """,
         "latest_event": """
             SELECT user_id, event_id, event_type, round(value, 6) AS value FROM (

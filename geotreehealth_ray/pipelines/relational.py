@@ -101,6 +101,82 @@ def broadcast_join(ds, small_df: pd.DataFrame, on: str | list[str],
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def hash_join(left, right, on: str, how: str = "inner",
+              num_buckets: int = NUM_BUCKETS,
+              lsuffix: str = "", rsuffix: str = "_r"):
+    """Co-partitioned hash join for two LARGE sides: both datasets are
+    bucketed on a deterministic hash of the key and merged per bucket
+    with pandas — one shuffle each side, no broadcast (ray_guide
+    'Both sides large'). Columns common to both sides (other than the
+    key) get the suffixes."""
+
+    def tag(side):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["__side"] = np.int8(side)
+            return df
+
+        return fn
+
+    l = left.map_batches(tag(0), batch_format="pandas")
+    r = right.map_batches(tag(1), batch_format="pandas")
+
+    # align schemas for the union: collect column names lazily per batch
+    lcols = [c for c in left.columns()]
+    rcols = [c for c in right.columns()]
+    all_cols = list(dict.fromkeys(lcols + [c for c in rcols]))
+
+    def pad(df: pd.DataFrame) -> pd.DataFrame:
+        for c in all_cols:
+            if c not in df.columns:
+                df[c] = None
+        return df.reindex(columns=all_cols + ["__side"])
+
+    u = l.map_batches(pad, batch_format="pandas").union(
+        r.map_batches(pad, batch_format="pandas")
+    )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        # padding with nulls degraded dtypes to object → re-infer
+        lhs = df[df["__side"] == 0][lcols].infer_objects()
+        rhs = df[df["__side"] == 1][rcols].infer_objects()
+        return lhs.merge(rhs, on=on, how=how, suffixes=(lsuffix, rsuffix))
+
+    return bucketed_reduce(u, on, merge, num_buckets)
+
+
+def sessionize(events, key: str = "user_id", ts_col: str = "ts",
+               gap_s: int = 1800):
+    """Gap-based session windows per key: consecutive events closer
+    than ``gap_s`` seconds share a session. Output: (key, session_start
+    epoch-s, n_events, duration_s). Equivalent SQL: lag() + cumulative
+    sum of new-session flags. Ordering contract: per-key order by
+    (ts, event_id) — stated per SURVEY.md §2.9 (Ray Data has no
+    watermarks; the reference is strictly batch too)."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col, "event_id"], kind="stable")
+        epoch = df[ts_col].astype("int64") // 1_000_000
+        new_key = df[key] != df[key].shift(1)
+        gap = epoch - epoch.shift(1).fillna(-10**18).astype("int64")
+        new_sess = new_key | (gap > gap_s)
+        sess_id = new_sess.cumsum()
+        g = pd.DataFrame(
+            {key: df[key], "sess": sess_id, "epoch": epoch}
+        ).groupby("sess", sort=False)
+        out = pd.DataFrame(
+            {
+                key: g[key].first(),
+                "session_start": g["epoch"].min().astype("int64"),
+                "n_events": g["epoch"].size().astype("int64"),
+                "duration_s": (g["epoch"].max() - g["epoch"].min()).astype("int64"),
+            }
+        )
+        return out.reset_index(drop=True)
+
+    return bucketed_reduce(events, key, per_bucket)
+
+
 def latest_per_key(ds, key: str, order_cols: list[str]):
     """One row per key: max by order_cols (desc), deterministic
     (the 'latest record wins' dedup — reference batch_sam.py:764-765)."""

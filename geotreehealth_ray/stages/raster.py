@@ -138,6 +138,88 @@ def normalize_point_cloud(xyz: np.ndarray) -> np.ndarray:
 
 # -------------------------------------------------------------- stages
 
+def bilinear_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Bilinear resize (reference ``upscale_array`` via scipy.zoom,
+    get_polygons.py:553-566 — scipy absent, pure numpy)."""
+    img = np.asarray(img, dtype=np.float64)
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(ys - y0, 0, 1)[:, None, None]
+    wx = np.clip(xs - x0, 0, 1)[None, :, None]
+    out = (
+        img[y0][:, x0] * (1 - wy) * (1 - wx)
+        + img[y0][:, x1] * (1 - wy) * wx
+        + img[y1][:, x0] * wy * (1 - wx)
+        + img[y1][:, x1] * wy * wx
+    )
+    return out[:, :, 0] if squeeze else out
+
+
+def rgb_to_lab(rgb: np.ndarray) -> np.ndarray:
+    """sRGB uint8 → CIELAB (D65), pure numpy (reference uses
+    skimage.color in rgb_hsi_fusion.py — reimplemented from the
+    standard sRGB→XYZ→Lab formulas)."""
+    x = rgb.astype(np.float64) / 255.0
+    lin = np.where(x > 0.04045, ((x + 0.055) / 1.055) ** 2.4, x / 12.92)
+    m = np.array(
+        [[0.4124564, 0.3575761, 0.1804375],
+         [0.2126729, 0.7151522, 0.0721750],
+         [0.0193339, 0.1191920, 0.9503041]]
+    )
+    xyz = lin @ m.T
+    white = np.array([0.95047, 1.0, 1.08883])
+    t = xyz / white
+    f = np.where(t > (6 / 29) ** 3, np.cbrt(t), t / (3 * (6 / 29) ** 2) + 4 / 29)
+    lab = np.empty_like(f)
+    lab[..., 0] = 116 * f[..., 1] - 16
+    lab[..., 1] = 500 * (f[..., 0] - f[..., 1])
+    lab[..., 2] = 200 * (f[..., 1] - f[..., 2])
+    return lab
+
+
+def lab_to_rgb(lab: np.ndarray) -> np.ndarray:
+    fy = (lab[..., 0] + 16) / 116
+    fx = fy + lab[..., 1] / 500
+    fz = fy - lab[..., 2] / 200
+    f = np.stack([fx, fy, fz], axis=-1)
+    t = np.where(f > 6 / 29, f**3, 3 * (6 / 29) ** 2 * (f - 4 / 29))
+    white = np.array([0.95047, 1.0, 1.08883])
+    xyz = t * white
+    m_inv = np.array(
+        [[3.2404542, -1.5371385, -0.4985314],
+         [-0.9692660, 1.8760108, 0.0415560],
+         [0.0556434, -0.2040259, 1.0572252]]
+    )
+    lin = xyz @ m_inv.T
+    srgb = np.where(
+        lin > 0.0031308, 1.055 * np.clip(lin, 0, None) ** (1 / 2.4) - 0.055,
+        12.92 * lin,
+    )
+    return np.clip(np.round(srgb * 255.0), 0, 255).astype(np.uint8)
+
+
+def pansharpen(hsi_rgb: np.ndarray, pan_gray: np.ndarray) -> np.ndarray:
+    """Pansharpening fusion (reference rgb_hsi_fusion.py:6-85): upscale
+    the low-res HSI pseudo-RGB to the PAN resolution, convert to LAB,
+    replace the L channel with the (rescaled) high-res PAN intensity,
+    convert back. hsi_rgb: (h, w, 3) uint8; pan_gray: (H, W) float/uint8."""
+    big = bilinear_resize(hsi_rgb, pan_gray.shape[0], pan_gray.shape[1])
+    lab = rgb_to_lab(np.clip(np.round(big), 0, 255).astype(np.uint8))
+    pan = pan_gray.astype(np.float64)
+    lo, hi = pan.min(), pan.max()
+    l_new = np.zeros_like(pan) if hi <= lo else (pan - lo) / (hi - lo) * 100.0
+    lab[..., 0] = l_new
+    return lab_to_rgb(lab)
+
+
 class ImageTiler:
     """Actor-pool stage: split each image row into tile_px×tile_px
     subtiles with ``overlap_px`` overlap (reference split_raster,
