@@ -17,6 +17,14 @@ __all__ = ["grouped_agg", "broadcast_join", "latest_per_key",
 NUM_BUCKETS = 256
 
 
+def _epoch_seconds(ts: pd.Series) -> pd.Series:
+    """Timestamp column → int64 epoch seconds, unit-safe (pandas may
+    carry datetime64[ns] or [us] depending on the source)."""
+    return (
+        pd.to_datetime(ts).astype("datetime64[us]").astype("int64") // 1_000_000
+    )
+
+
 def bucketed_reduce(ds, key: str | list[str], fn, num_buckets: int = NUM_BUCKETS):
     """Hash-partitioned grouped reduce with VECTORIZED per-bucket
     kernels: rows are bucketed by a deterministic hash of ``key``,
@@ -156,7 +164,7 @@ def sessionize(events, key: str = "user_id", ts_col: str = "ts",
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([key, ts_col, "event_id"], kind="stable")
-        epoch = df[ts_col].astype("int64") // 1_000_000
+        epoch = _epoch_seconds(df[ts_col])
         new_key = df[key] != df[key].shift(1)
         gap = epoch - epoch.shift(1).fillna(-10**18).astype("int64")
         new_sess = new_key | (gap > gap_s)
@@ -201,7 +209,7 @@ def hourly_window_agg(events, ts_col: str = "ts", key: str = "user_id",
     pre-aggregation, equivalent to SQL GROUP BY key, floor(epoch/size)."""
 
     def bucket(df: pd.DataFrame) -> pd.DataFrame:
-        epoch = df[ts_col].astype("int64") // 1_000_000  # us → s
+        epoch = _epoch_seconds(df[ts_col])
         out = pd.DataFrame(
             {
                 key: df[key],
