@@ -54,6 +54,7 @@ _UNION_SCHEMA = pa.schema(
         ("ring_b", pa.binary()),
         ("ccx", pa.float64()),
         ("ccy", pa.float64()),
+        ("multi", pa.bool_()),  # crown bbox spans >1 cell → needs reduce
     ]
 )
 
@@ -72,6 +73,7 @@ def _stem_side(batch: pa.Table, res: int) -> pa.Table:
             "ring_b": pa.nulls(n, pa.binary()),
             "ccx": pa.nulls(n, pa.float64()),
             "ccy": pa.nulls(n, pa.float64()),
+            "multi": pa.nulls(n, pa.bool_()),
         },
         schema=_UNION_SCHEMA,
     )
@@ -79,8 +81,15 @@ def _stem_side(batch: pa.Table, res: int) -> pa.Table:
 
 def _crown_side(batch: pa.Table, res: int) -> pa.Table:
     batch = pack_rings(batch)
+    pre = len(batch)
     batch = explode_to_covering_cells(batch, res=res)
     n = len(batch)
+    # spans >1 cell ⇔ the crown_id appears more than once after explode
+    counts: dict[str, int] = {}
+    cids = batch["crown_id"].to_numpy(zero_copy_only=False)
+    for c in cids:
+        counts[c] = counts.get(c, 0) + 1
+    multi = np.array([counts[c] > 1 for c in cids], dtype=bool)
     return pa.table(
         {
             "side": pa.array(np.ones(n, np.int8)),
@@ -92,6 +101,7 @@ def _crown_side(batch: pa.Table, res: int) -> pa.Table:
             "ring_b": batch["ring_b"],
             "ccx": batch["cx"],
             "ccy": batch["cy"],
+            "multi": pa.array(multi),
         },
         schema=_UNION_SCHEMA,
     )
@@ -107,6 +117,7 @@ def _assign_cell(group: pa.Table) -> pa.Table:
             "crown_id": pa.array([], pa.string()),
             "stem_id": pa.array([], pa.string()),
             "dist": pa.array([], pa.float64()),
+            "multi": pa.array([], pa.bool_()),
         }
     )
     if len(stems) == 0 or len(crowns) == 0:
@@ -118,9 +129,11 @@ def _assign_cell(group: pa.Table) -> pa.Table:
     cids = crowns["crown_id"].to_numpy(zero_copy_only=False)
     ccx = crowns["ccx"].to_numpy()
     ccy = crowns["ccy"].to_numpy()
+    cmulti = crowns["multi"].to_numpy(zero_copy_only=False)
     out_c: list[str] = []
     out_s: list[str] = []
     out_d: list[float] = []
+    out_m: list[bool] = []
     order = np.lexsort((sid,))  # stable stem order for deterministic ties
     sx, sy, sid = sx[order], sy[order], sid[order]
     # per-partition grid index (R-tree slot, SURVEY §2.3): bbox probes
@@ -153,11 +166,13 @@ def _assign_cell(group: pa.Table) -> pa.Table:
         out_c.append(cids[i])
         out_s.append(ids_in[j])
         out_d.append(float(d[j]))
+        out_m.append(bool(cmulti[i]))
     return pa.table(
         {
             "crown_id": pa.array(out_c, pa.string()),
             "stem_id": pa.array(out_s, pa.string()),
             "dist": pa.array(out_d, pa.float64()),
+            "multi": pa.array(out_m, pa.bool_()),
         }
     )
 
@@ -189,7 +204,22 @@ def assign_stems_to_crowns(stems, crowns, res: int = cells.DEFAULT_RES):
     candidates = both.groupby("cell").map_groups(
         _assign_cell, batch_format="pyarrow"
     )
-    assignment = bucketed_reduce(candidates, "crown_id", _final_pick_bucket)
+    # single-cell crowns (the vast majority) have exactly one candidate
+    # row → final immediately; only cell-spanning crowns go through the
+    # duplicate-resolution shuffle (SURVEY §7.3 halo ownership)
+    import pyarrow.compute as _pc
+
+    direct = candidates.map_batches(
+        lambda t: t.filter(_pc.invert(t["multi"])).drop_columns(["multi"]),
+        batch_format="pyarrow",
+    )
+    spanning = candidates.map_batches(
+        lambda t: t.filter(t["multi"]).drop_columns(["multi"]),
+        batch_format="pyarrow",
+    )
+    resolved = bucketed_reduce(spanning, "crown_id", _final_pick_bucket,
+                               num_buckets=32)
+    assignment = direct.union(resolved)
     # left-anti: distinct stems minus winners (co-partitioned on
     # stem_id hash buckets — no broadcast, works at any winner size)
     stem_ids = stems.select_columns(["stem_id"]).map_batches(
