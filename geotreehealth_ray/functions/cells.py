@@ -150,6 +150,42 @@ def cells_covering(
     return np.sort((np.uint64(res) << np.uint64(60)) | code)
 
 
+def cells_covering_arrays(
+    minx: np.ndarray,
+    miny: np.ndarray,
+    maxx: np.ndarray,
+    maxy: np.ndarray,
+    res: int = DEFAULT_RES,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fully vectorized halo explode: (row_index, cell_key) pairs for
+    every cell each bbox intersects. No Python loop — the hot path for
+    crown replication at scale."""
+    edge = cell_edge_m(res)
+    n = np.int64(1 << res)
+    gx0 = np.clip(np.floor(np.asarray(minx) / edge).astype(np.int64), 0, n - 1)
+    gy0 = np.clip(np.floor(np.asarray(miny) / edge).astype(np.int64), 0, n - 1)
+    gx1 = np.clip(np.floor(np.asarray(maxx) / edge).astype(np.int64), 0, n - 1)
+    gy1 = np.clip(np.floor(np.asarray(maxy) / edge).astype(np.int64), 0, n - 1)
+    nx = gx1 - gx0 + 1
+    ny = gy1 - gy0 + 1
+    counts = nx * ny
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    starts = np.cumsum(counts) - counts
+    local = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+    rnx = np.repeat(nx, counts)
+    cx = (np.repeat(gx0, counts) + local % rnx).astype(np.uint64)
+    cy = (np.repeat(gy0, counts) + local // rnx).astype(np.uint64)
+    keys = (
+        _part1by1(cx)
+        | (_part1by1(cy) << np.uint64(1))
+        | (np.uint64(res) << np.uint64(60))
+    )
+    return idx, keys
+
+
 def cells_covering_many(
     minx: np.ndarray,
     miny: np.ndarray,

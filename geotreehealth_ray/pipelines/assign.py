@@ -55,12 +55,69 @@ _UNION_SCHEMA = pa.schema(
         ("ccx", pa.float64()),
         ("ccy", pa.float64()),
         ("multi", pa.bool_()),  # crown bbox spans >1 cell → needs reduce
+        ("salt", pa.int8()),
     ]
 )
 
+# Hot-cell salting (SURVEY §7.1 step 9): in cells whose stem count
+# exceeds HOT_CELL_THRESHOLD, crowns are PARTITIONED across N_SALT
+# sub-groups while stems are REPLICATED to every sub-group — per-crown
+# work is unchanged, but a dense cell's crown loop fans out over N_SALT
+# parallel tasks instead of one straggler. Cold cells keep salt 0, so
+# the shuffle volume only grows where the skew actually is. The hot
+# set comes from a cheap pre-aggregated count pass and is broadcast.
+N_SALT = 4
+HOT_CELL_THRESHOLD = 2000
 
-def _stem_side(batch: pa.Table, res: int) -> pa.Table:
+
+def _salt_of(ids) -> np.ndarray:
+    h = pd.util.hash_pandas_object(pd.Series(ids), index=False).to_numpy()
+    return (h % N_SALT).astype(np.int8)
+
+
+def _hot_cells(stems, res: int):
+    """Broadcastable set of hot cell keys: per-batch partial counts →
+    one tiny groupby — the 'stem-count histogram per cell' pass."""
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        key = cells.cell_of(t["x"].to_numpy(), t["y"].to_numpy(), res)
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {"cell": pa.array(uniq, pa.uint64()), "n": pa.array(cnt, pa.int64())}
+        )
+
+    counts = (
+        stems.select_columns(["x", "y"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("cell")
+        .sum("n")
+        .to_pandas()
+    )
+    ncol = "sum(n)" if "sum(n)" in counts.columns else "n"
+    hot = set(counts.loc[counts[ncol] > HOT_CELL_THRESHOLD, "cell"].astype(np.uint64))
+    return ray.put(hot)
+
+
+def _stem_side(batch: pa.Table, res: int, hot_ref=None, salt_all=True) -> pa.Table:
+    import ray
+
     batch = attach_cell(batch, res=res)
+    if salt_all:
+        is_hot = np.ones(len(batch), dtype=bool)
+    else:
+        hot = ray.get(hot_ref) if hot_ref is not None else set()
+        key = batch["cell"].to_numpy()
+        is_hot = (
+            np.isin(key, np.fromiter(hot, dtype=np.uint64)) if hot else
+            np.zeros(len(batch), dtype=bool)
+        )
+    # hot-cell stems replicate to every salt; cold stems stay single
+    reps = np.where(is_hot, N_SALT, 1)
+    idx = np.repeat(np.arange(len(batch)), reps)
+    starts = np.cumsum(reps) - reps
+    salt = (np.arange(len(idx)) - np.repeat(starts, reps)).astype(np.int8)
+    batch = batch.take(pa.array(idx))
     n = len(batch)
     return pa.table(
         {
@@ -74,34 +131,50 @@ def _stem_side(batch: pa.Table, res: int) -> pa.Table:
             "ccx": pa.nulls(n, pa.float64()),
             "ccy": pa.nulls(n, pa.float64()),
             "multi": pa.nulls(n, pa.bool_()),
+            "salt": pa.array(salt),
         },
         schema=_UNION_SCHEMA,
     )
 
 
-def _crown_side(batch: pa.Table, res: int) -> pa.Table:
+def _crown_side(batch: pa.Table, res: int, hot_ref=None, salt_all=True) -> pa.Table:
+    import ray
+
+    hot = None if salt_all else (ray.get(hot_ref) if hot_ref is not None else set())
     batch = pack_rings(batch)
-    pre = len(batch)
-    batch = explode_to_covering_cells(batch, res=res)
-    n = len(batch)
-    # spans >1 cell ⇔ the crown_id appears more than once after explode
-    counts: dict[str, int] = {}
-    cids = batch["crown_id"].to_numpy(zero_copy_only=False)
-    for c in cids:
-        counts[c] = counts.get(c, 0) + 1
-    multi = np.array([counts[c] > 1 for c in cids], dtype=bool)
+    idx, keys = cells.cells_covering_arrays(
+        batch["minx"].to_numpy(),
+        batch["miny"].to_numpy(),
+        batch["maxx"].to_numpy(),
+        batch["maxy"].to_numpy(),
+        res,
+    )
+    # spans >1 cell ⇔ replicated more than once (vectorized)
+    reps = np.bincount(idx, minlength=len(batch))
+    salt_per_row = _salt_of(batch["crown_id"].to_numpy(zero_copy_only=False))
+    taken = batch.take(pa.array(idx))
+    n = len(taken)
+    if hot is None:
+        is_hot = np.ones(n, dtype=bool)
+    else:
+        is_hot = (
+            np.isin(keys, np.fromiter(hot, dtype=np.uint64)) if hot else
+            np.zeros(n, dtype=bool)
+        )
+    salts = np.where(is_hot, salt_per_row[idx], np.int8(0)).astype(np.int8)
     return pa.table(
         {
             "side": pa.array(np.ones(n, np.int8)),
-            "cell": batch["cell"],
+            "cell": pa.array(keys, pa.uint64()),
             "stem_id": pa.nulls(n, pa.string()),
-            "x": batch["minx"],  # carried for bbox prefilter
-            "y": batch["miny"],
-            "crown_id": batch["crown_id"],
-            "ring_b": batch["ring_b"],
-            "ccx": batch["cx"],
-            "ccy": batch["cy"],
-            "multi": pa.array(multi),
+            "x": taken["minx"],  # carried for bbox prefilter
+            "y": taken["miny"],
+            "crown_id": taken["crown_id"],
+            "ring_b": taken["ring_b"],
+            "ccx": taken["cx"],
+            "ccy": taken["cy"],
+            "multi": pa.array((reps > 1)[idx]),
+            "salt": pa.array(salts),
         },
         schema=_UNION_SCHEMA,
     )
@@ -185,41 +258,50 @@ def _final_pick_bucket(df: pd.DataFrame) -> pd.DataFrame:
     return df.drop_duplicates("crown_id", keep="first")
 
 
-def assign_stems_to_crowns(stems, crowns, res: int = cells.DEFAULT_RES):
+def assign_stems_to_crowns(stems, crowns, res: int = cells.DEFAULT_RES,
+                           salt_mode: str = "all"):
     """Returns (assignment_ds, unassigned_ds).
+
+    salt_mode: 'all' (default — every cell fans out over N_SALT
+    sub-groups; the extra stem replicas are slim rows and the blanket
+    policy avoids a pre-pass), 'hot' (adaptive: a cheap count pass
+    finds hot cells and only those are salted — preferable when the
+    stems table is enormous relative to the skew), or 'none'.
 
     assignment: (crown_id, stem_id, dist) — one row per crown that
     contains ≥1 stem. unassigned: (stem_id) — distinct stems no crown
     selected.
     """
+    hot_ref = _hot_cells(stems, res) if salt_mode == "hot" else None
+    salt_all = salt_mode == "all"
     s = stems.select_columns(["stem_id", "x", "y"]).map_batches(
-        _stem_side, batch_format="pyarrow", fn_kwargs={"res": res}
+        _stem_side, batch_format="pyarrow",
+        fn_kwargs={"res": res, "hot_ref": hot_ref, "salt_all": salt_all},
     )
     c = crowns.select_columns(
         ["crown_id", "ring", "cx", "cy", "minx", "miny", "maxx", "maxy"]
-    ).map_batches(_crown_side, batch_format="pyarrow", fn_kwargs={"res": res})
+    ).map_batches(
+        _crown_side, batch_format="pyarrow",
+        fn_kwargs={"res": res, "hot_ref": hot_ref, "salt_all": salt_all},
+    )
     from .relational import bucketed_reduce
 
     both = s.union(c)
-    candidates = both.groupby("cell").map_groups(
+    candidates = both.groupby(["cell", "salt"]).map_groups(
         _assign_cell, batch_format="pyarrow"
     )
     # single-cell crowns (the vast majority) have exactly one candidate
-    # row → final immediately; only cell-spanning crowns go through the
-    # duplicate-resolution shuffle (SURVEY §7.3 halo ownership)
-    import pyarrow.compute as _pc
+    # row; only cell-spanning crowns need duplicate resolution. Branching
+    # the dataset would re-execute the upstream per branch, so the split
+    # happens inside one pass: the reduce sorts only rows flagged multi.
+    def _resolve(df: pd.DataFrame) -> pd.DataFrame:
+        direct = df[~df["multi"]]
+        span = df[df["multi"]]
+        if len(span):
+            span = _final_pick_bucket(span)
+        return pd.concat([direct, span], ignore_index=True).drop(columns="multi")
 
-    direct = candidates.map_batches(
-        lambda t: t.filter(_pc.invert(t["multi"])).drop_columns(["multi"]),
-        batch_format="pyarrow",
-    )
-    spanning = candidates.map_batches(
-        lambda t: t.filter(t["multi"]).drop_columns(["multi"]),
-        batch_format="pyarrow",
-    )
-    resolved = bucketed_reduce(spanning, "crown_id", _final_pick_bucket,
-                               num_buckets=32)
-    assignment = direct.union(resolved)
+    assignment = bucketed_reduce(candidates, "crown_id", _resolve)
     # left-anti: distinct stems minus winners (co-partitioned on
     # stem_id hash buckets — no broadcast, works at any winner size)
     stem_ids = stems.select_columns(["stem_id"]).map_batches(
@@ -295,7 +377,9 @@ def pip_join_pairs(stems, crowns, res: int = cells.DEFAULT_RES):
     c = crowns.select_columns(
         ["crown_id", "ring", "cx", "cy", "minx", "miny", "maxx", "maxy"]
     ).map_batches(_crown_side, batch_format="pyarrow", fn_kwargs={"res": res})
-    return s.union(c).groupby("cell").map_groups(_pairs_cell, batch_format="pyarrow")
+    return s.union(c).groupby(["cell", "salt"]).map_groups(
+        _pairs_cell, batch_format="pyarrow"
+    )
 
 
 def candidate_pairs_schema() -> pa.Schema:

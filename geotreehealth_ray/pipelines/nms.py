@@ -41,7 +41,7 @@ DEFAULT_HALO_M = 50.0  # ≥ 2× max crown diameter (synth max radius 12 m)
 
 
 def _explode_with_halo(batch: pa.Table, res: int, halo_m: float) -> pa.Table:
-    idx, cell_keys = cells.cells_covering_many(
+    idx, cell_keys = cells.cells_covering_arrays(
         batch["minx"].to_numpy() - halo_m,
         batch["miny"].to_numpy() - halo_m,
         batch["maxx"].to_numpy() + halo_m,

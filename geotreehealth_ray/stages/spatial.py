@@ -78,7 +78,7 @@ def explode_to_covering_cells(batch: pa.Table, res: int = cells.DEFAULT_RES,
     Requires minx/miny/maxx/maxy columns. Output has one row per
     (row, covered cell); downstream ops resolve duplicates by a
     groupby on the row's id (ownership rule)."""
-    idx, cell_keys = cells.cells_covering_many(
+    idx, cell_keys = cells.cells_covering_arrays(
         batch["minx"].to_numpy(),
         batch["miny"].to_numpy(),
         batch["maxx"].to_numpy(),
