@@ -403,6 +403,109 @@ def _q_ann_ivf(sf_dir: str):
     return ann_ivf_topk(_read(sf_dir, "embeddings"), _query_vectors(sf_dir), k=10)
 
 
+_SYNTH_CACHE = "/tmp/geotreehealth_query_synth"
+
+
+def _synth_paths():
+    """Deterministic TINY synthetic geospatial tables, generated once
+    per process lifetime (seeded — identical at any parallelism)."""
+    import os
+
+    from geotreehealth_ray.sources import synth
+
+    done = f"{_SYNTH_CACHE}/_DONE"
+    if not os.path.exists(done):
+        os.makedirs(_SYNTH_CACHE, exist_ok=True)
+        synth.write_all(synth.TINY, _SYNTH_CACHE)
+        with open(done, "w") as f:
+            f.write("ok")
+    return {
+        name: f"{_SYNTH_CACHE}/{name}"
+        for name in ("stems", "crowns", "tiles", "images", "lidar")
+    }
+
+
+def _q_synth_assign(sf_dir: str):
+    """Crown-assignment PIP join on TRUE star-convex polygons (the
+    arbitrary-geometry path; golden-tested in tests/test_assign.py)."""
+    from geotreehealth_ray.pipelines.assign import assign_stems_to_crowns
+
+    p = _synth_paths()
+    assignment, _ = assign_stems_to_crowns(
+        _rd().read_parquet(p["stems"]), _rd().read_parquet(p["crowns"])
+    )
+    return assignment
+
+
+def _q_synth_nms(sf_dir: str):
+    from geotreehealth_ray.pipelines.nms import greedy_nms
+
+    p = _synth_paths()
+    return greedy_nms(_rd().read_parquet(p["crowns"]), threshold=0.3)
+
+
+def _q_synth_chips(sf_dir: str):
+    from geotreehealth_ray.pipelines.chips import GridSpec, extract_chips_storage
+    from geotreehealth_ray.sources import synth
+
+    p = _synth_paths()
+    chips = extract_chips_storage(
+        _rd().read_parquet(p["crowns"]),
+        p["tiles"],
+        _rd().read_parquet(p["images"]),
+        GridSpec.from_synth(synth.TINY),
+    )
+    return chips.map_batches(
+        lambda t: t.drop_columns(["bytes", "mask"]), batch_format="pyarrow"
+    )
+
+
+def _q_synth_lidar_stats(sf_dir: str):
+    from geotreehealth_ray.pipelines.lidar import crown_lidar_stats
+
+    p = _synth_paths()
+    return crown_lidar_stats(
+        _rd().read_parquet(p["lidar"]), _rd().read_parquet(p["crowns"])
+    )
+
+
+def _q_synth_treetops(sf_dir: str):
+    from geotreehealth_ray.pipelines.treetops import detect_treetops
+
+    p = _synth_paths()
+    return detect_treetops(_rd().read_parquet(p["lidar"]))
+
+
+def _q_synth_knn_cardinal(sf_dir: str):
+    from geotreehealth_ray.pipelines.knn import knn_cardinal
+
+    p = _synth_paths()
+    stems = _rd().read_parquet(p["stems"]).map_batches(
+        lambda df: df.drop_duplicates("stem_id"), batch_format="pandas"
+    )
+    # dedup across blocks: TINY fits one block after this projection
+    return knn_cardinal(stems.repartition(1), min_dist=3.0)
+
+
+def _q_synth_median_polygon(sf_dir: str):
+    from geotreehealth_ray.pipelines.crown_ops import select_median_polygon
+
+    p = _synth_paths()
+    # project away the nested ring column BEFORE the pandas-based
+    # reduce (list<struct> does not round-trip through pandas blocks)
+    crowns = _rd().read_parquet(
+        p["crowns"], columns=["stem_id", "crown_id", "area"]
+    )
+    return select_median_polygon(crowns)
+
+
+def _q_synth_stem_dedup(sf_dir: str):
+    from geotreehealth_ray.pipelines.crown_ops import dedup_stems
+
+    p = _synth_paths()
+    return dedup_stems(_rd().read_parquet(p["stems"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # spatial operators (derived coordinates — SQL-oracled)
@@ -431,6 +534,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_near_dup": _q_emb_near_dup,
         "ann_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,
+        # geospatial operators on TRUE polygons / rasters / point clouds
+        # (deterministic synthetic tables; golden-tested in tests/)
+        "synth_assign": _q_synth_assign,
+        "synth_nms": _q_synth_nms,
+        "synth_chips": _q_synth_chips,
+        "synth_lidar_stats": _q_synth_lidar_stats,
+        "synth_treetops": _q_synth_treetops,
+        "synth_knn_cardinal": _q_synth_knn_cardinal,
+        "synth_median_polygon": _q_synth_median_polygon,
+        "synth_stem_dedup": _q_synth_stem_dedup,
     }
 
 
