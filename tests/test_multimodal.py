@@ -1,0 +1,98 @@
+"""Multimodal stage plumbing (stubbed audio/video decode, real image
+resize) — schemas, actor signatures, determinism."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geotreehealth_ray.functions import codec
+from geotreehealth_ray.stages import multimodal
+
+
+def _audio_table(n=6):
+    rng = np.random.default_rng(0)
+    return pa.table(
+        {
+            "audio_id": pa.array([f"a{i}" for i in range(n)]),
+            "bytes": pa.array([rng.bytes(256) for _ in range(n)], pa.binary()),
+            "fmt": pa.array(["wav"] * n),
+            "sample_rate": pa.array([16000] * n, pa.int32()),
+            "duration": pa.array([1.0] * n, pa.float32()),
+        }
+    )
+
+
+def test_audio_slot_features(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(_audio_table())
+    out = ds.map_batches(
+        multimodal.AudioFeatureSlot, batch_format="pyarrow", concurrency=2
+    ).to_pandas()
+    assert len(out) == 6
+    assert (out["rms"] > 0).all()
+    assert out["band_energy"].map(len).eq(8).all()
+    out2 = (
+        rd.from_arrow(_audio_table())
+        .map_batches(multimodal.AudioFeatureSlot, batch_format="pyarrow", concurrency=2)
+        .to_pandas()
+    )
+    a = out.sort_values("audio_id").reset_index(drop=True)
+    b = out2.sort_values("audio_id").reset_index(drop=True)
+    assert (a["rms"] == b["rms"]).all()
+
+
+def test_video_slot_frames(ray_session):
+    import ray.data as rd
+
+    n = 3
+    tbl = pa.table(
+        {
+            "video_id": pa.array([f"v{i}" for i in range(n)]),
+            "bytes": pa.array([bytes([i]) * 128 for i in range(n)], pa.binary()),
+            "fmt": pa.array(["mp4"] * n),
+            "fps": pa.array([30.0] * n, pa.float32()),
+            "n_frames": pa.array([120] * n, pa.int32()),
+        }
+    )
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(multimodal.VideoFrameSampleSlot, batch_format="pyarrow",
+                     concurrency=2)
+        .to_pandas()
+    )
+    assert len(out) == n * 4
+    frame = codec.decode_png(out.iloc[0]["bytes"])
+    assert frame.shape == (32, 32, 3)
+
+
+def test_image_resize_stage(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (100, 80, 3), dtype=np.uint8)
+    tbl = pa.table(
+        {
+            "image_id": pa.array(["i0"]),
+            "bytes": pa.array([codec.encode_png(img)], pa.binary()),
+            "fmt": pa.array(["png"]),
+            "w": pa.array([80], pa.int32()),
+            "h": pa.array([100], pa.int32()),
+        }
+    )
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(multimodal.ImageResizeStage, batch_format="pyarrow",
+                     concurrency=2)
+        .to_pandas()
+    )
+    small = codec.decode_png(out.iloc[0]["bytes"])
+    assert small.shape == (64, 64, 3)
+    assert out.iloc[0]["w"] == 64 and out.iloc[0]["h"] == 64
+
+
+def test_strict_paths_raise():
+    with pytest.raises(NotImplementedError):
+        multimodal.AudioFeatureSlot(strict=True)
+    with pytest.raises(NotImplementedError):
+        multimodal.VideoFrameSampleSlot(strict=True)
