@@ -12,18 +12,23 @@ Reference semantics (mirrored exactly, validated by golden tests):
 - stems contained by no crown → "unassigned" report — reference
   utils.py:330-332 (a left-anti output of the join).
 
-Physical plan (SURVEY.md §7.1 step 5):
+Physical plan (SURVEY.md §7.1 steps 5+9):
 1. cell-encode stems at resolution ``res`` (narrow projection only);
-2. halo-replicate crowns to every cell their bbox covers, rings packed
-   as binary;
-3. union both sides and ``groupby(cell)`` — ONE all-to-all exchange
-   co-locating each cell's stems with every crown that can contain
-   them;
-4. per cell: vectorized bbox prefilter + exact ray-casting PIP + local
-   nearest-stem partial argmin (combiner);
-5. tiny ``groupby(crown_id)`` over the ≤#covered-cells partials per
-   crown resolves the global winner (dedups halo replication);
-6. unassigned = groupby(stem_id) anti of distinct stems vs winners.
+2. halo-replicate crowns to every cell their bbox covers (vectorized
+   explode), rings packed as binary; skew salting splits each cell
+   into N_SALT sub-groups — crowns partition by hash(crown_id), stems
+   replicate — so dense forest-patch cells fan out instead of
+   straggling;
+3. union both sides and ``groupby(cell, salt)`` — ONE all-to-all
+   exchange co-locating each sub-group's stems with every crown that
+   can contain them;
+4. per group: per-partition grid index (R-tree slot) + bbox prefilter
+   + exact ray-casting PIP + local nearest-stem partial argmin
+   (combiner);
+5. a hash-bucketed reduce resolves the global winner per crown across
+   its ≤#covered-cells partials (single-cell crowns pass through
+   untouched inside the same reduce);
+6. unassigned = bucketed anti-reduce of distinct stems vs winners.
 """
 
 from __future__ import annotations

@@ -1,0 +1,124 @@
+"""End-to-end pipeline compositions mirroring the reference's entry
+points (SURVEY.md §3), wired from this engine's stages.
+
+1. ``delineation_pipeline`` — reference
+   tree_delineation/delineation_pipeline.py:61-185 (build_data_schema):
+   detector boxes → stem filter → prompts → SAM-slot scoring →
+   mask→polygon → simplify → NMS → per-stem attribute join. The SAM
+   forward is the stub slot (stages/scorers.py); every surrounding
+   stage is real.
+2. ``health_dataset_pipeline`` — reference
+   tree_health_detection/main.py:64-194: crown filters → chip
+   extraction → label build → rebalance → stratified split.
+3. ``alignment_pipeline`` — reference field_data_alignment/utils.py:
+   12-119: match control points → fit offsets → apply to all stems.
+
+Each returns its principal Dataset plus a per-stage row-count metrics
+dict (the lineage the north rule requires alongside the partition
+manifests in state/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions import cells
+
+__all__ = ["delineation_pipeline", "health_dataset_pipeline",
+           "alignment_pipeline"]
+
+
+def delineation_pipeline(stems, crowns, cfg=None, res: int = cells.DEFAULT_RES):
+    """Stem-prompted crown delineation, NMS'd and attribute-joined.
+
+    In the reference the crowns come out of SAM masks; in-sandbox the
+    SAM slot is a stub, so the synthetic ``crowns`` table plays the
+    mask→polygon output and the pipeline exercises the full surrounding
+    graph: filter → kNN prompts → NMS (selected flag) → crown↔stem
+    attribute join (broadcast-free)."""
+    import pyarrow.compute as pc
+
+    from .crown_ops import filter_stems
+    from .knn import knn_points
+    from .nms import greedy_nms
+    from .prompts import PipelineConfig, build_prompts
+    from .relational import hash_join
+
+    cfg = cfg or PipelineConfig()
+    metrics: dict[str, int] = {}
+
+    stems_f = filter_stems(stems, min_crwnpst=2)
+    prompts = build_prompts(
+        stems_f.select_columns(["stem_id", "x", "y"]),
+        knn_points(stems_f, k=cfg.neighbors + cfg.first_neigh, res=res),
+        cfg,
+    )
+    metrics["prompts"] = prompts.count()
+
+    selected = greedy_nms(crowns, threshold=0.3, res=res)
+    crowns_slim = crowns.select_columns(["crown_id", "stem_id", "score", "area"])
+    crowns_sel = hash_join(crowns_slim, selected, on="crown_id")
+    metrics["crowns_selected"] = crowns_sel.count()
+
+    # left-join stem attrs onto surviving crowns (delineation_pipeline
+    # .py:159-160) — co-partitioned, large-large safe
+    stems_attrs = stems.select_columns(
+        ["stem_id", "status", "crwnpst", "dbh", "site_id", "species"]
+    )
+    out = hash_join(
+        crowns_sel.map_batches(
+            lambda t: t.filter(pc.is_valid(t["stem_id"])),
+            batch_format="pyarrow",
+        ),
+        stems_attrs,
+        on="stem_id",
+    )
+    metrics["crowns_with_attrs"] = out.count()
+    return out, metrics
+
+
+def health_dataset_pipeline(crowns, tiles_path: str, images, grid,
+                            min_area: float = 8.0):
+    """Chip dataset build: area/selected filters → chip extraction →
+    label rows → deterministic stratified split (main.py:97-194)."""
+    import pyarrow.compute as pc
+
+    from .chips import extract_chips_storage
+    from .split import stratified_split
+
+    metrics: dict[str, int] = {}
+    big = crowns.map_batches(
+        lambda t: t.filter(pc.greater(t["area"], min_area)),
+        batch_format="pyarrow",
+    )
+    chips = extract_chips_storage(big, tiles_path, images, grid)
+    labels = chips.map_batches(
+        lambda t: t.drop_columns(["bytes", "mask"]), batch_format="pyarrow"
+    )
+    # label rows carry the caption (site/species/status proxy); split
+    # stratified on tile_id prefix as the site analogue
+    def add_site(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["site"] = df["tile_id"].str.slice(0, 6)
+        return df
+
+    labeled = labels.map_batches(add_site, batch_format="pandas")
+    split_ds = stratified_split(labeled, "crown_id", ["site"])
+    metrics["chips"] = split_ds.count()
+    return split_ds, metrics
+
+
+def alignment_pipeline(field_stems, ref_stems):
+    """Field→reference coordinate alignment (field_data_alignment)."""
+    from .alignment import apply_alignment, fit_offset_model, match_control_points
+
+    field_df = field_stems.select_columns(["stem_id", "x", "y"]).to_pandas()
+    ref_df = ref_stems.select_columns(["stem_id", "x", "y"]).to_pandas()
+    matched = match_control_points(
+        field_df.drop_duplicates("stem_id"), ref_df.drop_duplicates("stem_id")
+    )
+    coef = fit_offset_model(matched)
+    out = apply_alignment(field_stems, coef)
+    return out, {"matched_points": len(matched)}

@@ -20,7 +20,79 @@ __all__ = [
     "attach_cell",
     "pack_rings",
     "explode_to_covering_cells",
+    "flip_boxes_y",
+    "boxes_to_world",
+    "bbox_to_ring",
 ]
+
+
+def flip_boxes_y(batch: pa.Table, height_px: int | str = "h") -> pa.Table:
+    """y-axis flip of detector boxes: ymin/ymax → height − y (reference
+    delineation_pipeline.py:80-82, batch_sam.py:677-679 — detector
+    pixel rows count down, rasters count up)."""
+    h = (
+        batch[height_px].to_numpy().astype(np.float64)
+        if isinstance(height_px, str)
+        else float(height_px)
+    )
+    ymin = batch["ymin"].to_numpy()
+    ymax = batch["ymax"].to_numpy()
+    new_min = h - ymax
+    new_max = h - ymin
+    i_min = batch.schema.get_field_index("ymin")
+    batch = batch.set_column(i_min, "ymin", pa.array(new_min, pa.float64()))
+    i_max = batch.schema.get_field_index("ymax")
+    return batch.set_column(i_max, "ymax", pa.array(new_max, pa.float64()))
+
+
+def boxes_to_world(batch: pa.Table, a: float, b: float, c: float,
+                   d: float, e: float, f: float) -> pa.Table:
+    """Pixel boxes → world coordinates via the affine (x = a·col + b·row
+    + c ; y = d·col + e·row + f) — reference translate/scale to georef
+    (get_polygons.py:494-499, batch_sam.py:529-539). Assumes axis-
+    aligned affines (b == d == 0), the only kind the engine produces."""
+    xmin = batch["xmin"].to_numpy()
+    xmax = batch["xmax"].to_numpy()
+    ymin = batch["ymin"].to_numpy()
+    ymax = batch["ymax"].to_numpy()
+    wx0 = a * xmin + c
+    wx1 = a * xmax + c
+    wy0 = e * ymin + f
+    wy1 = e * ymax + f
+    out = {
+        "minx": np.minimum(wx0, wx1),
+        "maxx": np.maximum(wx0, wx1),
+        "miny": np.minimum(wy0, wy1),
+        "maxy": np.maximum(wy0, wy1),
+    }
+    for name, arr in out.items():
+        if name in batch.column_names:
+            batch = batch.drop_columns([name])
+        batch = batch.append_column(name, pa.array(arr, pa.float64()))
+    return batch
+
+
+def bbox_to_ring(batch: pa.Table) -> pa.Table:
+    """minx/miny/maxx/maxy → a 4-vertex ``ring`` column (reference
+    create_bounding_box, delineation_utils.py:329-333)."""
+    minx = batch["minx"].to_numpy()
+    miny = batch["miny"].to_numpy()
+    maxx = batch["maxx"].to_numpy()
+    maxy = batch["maxy"].to_numpy()
+    ring_type = pa.list_(pa.struct([("x", pa.float64()), ("y", pa.float64())]))
+    rings = pa.array(
+        [
+            [
+                {"x": a, "y": b},
+                {"x": cx, "y": b},
+                {"x": cx, "y": dy},
+                {"x": a, "y": dy},
+            ]
+            for a, b, cx, dy in zip(minx, miny, maxx, maxy)
+        ],
+        type=ring_type,
+    )
+    return batch.append_column("ring", rings)
 
 
 def rings_from_arrow(col: pa.ChunkedArray | pa.Array) -> list[np.ndarray]:
