@@ -28,11 +28,13 @@ __all__ = [
     "BASE_CELL_M",
 ]
 
-# World extent handled: [0, BASE_CELL_M) on each axis at res 0. With 30
-# bits per axis, res 20 still gives sub-millimeter cells — far below any
-# raster resolution the reference uses (0.1 m/px, config.py:53).
+# World extent handled: [0, BASE_CELL_M) on each axis at res 0. The key
+# layout reserves 4 bits for the resolution, so valid res is 0..15
+# (finest cell edge = 2^20 / 2^15 = 32 m — coarser than any per-point
+# op needs a cell for; sub-cell work happens inside partition kernels).
 BASE_CELL_M = float(1 << 20)  # 1,048,576 m square world plane
 DEFAULT_RES = 13  # 1048576 / 2**13 = 128 m cells (~ reference 100 m tiles)
+MAX_RES = 15
 _AXIS_BITS = 30
 
 
@@ -77,6 +79,8 @@ def cell_of(x, y, res: int = DEFAULT_RES) -> np.ndarray:
     Layout: [4 bits res][60 bits morton(gx, gy)] — keys at different
     resolutions never collide, and sorting by key at one resolution
     yields Z-order spatial locality (good block co-location)."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}], got {res}")
     gx, gy = cell_grid_xy(x, y, res)
     code = _part1by1(gx.astype(np.uint64)) | (
         _part1by1(gy.astype(np.uint64)) << np.uint64(1)

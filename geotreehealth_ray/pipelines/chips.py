@@ -386,6 +386,34 @@ def extract_chips_storage(crowns, tiles_path: str, captions, grid: GridSpec,
     )
 
 
+def extract_chips_checkpointed(crowns, tiles_path: str, captions, grid: GridSpec,
+                               out_dir: str, partition_bits: int = 6,
+                               **kwargs) -> list[dict]:
+    """Resumable chip extraction (north_rule): crowns are pre-filtered
+    by the checkpoint manifest BEFORE any raster work — a resumed run
+    skips completed partitions at the source — and the output is
+    written as partitioned parquet with per-partition lineage
+    (state/checkpoint.py). Partition id = coarse Z-order prefix of the
+    crown's cell, so each partition is a contiguous spatial block.
+    Returns the manifest rows written by this invocation."""
+    from ..state import checkpoint as cp
+
+    def add_pid(t: pa.Table) -> pa.Table:
+        pid = cp.partition_of_cells(t["cell"].to_numpy(), bits=partition_bits)
+        if "partition_id" in t.column_names:
+            t = t.drop_columns(["partition_id"])
+        return t.append_column("partition_id", pa.array(pid, pa.int64()))
+
+    pending_crowns = cp.resume_filter(
+        crowns.map_batches(add_pid, batch_format="pyarrow"), out_dir
+    )
+    chips = extract_chips_storage(pending_crowns, tiles_path, captions, grid,
+                                  **kwargs)
+    chips = chips.map_batches(add_pid, batch_format="pyarrow")
+    return cp.write_partitioned(chips, out_dir, stage="chips",
+                                input_tag=tiles_path)
+
+
 def extract_chips(crowns, tiles, captions, grid: GridSpec, n_salt: int = 8):
     """crowns × tiles (× captions) → chip rows, one per servable crown.
 
