@@ -118,69 +118,89 @@ def minhash_lsh_pairs(docs, k: int = 5, num_perm: int = 128, bands: int = 32,
     shingle-Jaccard ≥ threshold among LSH candidates (a < b; precision
     1.0 by construction; recall set by (bands, rows-per-band)).
 
-    Flow: per-batch signatures → explode to band rows carrying the TEXT
-    (so the verify step has both texts in the band group without a
-    second join) → groupby(band_id, band_hash) → in-group pair verify →
-    global pair dedup (pairs can surface from several bands)."""
+    Scale-aware flow — document text NEVER fans out per band:
+    1. per-batch signatures → explode to SLIM band rows
+       (band_id, band_hash, doc_id) — ~50 B/row × bands;
+    2. groupby(band_id, band_hash) → candidate pairs (ids only);
+    3. dedup pairs (a pair surfaces from several bands);
+    4. two bucketed joins attach text_a then text_b — each text crosses
+       the wire once per pair-membership, not once per band;
+    5. exact shingle-Jaccard verify per pair, keep ≥ threshold.
+    """
     rows_per_band = num_perm // bands
 
     def band_stage(df: pd.DataFrame) -> pd.DataFrame:
         sigs = _signatures(df["text"].fillna("").tolist(), k, num_perm)
-        out_doc, out_band, out_hash, out_text = [], [], [], []
-        for i, did in enumerate(df["doc_id"]):
+        n = len(df)
+        out_doc = np.repeat(df["doc_id"].to_numpy(), bands)
+        out_band = np.tile(np.arange(bands, dtype=np.int32), n)
+        out_hash = np.empty(n * bands, np.int64)
+        pos = 0
+        for i in range(n):
             for bidx in range(bands):
                 seg = sigs[i, bidx * rows_per_band : (bidx + 1) * rows_per_band]
                 bh = hashlib.blake2b(seg.tobytes(), digest_size=8).digest()
-                out_doc.append(did)
-                out_band.append(bidx)
-                out_hash.append(int.from_bytes(bh, "little") >> 1)
-                out_text.append(df["text"].iloc[i])
+                out_hash[pos] = int.from_bytes(bh, "little") >> 1
+                pos += 1
         return pd.DataFrame(
-            {
-                "doc_id": out_doc,
-                "band_id": np.array(out_band, np.int32),
-                "band_hash": np.array(out_hash, np.int64),
-                "text": out_text,
-            }
+            {"doc_id": out_doc, "band_id": out_band, "band_hash": out_hash}
         )
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
+    def candidates(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["doc_id"].to_numpy())
+        if len(ids) < 2:
             return pd.DataFrame(
                 {"doc_id_a": pd.array([], "int64"),
-                 "doc_id_b": pd.array([], "int64"),
-                 "jaccard": pd.array([], "float64")}
+                 "doc_id_b": pd.array([], "int64")}
             )
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].tolist()
-        texts = g["text"].tolist()
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame(
+            {"doc_id_a": pd.array(ids[ii], "int64"),
+             "doc_id_b": pd.array(ids[jj], "int64")}
+        )
+
+    from .relational import bucketed_reduce, hash_join
+
+    pairs = (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(band_stage, batch_format="pandas")
+        .groupby(["band_id", "band_hash"])
+        .map_groups(candidates, batch_format="pandas")
+    )
+    pairs = bucketed_reduce(
+        pairs, "doc_id_a",
+        lambda df: df.drop_duplicates(["doc_id_a", "doc_id_b"]),
+    )
+    texts = docs.select_columns(["doc_id", "text"])
+    a_side = texts.map_batches(
+        lambda df: df.rename(columns={"doc_id": "doc_id_a", "text": "text_a"}),
+        batch_format="pandas",
+    )
+    b_side = texts.map_batches(
+        lambda df: df.rename(columns={"doc_id": "doc_id_b", "text": "text_b"}),
+        batch_format="pandas",
+    )
+    with_a = hash_join(pairs, a_side, on="doc_id_a")
+    with_b = hash_join(with_a, b_side, on="doc_id_b")
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
         ra, rb, rj = [], [], []
-        sh = [_char_shingles(t or "", k) for t in texts]
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                inter = len(sh[i] & sh[j])
-                union = len(sh[i]) + len(sh[j]) - inter
-                jac = inter / union if union else (1.0 if not sh[i] else 0.0)
-                if jac >= threshold:
-                    ra.append(ids[i]); rb.append(ids[j]); rj.append(round(jac, 9))
+        for row in df.itertuples():
+            sa = _char_shingles(row.text_a or "", k)
+            sb = _char_shingles(row.text_b or "", k)
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            jac = inter / union if union else (1.0 if not sa else 0.0)
+            if jac >= threshold:
+                ra.append(row.doc_id_a); rb.append(row.doc_id_b)
+                rj.append(round(jac, 9))
         return pd.DataFrame(
             {"doc_id_a": pd.array(ra, "int64"),
              "doc_id_b": pd.array(rb, "int64"),
              "jaccard": pd.array(rj, "float64")}
         )
 
-    from .relational import bucketed_reduce
-
-    pairs = (
-        docs.map_batches(band_stage, batch_format="pandas")
-        .groupby(["band_id", "band_hash"])
-        .map_groups(verify, batch_format="pandas")
-    )
-    # same pair found in several bands → dedup on (a, b)
-    return bucketed_reduce(
-        pairs, "doc_id_a",
-        lambda df: df.drop_duplicates(["doc_id_a", "doc_id_b"]),
-    )
+    return with_b.map_batches(verify, batch_format="pandas")
 
 
 # ------------------------------------------------------------ simhash
