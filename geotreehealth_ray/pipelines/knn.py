@@ -30,20 +30,40 @@ from ..functions import cells
 __all__ = ["knn_points", "knn_cardinal"]
 
 
-def _halo_explode(batch: pa.Table, res: int) -> pa.Table:
+def _halo_explode(batch: pa.Table, res: int, halo_m: float | None = None) -> pa.Table:
     """Replicate each point to its 3×3 cell neighborhood; ``owner`` marks
-    the copy living in the point's own cell (query rows)."""
+    the copy living in the point's own cell (query rows).
+
+    ``halo_m`` bounds the replication: a point is copied into a
+    neighbor cell only when it lies within ``halo_m`` of the shared
+    boundary (a point can only serve queries within halo_m of it).
+    None → full-cell halo (exact for kth-distance ≤ cell edge); at
+    scale pass the actual search radius so shuffle volume grows by
+    ~4·halo/edge instead of 9×."""
     x = batch["x"].to_numpy()
     y = batch["y"].to_numpy()
     edge = cells.cell_edge_m(res)
+    if halo_m is None:
+        halo_m = edge
     n_axis = 1 << res
     gx = np.clip((x // edge).astype(np.int64), 0, n_axis - 1)
     gy = np.clip((y // edge).astype(np.int64), 0, n_axis - 1)
+    # distances to own-cell boundaries
+    off_x = x - gx * edge
+    off_y = y - gy * edge
     idx_out, cell_out, owner_out = [], [], []
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             nx, ny = gx + dx, gy + dy
             ok = (nx >= 0) & (nx < n_axis) & (ny >= 0) & (ny < n_axis)
+            if dx == -1:
+                ok &= off_x <= halo_m
+            elif dx == 1:
+                ok &= (edge - off_x) <= halo_m
+            if dy == -1:
+                ok &= off_y <= halo_m
+            elif dy == 1:
+                ok &= (edge - off_y) <= halo_m
             w = np.where(ok)[0]
             idx_out.append(w)
             cell_out.append(
@@ -107,17 +127,20 @@ def _knn_cell(group: pa.Table, k: int) -> pa.Table:
 
 
 def knn_points(points, k: int = 5, res: int = cells.DEFAULT_RES,
-               id_col: str = "stem_id"):
+               id_col: str = "stem_id", halo_m: float | None = None):
     """(id, neighbor_id, rank, dist) — k nearest other points per point.
 
-    Exact when the k-th neighbor lies within one cell edge (the halo
-    guarantee); choose ``res`` so cell_edge ≥ the search radius.
+    Exact when the k-th neighbor lies within min(halo_m, cell edge)
+    (the halo guarantee); choose ``res``/``halo_m`` so that bound
+    covers the search radius. Passing the actual radius as ``halo_m``
+    cuts halo replication from 9× to ~(1 + 4·halo/edge)×.
     """
     pts = points.select_columns([id_col, "x", "y"]).map_batches(
         lambda t: t.rename_columns(["id", "x", "y"]), batch_format="pyarrow"
     )
     exploded = pts.map_batches(
-        _halo_explode, batch_format="pyarrow", fn_kwargs={"res": res}
+        _halo_explode, batch_format="pyarrow",
+        fn_kwargs={"res": res, "halo_m": halo_m},
     )
     return exploded.groupby("cell").map_groups(
         _knn_cell, batch_format="pyarrow", fn_kwargs={"k": k}
@@ -167,14 +190,15 @@ def _cardinal_cell(group: pa.Table, min_dist: float) -> pa.Table:
 
 
 def knn_cardinal(points, min_dist: float = 3.0, res: int = cells.DEFAULT_RES,
-                 id_col: str = "stem_id"):
+                 id_col: str = "stem_id", halo_m: float | None = None):
     """(id, quad, neighbor_id, dist) — nearest neighbor per NE/NW/SE/SW
     quadrant at distance ≥ min_dist (reference 3 m floor, config.py:34)."""
     pts = points.select_columns([id_col, "x", "y"]).map_batches(
         lambda t: t.rename_columns(["id", "x", "y"]), batch_format="pyarrow"
     )
     exploded = pts.map_batches(
-        _halo_explode, batch_format="pyarrow", fn_kwargs={"res": res}
+        _halo_explode, batch_format="pyarrow",
+        fn_kwargs={"res": res, "halo_m": halo_m},
     )
     return exploded.groupby("cell").map_groups(
         _cardinal_cell, batch_format="pyarrow", fn_kwargs={"min_dist": min_dist}
