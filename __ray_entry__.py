@@ -394,7 +394,16 @@ def _query_vectors(sf_dir: str) -> np.ndarray:
 def _q_ann_topk(sf_dir: str):
     from geotreehealth_ray.pipelines.ann import ann_bruteforce_topk
 
-    return ann_bruteforce_topk(_read(sf_dir, "embeddings"), _query_vectors(sf_dir), k=10)
+    out = ann_bruteforce_topk(
+        _read(sf_dir, "embeddings"), _query_vectors(sf_dir), k=10
+    )
+    # compare ranks, not similarity floats: DuckDB's
+    # list_cosine_similarity accumulates in float32 (~1e-7 error), so
+    # float equality across engines is not meaningful; the top-k
+    # MEMBERSHIP and ORDER are stable (top-10 gaps ≫ 1e-7).
+    return out.map_batches(
+        lambda df: df[["query_id", "vec_id", "rank"]], batch_format="pandas"
+    )
 
 
 def _q_ann_ivf(sf_dir: str):
@@ -715,9 +724,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups
             FROM documents GROUP BY text
         """,
-        # minhash_pairs / simhash_pairs / emb_near_dup / ann_* /
-        # doc_lang_id / doc_fingerprints: not ANSI-SQL-expressible
-        # (LSH banding, bit sketches, heuristic models) → rows-only.
+        "ann_topk": """
+            WITH q AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS query_id,
+                     embedding AS qe
+              FROM embeddings ORDER BY vec_id LIMIT 3),
+            sims AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(e.embedding, q.qe) AS sim
+              FROM embeddings e CROSS JOIN q)
+            SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, vec_id) - 1 AS rnk
+              FROM sims) t
+            WHERE rnk < 10
+        """,
+        # minhash_pairs / simhash_pairs / emb_near_dup / ann_ivf /
+        # doc_lang_id / doc_fingerprints: not exactly SQL-expressible
+        # (LSH banding recall, bit sketches, heuristic models) →
+        # rows-only; their semantics are golden-tested in tests/.
     }
 
 

@@ -30,9 +30,15 @@ def _unit(m: np.ndarray) -> np.ndarray:
 
 
 def ann_bruteforce_topk(embeddings, queries: np.ndarray, k: int = 10,
-                        id_col: str = "vec_id", vec_col: str = "embedding"):
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        quantize: int | None = None):
     """(query_id, vec_id, sim, rank) — exact cosine top-k per query row
-    of ``queries`` (q, dim). Partial top-k per batch → merge."""
+    of ``queries`` (q, dim). Partial top-k per batch → merge.
+
+    ``quantize``: when set (e.g. 10**6), similarities are ranked and
+    emitted as integers floor(sim·quantize + 0.5) in a ``sim_q``
+    column — bit-identical across engines whose float accumulation
+    order differs (the cross-engine oracle mode)."""
     import ray
 
     qref = ray.put(_unit(np.asarray(queries, dtype=np.float64)))
@@ -46,10 +52,14 @@ def ann_bruteforce_topk(embeddings, queries: np.ndarray, k: int = 10,
         kk = min(k, len(ids))
         for qi in range(q.shape[0]):
             s = sims[:, qi]
+            if quantize:
+                s = np.floor(s * quantize + 0.5)
+            else:
+                s = np.round(s, 9)
             part = np.lexsort((ids, -s))[:kk]
             out["query_id"].extend([qi] * len(part))
             out["vec_id"].extend(ids[part])
-            out["sim"].extend(np.round(s[part], 9))
+            out["sim"].extend(s[part])
         return pd.DataFrame(
             {
                 "query_id": np.array(out["query_id"], np.int64),
@@ -62,6 +72,9 @@ def ann_bruteforce_topk(embeddings, queries: np.ndarray, k: int = 10,
         g = g.sort_values(["sim", "vec_id"], ascending=[False, True], kind="stable")
         g = g.head(k).reset_index(drop=True)
         g["rank"] = np.arange(len(g), dtype=np.int64)
+        if quantize:
+            g = g.rename(columns={"sim": "sim_q"})
+            g["sim_q"] = g["sim_q"].astype("int64")
         return g
 
     return (
