@@ -61,12 +61,30 @@ def exact_dedup(docs):
 
 # ----------------------------------------------------------- shingles
 
-def _char_shingles(text: str, k: int) -> set[int]:
-    """k-char shingles hashed to 64-bit ints (stable blake2b)."""
-    t = " ".join(text.split())
-    if len(t) < k:
-        return {_h64(t)} if t else set()
-    return {_h64(t[i : i + k]) for i in range(len(t) - k + 1)}
+_POLY_BASE = np.uint64(1099511628211)  # FNV prime as polynomial base
+
+
+def _char_shingles(text: str, k: int) -> np.ndarray:
+    """k-char shingles hashed to 64-bit ints — vectorized polynomial
+    rolling hash over the whitespace-normalized byte string (sorted
+    unique array; ~100× faster than per-shingle cryptographic hashes,
+    which dominated the MinHash verify stage)."""
+    t = " ".join(text.split()).encode()
+    if len(t) == 0:
+        return np.empty(0, dtype=np.uint64)
+    a = np.frombuffer(t, dtype=np.uint8)
+    if len(a) < k:
+        pad = np.zeros(k, dtype=np.uint8)
+        pad[: len(a)] = a
+        a = pad
+    win = np.lib.stride_tricks.sliding_window_view(a, k).astype(np.uint64)
+    powers = np.empty(k, dtype=np.uint64)
+    p = np.uint64(1)
+    for i in range(k - 1, -1, -1):
+        powers[i] = p
+        p = p * _POLY_BASE  # uint64 wraparound is the modulus
+    h = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
+    return np.unique(h)
 
 
 def _h64(s: str) -> int:
@@ -75,13 +93,16 @@ def _h64(s: str) -> int:
     )
 
 
-def jaccard_of_texts(a: str, b: str, k: int = 5) -> float:
-    sa, sb = _char_shingles(a, k), _char_shingles(b, k)
-    if not sa and not sb:
+def _jaccard_arrays(sa: np.ndarray, sb: np.ndarray) -> float:
+    if len(sa) == 0 and len(sb) == 0:
         return 1.0
-    inter = len(sa & sb)
+    inter = len(np.intersect1d(sa, sb, assume_unique=True))
     union = len(sa) + len(sb) - inter
     return inter / union if union else 0.0
+
+
+def jaccard_of_texts(a: str, b: str, k: int = 5) -> float:
+    return _jaccard_arrays(_char_shingles(a, k), _char_shingles(b, k))
 
 
 # ------------------------------------------------------------ minhash
@@ -100,7 +121,7 @@ def _signatures(texts, k: int, num_perm: int) -> np.ndarray:
     a, b = _minhash_params(num_perm)
     sigs = np.empty((len(texts), num_perm), dtype=np.uint64)
     for i, t in enumerate(texts):
-        sh = np.fromiter(_char_shingles(t or "", k), dtype=np.uint64)
+        sh = _char_shingles(t or "", k)
         if len(sh) == 0:
             sigs[i] = 0
             continue
@@ -146,51 +167,113 @@ def minhash_lsh_pairs(docs, k: int = 5, num_perm: int = 128, bands: int = 32,
             {"doc_id": out_doc, "band_id": out_band, "band_hash": out_hash}
         )
 
-    def candidates(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g["doc_id"].to_numpy())
-        if len(ids) < 2:
+    def candidates_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        """All in-bucket pairs, vectorized across the many
+        (band_id, band_hash) groups of one hash bucket (bucketed
+        pattern — per-key map_groups would pay ~ms × 10^5 groups)."""
+        out_a, out_b = [], []
+        for _, g in df.groupby(["band_id", "band_hash"], sort=False):
+            ids = np.unique(g["doc_id"].to_numpy())
+            if len(ids) < 2:
+                continue
+            ii, jj = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ii])
+            out_b.append(ids[jj])
+        if not out_a:
             return pd.DataFrame(
                 {"doc_id_a": pd.array([], "int64"),
                  "doc_id_b": pd.array([], "int64")}
             )
-        ii, jj = np.triu_indices(len(ids), k=1)
         return pd.DataFrame(
-            {"doc_id_a": pd.array(ids[ii], "int64"),
-             "doc_id_b": pd.array(ids[jj], "int64")}
+            {"doc_id_a": pd.array(np.concatenate(out_a), "int64"),
+             "doc_id_b": pd.array(np.concatenate(out_b), "int64")}
+        ).drop_duplicates(["doc_id_a", "doc_id_b"])
+
+    from .relational import bucketed_reduce
+
+    band_rows = docs.select_columns(["doc_id", "text"]).map_batches(
+        band_stage, batch_format="pandas"
+    )
+    # shuffle 1: band buckets → candidate pairs
+    pairs = bucketed_reduce(band_rows, "band_hash", candidates_bucket)
+
+    _COLS = ["key", "kind", "doc_id_a", "doc_id_b", "text_x"]
+
+    def text_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"key": df["doc_id"].astype("int64"), "kind": np.int8(1),
+             "doc_id_a": -1, "doc_id_b": -1, "text_x": df["text"]}
+        ).reindex(columns=_COLS)
+
+    texts = docs.select_columns(["doc_id", "text"]).map_batches(
+        text_side, batch_format="pandas"
+    )
+
+    def pairs_keyed_a(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"key": df["doc_id_a"].astype("int64"), "kind": np.int8(0),
+             "doc_id_a": df["doc_id_a"], "doc_id_b": df["doc_id_b"],
+             "text_x": ""}
+        ).reindex(columns=_COLS)
+
+    # shuffle 2 (key = doc_id_a): global pair dedup + attach text_a —
+    # one exchange does both (fused to cut sort-barrier latency)
+    def stage_a(df: pd.DataFrame) -> pd.DataFrame:
+        p = df[df["kind"] == 0][["doc_id_a", "doc_id_b"]].drop_duplicates()
+        t = df[df["kind"] == 1][["key", "text_x"]].rename(
+            columns={"key": "doc_id_a", "text_x": "text_a"}
         )
+        return p.merge(t, on="doc_id_a", how="inner")
 
-    from .relational import bucketed_reduce, hash_join
+    pairs_a = bucketed_reduce(
+        pairs.map_batches(pairs_keyed_a, batch_format="pandas").union(texts),
+        "key", stage_a,
+    )
 
-    pairs = (
-        docs.select_columns(["doc_id", "text"])
-        .map_batches(band_stage, batch_format="pandas")
-        .groupby(["band_id", "band_hash"])
-        .map_groups(candidates, batch_format="pandas")
-    )
-    pairs = bucketed_reduce(
-        pairs, "doc_id_a",
-        lambda df: df.drop_duplicates(["doc_id_a", "doc_id_b"]),
-    )
-    texts = docs.select_columns(["doc_id", "text"])
-    a_side = texts.map_batches(
-        lambda df: df.rename(columns={"doc_id": "doc_id_a", "text": "text_a"}),
-        batch_format="pandas",
-    )
-    b_side = texts.map_batches(
-        lambda df: df.rename(columns={"doc_id": "doc_id_b", "text": "text_b"}),
-        batch_format="pandas",
-    )
-    with_a = hash_join(pairs, a_side, on="doc_id_a")
-    with_b = hash_join(with_a, b_side, on="doc_id_b")
+    _COLS_B = ["key", "kind", "doc_id_a", "doc_id_b", "text_a", "text_x"]
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
+    def pairs_keyed_b(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"key": df["doc_id_b"].astype("int64"), "kind": np.int8(0),
+             "doc_id_a": df["doc_id_a"], "doc_id_b": df["doc_id_b"],
+             "text_a": df["text_a"], "text_x": ""}
+        ).reindex(columns=_COLS_B)
+
+    def text_side_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["text_a"] = ""
+        return df.reindex(columns=_COLS_B)
+
+    with_b_input = pairs_a.map_batches(pairs_keyed_b, batch_format="pandas").union(
+        texts.map_batches(text_side_b, batch_format="pandas")
+    )
+
+    def with_b_merge(df: pd.DataFrame) -> pd.DataFrame:
+        p = df[df["kind"] == 0][["doc_id_a", "doc_id_b", "text_a"]]
+        t = df[df["kind"] == 1][["key", "text_x"]].rename(
+            columns={"key": "doc_id_b", "text_x": "text_b"}
+        )
+        return p.merge(t, on="doc_id_b", how="inner")
+
+    # shuffle 3 (key = doc_id_b): attach text_b AND verify in the same
+    # exchange — memoized shingle arrays, each text shingled once per
+    # bucket regardless of how many pairs reference it
+    def stage_b_verify(df: pd.DataFrame) -> pd.DataFrame:
+        merged = with_b_merge(df)
+        memo: dict[int, np.ndarray] = {}
+
+        def sh(doc_id, text):
+            s = memo.get(doc_id)
+            if s is None:
+                s = _char_shingles(text or "", k)
+                memo[doc_id] = s
+            return s
+
         ra, rb, rj = [], [], []
-        for row in df.itertuples():
-            sa = _char_shingles(row.text_a or "", k)
-            sb = _char_shingles(row.text_b or "", k)
-            inter = len(sa & sb)
-            union = len(sa) + len(sb) - inter
-            jac = inter / union if union else (1.0 if not sa else 0.0)
+        for row in merged.itertuples():
+            jac = _jaccard_arrays(
+                sh(row.doc_id_a, row.text_a), sh(row.doc_id_b, row.text_b)
+            )
             if jac >= threshold:
                 ra.append(row.doc_id_a); rb.append(row.doc_id_b)
                 rj.append(round(jac, 9))
@@ -200,7 +283,7 @@ def minhash_lsh_pairs(docs, k: int = 5, num_perm: int = 128, bands: int = 32,
              "jaccard": pd.array(rj, "float64")}
         )
 
-    return with_b.map_batches(verify, batch_format="pandas")
+    return bucketed_reduce(with_b_input, "key", stage_b_verify)
 
 
 # ------------------------------------------------------------ simhash
