@@ -121,13 +121,6 @@ def build_prompts(stems, neighbors, cfg: PipelineConfig):
 
     # neighbor rows need the neighbor's coordinates: join driver-free by
     # sending stems twice (as targets and as coordinate source)
-    def stem_rows(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"key": df["stem_id"], "kind": 0, "id": df["stem_id"],
-             "x": df["x"], "y": df["y"], "neighbor_id": "",
-             "dist": np.nan, "quad": ""}
-        )
-
     def coord_rows(df: pd.DataFrame) -> pd.DataFrame:
         # keyed by the NEIGHBOR id so the coordinates co-locate with
         # every edge that references them
@@ -145,7 +138,6 @@ def build_prompts(stems, neighbors, cfg: PipelineConfig):
              "quad": df["quad"] if "quad" in df.columns else ""}
         )
 
-    s0 = stems.map_batches(stem_rows, batch_format="pandas")
     s1 = stems.map_batches(coord_rows, batch_format="pandas")
     e = neighbors.map_batches(edge_rows, batch_format="pandas")
 
