@@ -206,12 +206,13 @@ def main():
     if "--scaling" in sys.argv:
         results = {}
         for n in (8, 32):
-            # scaling protocol uses a 4× dataset so parallel compute
-            # dominates the fixed per-run costs (sort barriers,
-            # driver coordination) — same input at both levels
+            # scaling protocol uses a 16× dataset so parallel compute
+            # dominates the fixed per-run costs (sort barriers, driver
+            # coordination) — same input at both levels. These defaults
+            # are the configuration recorded in BENCH/BASELINE.md.
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
-            env.setdefault("GRAFT_BENCH_STEMS", "240000")
-            env.setdefault("GRAFT_BENCH_EXTENT", "4000")
+            env.setdefault("GRAFT_BENCH_STEMS", "960000")
+            env.setdefault("GRAFT_BENCH_EXTENT", "8000")
             out = subprocess.run(
                 [sys.executable, "bench.py"], env=env,
                 capture_output=True, text=True, check=True,

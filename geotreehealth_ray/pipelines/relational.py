@@ -116,7 +116,13 @@ def hash_join(left, right, on: str, how: str = "inner",
     bucketed on a deterministic hash of the key and merged per bucket
     with pandas — one shuffle each side, no broadcast (ray_guide
     'Both sides large'). Columns common to both sides (other than the
-    key) get the suffixes."""
+    key) get the suffixes.
+
+    Skew note: all rows of one key land in one bucket; for a key whose
+    many-to-many match set exceeds a worker's heap, pre-salt the key
+    (split one side by hash(row) % s, replicate the other side per
+    salt) before calling — the same pattern assign.py uses for hot
+    cells."""
 
     def tag(side):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
