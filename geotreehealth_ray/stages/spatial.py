@@ -115,22 +115,44 @@ def ring_to_bytes(ring: np.ndarray) -> bytes:
 
 
 def rings_from_binary(col) -> list[np.ndarray]:
-    """binary ring column → list of (n, 2) arrays (zero-copy per value)."""
+    """binary ring column → list of (n, 2) float64 arrays. Zero-copy:
+    one frombuffer over the column's data buffer, per-ring views."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    bufs = col.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int32)[
+        col.offset : col.offset + len(col) + 1
+    ]
+    data = np.frombuffer(bufs[2], dtype=np.float64)
     out = []
-    for v in col:
-        buf = v.as_buffer()
-        out.append(np.frombuffer(buf, dtype=np.float64).reshape(-1, 2))
+    for i in range(len(col)):
+        s, e = offsets[i] // 8, offsets[i + 1] // 8
+        out.append(data[s:e].reshape(-1, 2))
     return out
 
 
 def pack_rings(batch: pa.Table, ring_col: str = "ring",
                out_col: str = "ring_b") -> pa.Table:
     """map_batches stage: add binary-packed ring column, drop the nested
-    one. Run before any shuffle that must carry geometry."""
-    rings = rings_from_arrow(batch[ring_col])
-    packed = pa.array([ring_to_bytes(r) for r in rings], pa.binary())
+    one. Run before any shuffle that must carry geometry. Vectorized:
+    the binary array is built from one interleaved buffer + the list
+    column's own offsets — no per-row Python loop."""
+    col = batch[ring_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offsets = col.offsets.to_numpy().astype(np.int64)
+    flat = col.flatten()
+    xs = flat.field("x").to_numpy()
+    ys = flat.field("y").to_numpy()
+    inter = np.empty(2 * len(xs), dtype=np.float64)
+    inter[0::2] = xs
+    inter[1::2] = ys
+    byte_offsets = (offsets * 16).astype(np.int32)
+    packed = pa.Array.from_buffers(
+        pa.binary(), len(col),
+        [None, pa.py_buffer(byte_offsets.tobytes()),
+         pa.py_buffer(inter.tobytes())],
+    )
     return batch.drop_columns([ring_col]).append_column(out_col, packed)
 
 
