@@ -297,7 +297,12 @@ def iou_star(a: np.ndarray, b: np.ndarray) -> float:
     inter = intersection_area_star(a, b)
     if inter == 0.0:
         return 0.0
-    union = ring_area(a) + ring_area(b) - inter
+    area_a = ring_area(a)
+    area_b = ring_area(b)
+    # Triangulated clipping can overshoot by ~1e-9 relative; the true
+    # intersection is bounded by min(area_a, area_b).
+    inter = min(inter, area_a, area_b)
+    union = area_a + area_b - inter
     return inter / union if union > 0 else 0.0
 
 
@@ -307,7 +312,10 @@ def overlap_of_max_area(a: np.ndarray, b: np.ndarray) -> float:
     inter = intersection_area_star(a, b)
     if inter == 0.0:
         return 0.0
-    return inter / max(ring_area(a), ring_area(b))
+    area_a = ring_area(a)
+    area_b = ring_area(b)
+    inter = min(inter, area_a, area_b)
+    return inter / max(area_a, area_b)
 
 
 def simplify_ring(ring: np.ndarray, tolerance: float) -> np.ndarray:
