@@ -380,7 +380,15 @@ def _q_simhash_pairs(sf_dir: str):
 def _q_emb_near_dup(sf_dir: str):
     from geotreehealth_ray.pipelines.dedup import embedding_near_dup
 
-    return embedding_near_dup(_read(sf_dir, "embeddings"), threshold=0.95)
+    ds = embedding_near_dup(_read(sf_dir, "embeddings"), threshold=0.95)
+    df = ds.to_pandas()  # pair output is tiny; Dataset.to_pandas drops
+    if df.empty:  # the schema for empty datasets — rebuild it typed
+        df = pd.DataFrame(
+            {"vec_id_a": pd.array([], "int64"),
+             "vec_id_b": pd.array([], "int64"),
+             "cosine": pd.array([], "float64")}
+        )
+    return df
 
 
 def _query_vectors(sf_dir: str) -> np.ndarray:
@@ -740,10 +748,21 @@ def oracle_sql() -> dict[str, str]:
               FROM sims) t
             WHERE rnk < 10
         """,
-        # minhash_pairs / simhash_pairs / emb_near_dup / ann_ivf /
-        # doc_lang_id / doc_fingerprints: not exactly SQL-expressible
-        # (LSH banding recall, bit sketches, heuristic models) →
-        # rows-only; their semantics are golden-tested in tests/.
+        "emb_near_dup": """
+            -- exhaustive all-pairs oracle; the engine's multi-table LSH
+            -- has precision 1.0 and recall ≈1 only for pairs comfortably
+            -- above threshold (or none at all, as in this corpus), which
+            -- is when this equality holds
+            SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+                   round(list_cosine_similarity(a.embedding, b.embedding), 9)
+                     AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+        """,
+        # minhash_pairs / simhash_pairs / ann_ivf / doc_lang_id /
+        # doc_fingerprints: not exactly SQL-expressible (LSH banding
+        # recall, bit sketches, heuristic models) → rows-only; their
+        # semantics are golden-tested in tests/.
     }
 
 

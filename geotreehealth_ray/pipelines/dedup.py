@@ -11,8 +11,9 @@ over an ``embeddings`` table. Built for the 100 TB shape:
   broadcast);
 - SimHash: 64-bit signature per doc, near-dup via 4-segment bucketing
   (Hamming ≤ 3 ⇒ one 16-bit segment equal);
-- embedding near-dup: random-hyperplane LSH buckets → in-bucket cosine
-  verify.
+- embedding near-dup: multi-table random-hyperplane LSH → slim
+  candidate-pair shuffles → exact cosine verify (vectors never fan out
+  per table).
 
 Determinism: every hash seed is a fixed constant; outputs are exact
 functions of the input rows, so N- and 4N-CPU runs emit identical rows.
@@ -356,50 +357,147 @@ def simhash_pairs(docs, max_hamming: int = 3):
 # --------------------------------------------------- embedding neardup
 
 def embedding_near_dup(embeddings, threshold: float = 0.95, n_planes: int = 12,
-                       seed: int = 7):
+                       n_tables: int = 8, seed: int = 7):
     """(vec_id_a, vec_id_b, cosine) — pairs with cosine ≥ threshold.
-    Random-hyperplane LSH bucket (n_planes sign bits) then in-bucket
-    exact verify. High-threshold pairs collide with probability
-    (1 − θ/π)^n_planes; callers needing full recall lower n_planes or
-    multi-probe."""
+
+    Multi-table random-hyperplane LSH: a pair at angle θ collides in at
+    least one of L tables w.p. 1 − (1 − (1−θ/π)^b)^L — with the default
+    (b=12, L=8) that is ≈0.9999 at cosine 0.99 and ≈0.93 at 0.95,
+    vs ≈0.28 for a single table. Precision is 1.0 (exact in-bucket
+    cosine verify).
+
+    Scale flow mirrors ``minhash_lsh_pairs`` — embedding vectors NEVER
+    fan out per table:
+    1. per-batch bucket ids → SLIM (vec_id, tkey) rows, L per vector;
+    2. groupby(tkey) → candidate id pairs;
+    3. shuffle on vec_id_a: global pair dedup + attach unit vector a;
+    4. shuffle on vec_id_b: attach unit vector b + exact cosine verify
+       in the same exchange.
+    """
 
     def bucket_stage(df: pd.DataFrame) -> pd.DataFrame:
         vecs = np.stack(df["embedding"].to_numpy()).astype(np.float64)
         dim = vecs.shape[1]
-        planes = np.random.default_rng(seed).normal(size=(dim, n_planes))
-        signs = (vecs @ planes) >= 0
-        bucket = np.zeros(len(df), dtype=np.int64)
-        for b in range(n_planes):
-            bucket |= signs[:, b].astype(np.int64) << b
-        norm = np.linalg.norm(vecs, axis=1, keepdims=True)
-        unit = vecs / np.where(norm == 0, 1, norm)
+        planes = np.random.default_rng(seed).normal(size=(dim, n_tables * n_planes))
+        signs = (vecs @ planes) >= 0  # (n, L*b)
+        n = len(df)
+        tkey = np.zeros((n, n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            for b in range(n_planes):
+                tkey[:, t] |= signs[:, t * n_planes + b].astype(np.int64) << b
+            tkey[:, t] |= np.int64(t) << n_planes
         return pd.DataFrame(
             {
-                "vec_id": df["vec_id"],
-                "bucket": bucket,
-                "unit": list(unit),
+                "vec_id": np.repeat(df["vec_id"].to_numpy(), n_tables),
+                "tkey": tkey.reshape(-1),
             }
         )
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("vec_id")
-        ids = g["vec_id"].tolist()
-        unit = np.stack(g["unit"].to_numpy())
-        sims = unit @ unit.T
-        ra, rb, rc = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if sims[i, j] >= threshold:
-                    ra.append(ids[i]); rb.append(ids[j])
-                    rc.append(round(float(sims[i, j]), 9))
+    def candidates_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, g in df.groupby("tkey", sort=False):
+            ids = np.unique(g["vec_id"].to_numpy())
+            if len(ids) < 2:
+                continue
+            ii, jj = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ii])
+            out_b.append(ids[jj])
+        if not out_a:
+            return pd.DataFrame(
+                {"vec_id_a": pd.array([], "int64"),
+                 "vec_id_b": pd.array([], "int64")}
+            )
         return pd.DataFrame(
-            {"vec_id_a": pd.array(ra, "int64"),
-             "vec_id_b": pd.array(rb, "int64"),
-             "cosine": pd.array(rc, "float64")}
+            {"vec_id_a": pd.array(np.concatenate(out_a), "int64"),
+             "vec_id_b": pd.array(np.concatenate(out_b), "int64")}
+        ).drop_duplicates(["vec_id_a", "vec_id_b"])
+
+    from .relational import bucketed_reduce
+
+    slim = embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+        bucket_stage, batch_format="pandas"
+    )
+    # shuffle 1: LSH buckets → candidate pairs (ids only)
+    pairs = bucketed_reduce(slim, "tkey", candidates_bucket)
+
+    _COLS = ["key", "kind", "vec_id_a", "vec_id_b", "vec_x"]
+
+    def unit_side(df: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        norm = np.linalg.norm(vecs, axis=1, keepdims=True)
+        unit = vecs / np.where(norm == 0, 1, norm)
+        return pd.DataFrame(
+            {"key": df["vec_id"].astype("int64"), "kind": np.int8(1),
+             "vec_id_a": -1, "vec_id_b": -1,
+             "vec_x": list(unit)}
+        ).reindex(columns=_COLS)
+
+    units = embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+        unit_side, batch_format="pandas"
+    )
+
+    _EMPTY_VEC = np.empty(0, dtype=np.float64)
+
+    def pairs_keyed_a(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"key": df["vec_id_a"].astype("int64"), "kind": np.int8(0),
+             "vec_id_a": df["vec_id_a"], "vec_id_b": df["vec_id_b"],
+             "vec_x": [_EMPTY_VEC] * len(df)}
+        ).reindex(columns=_COLS)
+
+    # shuffle 2 (key = vec_id_a): global pair dedup + attach unit a
+    def stage_a(df: pd.DataFrame) -> pd.DataFrame:
+        p = df[df["kind"] == 0][["vec_id_a", "vec_id_b"]].drop_duplicates()
+        t = df[df["kind"] == 1][["key", "vec_x"]].rename(
+            columns={"key": "vec_id_a", "vec_x": "vec_a"}
+        )
+        return p.merge(t, on="vec_id_a", how="inner")
+
+    pairs_a = bucketed_reduce(
+        pairs.map_batches(pairs_keyed_a, batch_format="pandas").union(units),
+        "key", stage_a,
+    )
+
+    _COLS_B = ["key", "kind", "vec_id_a", "vec_id_b", "vec_a", "vec_x"]
+
+    def pairs_keyed_b(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"key": df["vec_id_b"].astype("int64"), "kind": np.int8(0),
+             "vec_id_a": df["vec_id_a"], "vec_id_b": df["vec_id_b"],
+             "vec_a": df["vec_a"], "vec_x": [_EMPTY_VEC] * len(df)}
+        ).reindex(columns=_COLS_B)
+
+    def unit_side_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["vec_a"] = [_EMPTY_VEC] * len(df)
+        return df.reindex(columns=_COLS_B)
+
+    with_b_input = pairs_a.map_batches(pairs_keyed_b, batch_format="pandas").union(
+        units.map_batches(unit_side_b, batch_format="pandas")
+    )
+
+    # shuffle 3 (key = vec_id_b): attach unit b AND verify cosine in the
+    # same exchange
+    def stage_b_verify(df: pd.DataFrame) -> pd.DataFrame:
+        p = df[df["kind"] == 0][["vec_id_a", "vec_id_b", "vec_a"]]
+        t = df[df["kind"] == 1][["key", "vec_x"]].rename(
+            columns={"key": "vec_id_b", "vec_x": "vec_b"}
+        )
+        merged = p.merge(t, on="vec_id_b", how="inner")
+        if len(merged) == 0:
+            return pd.DataFrame(
+                {"vec_id_a": pd.array([], "int64"),
+                 "vec_id_b": pd.array([], "int64"),
+                 "cosine": pd.array([], "float64")}
+            )
+        va = np.stack([np.asarray(v, np.float64) for v in merged["vec_a"]])
+        vb = np.stack([np.asarray(v, np.float64) for v in merged["vec_b"]])
+        cos = (va * vb).sum(axis=1)
+        keep = cos >= threshold
+        return pd.DataFrame(
+            {"vec_id_a": merged["vec_id_a"].to_numpy()[keep].astype("int64"),
+             "vec_id_b": merged["vec_id_b"].to_numpy()[keep].astype("int64"),
+             "cosine": np.round(cos[keep], 9)}
         )
 
-    return (
-        embeddings.map_batches(bucket_stage, batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(verify, batch_format="pandas")
-    )
+    return bucketed_reduce(with_b_input, "key", stage_b_verify)

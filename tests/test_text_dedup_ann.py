@@ -158,6 +158,47 @@ def test_embedding_near_dup(emb_ds, ray_session):
     assert (got["cosine"] >= 0.999).all()
 
 
+def test_embedding_near_dup_noisy_recall(ray_session):
+    """Multi-table LSH recall: NOISY near-dups at cosine ≈0.97 (not
+    identical — a single 12-plane table only catches ~32% of these) plus
+    exhaustive-precision check against brute force."""
+    import ray.data as rd
+
+    df = pq.read_table(f"{SF}/embeddings.parquet").to_pandas().head(100)
+    base = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    rng = np.random.default_rng(3)
+    noisy = base[:20] + rng.normal(scale=0.08, size=base[:20].shape) * np.abs(
+        base[:20]
+    ).mean()
+    twin = df.head(20).copy()
+    twin["vec_id"] = twin["vec_id"] + 100000
+    twin["embedding"] = list(noisy)
+    full = pd.concat([df, twin], ignore_index=True)
+
+    threshold = 0.9
+    got = dedup.embedding_near_dup(
+        rd.from_pandas(full), threshold=threshold
+    ).to_pandas()
+    pairs = {(a, b) for a, b in zip(got["vec_id_a"], got["vec_id_b"])}
+
+    vecs = np.stack(full["embedding"].to_numpy()).astype(np.float64)
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = unit @ unit.T
+    ids = full["vec_id"].to_numpy()
+    true_pairs = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if sims[i, j] >= threshold:
+                a, b = sorted((int(ids[i]), int(ids[j])))
+                true_pairs.add((a, b))
+    assert len(true_pairs) >= 15  # planting produced enough positives
+    # precision 1.0: every emitted pair is a true pair with exact cosine
+    assert pairs <= true_pairs
+    assert (got["cosine"] >= threshold).all()
+    # multi-table recall on this seed-fixed corpus
+    assert len(pairs) / len(true_pairs) >= 0.85
+
+
 def test_ann_bruteforce_matches_numpy(emb_ds):
     df = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
     vecs = np.stack(df["embedding"].to_numpy()).astype(np.float64)

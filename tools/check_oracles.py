@@ -28,6 +28,8 @@ def to_pandas(res) -> pd.DataFrame:
 
 def value_hash(df: pd.DataFrame) -> str:
     df = df[sorted(df.columns)].copy()
+    if df.empty:  # apply(axis=1) on an empty frame returns a DataFrame
+        return hashlib.md5(b"").hexdigest()
     for c in df.columns:
         df[c] = df[c].astype(str)
     rows = sorted(df.apply(lambda r: "|".join(r.values), axis=1).tolist())
