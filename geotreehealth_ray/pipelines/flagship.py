@@ -30,14 +30,20 @@ __all__ = ["delineation_pipeline", "health_dataset_pipeline",
            "alignment_pipeline"]
 
 
-def delineation_pipeline(stems, crowns, cfg=None, res: int = cells.DEFAULT_RES):
+def delineation_pipeline(stems, crowns, cfg=None, res: int = cells.DEFAULT_RES,
+                         boxes=None):
     """Stem-prompted crown delineation, NMS'd and attribute-joined.
 
     In the reference the crowns come out of SAM masks; in-sandbox the
     SAM slot is a stub, so the synthetic ``crowns`` table plays the
     mask→polygon output and the pipeline exercises the full surrounding
     graph: filter → kNN prompts → NMS (selected flag) → crown↔stem
-    attribute join (broadcast-free)."""
+    attribute join (broadcast-free).
+
+    ``boxes`` (stem_id, minx, miny, maxx, maxy — e.g. the BoxDetector
+    slot's output through stages.spatial.boxes_to_world) feeds the
+    ``cfg.mode ∈ {bbox, bbox_and_centers}`` prompt variants
+    (reference get_polygons.py:170-299); point modes ignore it."""
     import pyarrow.compute as pc
 
     from .crown_ops import filter_stems
@@ -50,11 +56,14 @@ def delineation_pipeline(stems, crowns, cfg=None, res: int = cells.DEFAULT_RES):
     metrics: dict[str, int] = {}
 
     stems_f = filter_stems(stems, min_crwnpst=2)
-    prompts = build_prompts(
-        stems_f.select_columns(["stem_id", "x", "y"]),
-        knn_points(stems_f, k=cfg.neighbors + cfg.first_neigh, res=res),
-        cfg,
-    )
+    if cfg.mode in ("bbox", "bbox_and_centers"):
+        prompts = build_prompts(stems_f, None, cfg, boxes=boxes)
+    else:
+        prompts = build_prompts(
+            stems_f.select_columns(["stem_id", "x", "y"]),
+            knn_points(stems_f, k=cfg.neighbors + cfg.first_neigh, res=res),
+            cfg,
+        )
     metrics["prompts"] = prompts.count()
 
     selected = greedy_nms(crowns, threshold=0.3, res=res)

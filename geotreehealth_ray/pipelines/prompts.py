@@ -104,18 +104,87 @@ PROMPT_STRATEGIES = {
 }
 
 
-def build_prompts(stems, neighbors, cfg: PipelineConfig):
-    """stems: (stem_id, x, y); neighbors: kNN output (id, neighbor_id,
-    dist[, quad]) from pipelines.knn. Returns one prompt row per stem:
-    (stem_id, pos_x, pos_y, neg_xs: list, neg_ys: list).
+_NO_BOX = (np.nan, np.nan, np.nan, np.nan)
 
-    Physical plan: co-partition stems and neighbor rows on a hash
-    bucket of the stem id (bucketed_reduce), join neighbor coordinates
-    in-bucket, apply the configured strategy vectorised per bucket.
+
+def _box_prompts(boxes, with_centers: bool):
+    """One prompt row per treetop box (reference get_polygons.py:170-299).
+
+    mode='bbox': the box alone prompts the mask (predict_torch with
+    boxes only, get_polygons.py:171-198) — no points.
+    mode='bbox_and_centers': the box plus 5 points — 4 corners labeled
+    negative and the box center labeled positive, in the reference's
+    order (xmin,ymin), (xmax,ymax), (xmax,ymin), (xmin,ymax), center
+    (get_polygons.py:240-262).
+    Embarrassingly parallel: a single map_batches, no shuffle.
+    """
+
+    def per_batch(df: pd.DataFrame) -> pd.DataFrame:
+        minx = df["minx"].to_numpy(np.float64)
+        miny = df["miny"].to_numpy(np.float64)
+        maxx = df["maxx"].to_numpy(np.float64)
+        maxy = df["maxy"].to_numpy(np.float64)
+        cx = (minx + maxx) / 2
+        cy = (miny + maxy) / 2
+        n = len(df)
+        if with_centers:
+            neg_xs = [[minx[i], maxx[i], maxx[i], minx[i]] for i in range(n)]
+            neg_ys = [[miny[i], maxy[i], miny[i], maxy[i]] for i in range(n)]
+            pos_x, pos_y = cx, cy
+        else:
+            neg_xs = [[] for _ in range(n)]
+            neg_ys = [[] for _ in range(n)]
+            pos_x = np.full(n, np.nan)
+            pos_y = np.full(n, np.nan)
+        return pd.DataFrame(
+            {
+                "stem_id": df["stem_id"],
+                "pos_x": pos_x,
+                "pos_y": pos_y,
+                "neg_xs": neg_xs,
+                "neg_ys": neg_ys,
+                "box_minx": minx,
+                "box_miny": miny,
+                "box_maxx": maxx,
+                "box_maxy": maxy,
+                "has_box": np.ones(n, dtype=bool),
+            }
+        )
+
+    return boxes.map_batches(per_batch, batch_format="pandas")
+
+
+def build_prompts(stems, neighbors, cfg: PipelineConfig, boxes=None):
+    """stems: (stem_id, x, y); neighbors: kNN output (id, neighbor_id,
+    dist[, quad]) from pipelines.knn; boxes (bbox modes): treetop boxes
+    (stem_id, minx, miny, maxx, maxy) from the DeepForest slot. Returns
+    one prompt row per stem/box: (stem_id, pos_x, pos_y, neg_xs: list,
+    neg_ys: list, box_minx..box_maxy, has_box) — the box columns are
+    NaN/False for point-only prompts so every mode shares one schema.
+
+    Physical plan: point modes co-partition stems and neighbor rows on
+    a hash bucket of the stem id (bucketed_reduce), join neighbor
+    coordinates in-bucket, apply the configured strategy vectorised per
+    bucket; bbox modes are a single map_batches over the boxes.
     """
     import pyarrow as pa
 
     from .relational import bucketed_reduce
+
+    if cfg.mode in ("bbox", "bbox_and_centers"):
+        if boxes is None:
+            raise ValueError(f"mode={cfg.mode!r} requires a boxes dataset")
+        return _box_prompts(boxes, with_centers=cfg.mode == "bbox_and_centers")
+    if cfg.mode != "only_points":
+        raise ValueError(
+            f"unknown mode {cfg.mode!r}: expected only_points, bbox, "
+            "or bbox_and_centers"
+        )
+    if cfg.point_type not in PROMPT_STRATEGIES:
+        raise ValueError(
+            f"unknown point_type {cfg.point_type!r}: expected one of "
+            f"{sorted(PROMPT_STRATEGIES)}"
+        )
 
     strategy = PROMPT_STRATEGIES[cfg.point_type]
 
@@ -183,7 +252,13 @@ def build_prompts(stems, neighbors, cfg: PipelineConfig):
             out["pos_y"].append(row.y)
             out["neg_xs"].append([float(a) for a, _ in negs])
             out["neg_ys"].append([float(b) for _, b in negs])
-        return pd.DataFrame(out)
+        df_out = pd.DataFrame(out)
+        for col, val in zip(
+            ("box_minx", "box_miny", "box_maxx", "box_maxy"), _NO_BOX
+        ):
+            df_out[col] = val
+        df_out["has_box"] = False
+        return df_out
 
     union = stems.map_batches(stems_key, batch_format="pandas").union(
         edges_xy.map_batches(edges_key, batch_format="pandas")

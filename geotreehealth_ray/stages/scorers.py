@@ -68,13 +68,26 @@ class SamSlotScorer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         tids = batch["tile_id"].to_pylist()
         fmts = batch["fmt"].to_pylist()
-        pxs = batch["prompt_x"].to_numpy()
-        pys = batch["prompt_y"].to_numpy()
+
+        def _f64(col):  # nulls (box-only prompts) → NaN, not None
+            return col.cast(pa.float64()).to_numpy(zero_copy_only=False)
+
+        pxs = _f64(batch["prompt_x"])
+        pys = _f64(batch["prompt_y"])
+        # box-prompt rows (mode ∈ {bbox, bbox_and_centers}) carry box
+        # coords; fold them into the stub forward's key when present
+        has_box = "box_minx" in batch.column_names
+        if has_box:
+            bminx = _f64(batch["box_minx"])
+            bminy = _f64(batch["box_miny"])
         scores = np.empty(len(batch))
         for i, tid in enumerate(tids):
             emb = self._embed(tid, batch["bytes"][i].as_py(), fmts[i])
             # stub forward: deterministic function of (embedding, prompt)
-            scores[i] = _stable_float(f"{emb.sum():.3f}:{pxs[i]:.2f}:{pys[i]:.2f}")
+            key = f"{emb.sum():.3f}:{pxs[i]:.2f}:{pys[i]:.2f}"
+            if has_box and np.isfinite(bminx[i]):
+                key += f":{bminx[i]:.2f}:{bminy[i]:.2f}"
+            scores[i] = _stable_float(key)
         return pa.table(
             {
                 "tile_id": pa.array(tids),

@@ -62,6 +62,52 @@ def test_prompts_cardinal_and_grid(tiny, ray_session):
         assert abs(nx - r["pos_x"]) in (0.0, 5.0)
 
 
+def test_prompts_bbox_modes(tiny, ray_session):
+    """mode='bbox' prompts with the box alone; 'bbox_and_centers' adds
+    4 corner negatives + the center positive in the reference's order
+    (get_polygons.py:171-262)."""
+    import ray.data as rd
+
+    stems, st = _stems_ds(tiny)
+    boxes = pd.DataFrame(
+        {
+            "stem_id": ["b0", "b1"],
+            "minx": [10.0, 40.0],
+            "miny": [20.0, 50.0],
+            "maxx": [14.0, 46.0],
+            "maxy": [26.0, 58.0],
+        }
+    )
+    boxes_ds = rd.from_pandas(boxes)
+
+    cfg = PipelineConfig(mode="bbox")
+    out = build_prompts(stems, None, cfg, boxes=boxes_ds).to_pandas()
+    out = out.sort_values("stem_id").reset_index(drop=True)
+    assert list(out["stem_id"]) == ["b0", "b1"]
+    assert out["has_box"].all()
+    assert np.isnan(out["pos_x"]).all()  # box-only: no point prompts
+    assert (out["neg_xs"].map(len) == 0).all()
+    assert out.loc[0, "box_minx"] == 10.0 and out.loc[0, "box_maxy"] == 26.0
+
+    cfg2 = PipelineConfig(mode="bbox_and_centers")
+    out2 = build_prompts(stems, None, cfg2, boxes=boxes_ds).to_pandas()
+    out2 = out2.sort_values("stem_id").reset_index(drop=True)
+    r = out2.iloc[0]
+    assert r["pos_x"] == 12.0 and r["pos_y"] == 23.0  # box center
+    # corners in reference order: (minx,miny),(maxx,maxy),(maxx,miny),(minx,maxy)
+    assert list(r["neg_xs"]) == [10.0, 14.0, 14.0, 10.0]
+    assert list(r["neg_ys"]) == [20.0, 26.0, 20.0, 26.0]
+
+    with pytest.raises(ValueError, match="bbox"):
+        build_prompts(stems, None, PipelineConfig(mode="bbox"))
+
+    # point modes now share the unified schema
+    nb = knn_points(stems, k=3, res=13)
+    outp = build_prompts(stems, nb, PipelineConfig()).to_pandas()
+    assert not outp["has_box"].any()
+    assert np.isnan(outp["box_minx"]).all()
+
+
 def test_pansharpen_shapes_and_lab_roundtrip():
     rng = np.random.default_rng(0)
     rgb = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
