@@ -380,7 +380,16 @@ def _q_simhash_pairs(sf_dir: str):
 def _q_emb_near_dup(sf_dir: str):
     from geotreehealth_ray.pipelines.dedup import embedding_near_dup
 
-    ds = embedding_near_dup(_read(sf_dir, "embeddings"), threshold=0.95)
+    # The synthetic embeddings carry no planted near-dups (max pairwise
+    # cosine ≈ 0.51), so a production-style threshold like 0.95 would
+    # make the oracle vacuous (0 = 0 rows). Instead the threshold sits
+    # at the top of the observed cosine distribution and the LSH is
+    # widened (b=4 planes × L=24 tables → measured recall 1.0 at both
+    # sf0.001 and sf0.01, deterministic under the fixed seed), keeping
+    # the exhaustive DuckDB oracle an exact, non-empty equality check.
+    ds = embedding_near_dup(
+        _read(sf_dir, "embeddings"), threshold=0.45, n_planes=4, n_tables=24
+    )
     df = ds.to_pandas()  # pair output is tiny; Dataset.to_pandas drops
     if df.empty:  # the schema for empty datasets — rebuild it typed
         df = pd.DataFrame(
@@ -388,6 +397,10 @@ def _q_emb_near_dup(sf_dir: str):
              "vec_id_b": pd.array([], "int64"),
              "cosine": pd.array([], "float64")}
         )
+    # round to 6 dp for the value-hash compare: DuckDB computes the
+    # same double-precision cosine but with a different summation
+    # order; 6 dp leaves ~1e9× headroom over the ~1e-15 ulp drift
+    df["cosine"] = df["cosine"].round(6)
     return df
 
 
@@ -750,19 +763,78 @@ def oracle_sql() -> dict[str, str]:
         """,
         "emb_near_dup": """
             -- exhaustive all-pairs oracle; the engine's multi-table LSH
-            -- has precision 1.0 and recall ≈1 only for pairs comfortably
-            -- above threshold (or none at all, as in this corpus), which
-            -- is when this equality holds
+            -- has precision 1.0 (exact cosine verify) and, at these
+            -- widened parameters (b=4, L=24), measured recall 1.0 on
+            -- this corpus — so LSH-candidates ∩ cosine≥t equals the
+            -- exhaustive pair set. DOUBLE cast matters: the parquet
+            -- stores float32 lists and the engine verifies in float64.
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> x::DOUBLE) AS emb
+              FROM embeddings)
             SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
-                   round(list_cosine_similarity(a.embedding, b.embedding), 9)
-                     AS cosine
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+                   round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.emb, b.emb) >= 0.45
         """,
-        # minhash_pairs / simhash_pairs / ann_ivf / doc_lang_id /
-        # doc_fingerprints: not exactly SQL-expressible (LSH banding
-        # recall, bit sketches, heuristic models) → rows-only; their
-        # semantics are golden-tested in tests/.
+        "minhash_pairs": """
+            -- exact shingle-set Jaccard over 5-char windows of the
+            -- whitespace-normalized text — the same set the engine
+            -- hashes (its polynomial rolling hash is injective on this
+            -- corpus). LSH banding (128 perms, 32 bands × 4 rows) has
+            -- miss probability (1-j^4)^32 ≤ 1e-19 at the corpus's
+            -- minimum true-pair jaccard 0.93, so candidates ∩ j≥0.5
+            -- equals the exhaustive pair set.
+            WITH norm AS (
+              SELECT doc_id,
+                     trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(
+                       [substring(t, i, 5) FOR i IN range(1, len(t) - 3)]
+                     ) AS s
+              FROM norm),
+            pairs AS (
+              SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                     len(list_intersect(a.s, b.s))::DOUBLE
+                       / (len(a.s) + len(b.s)
+                          - len(list_intersect(a.s, b.s))) AS j
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            SELECT doc_id_a, doc_id_b, round(j, 9) AS jaccard
+            FROM pairs WHERE j >= 0.5
+        """,
+        "simhash_pairs": """
+            -- exact oracle: the engine's token hash is md5 first-8-
+            -- bytes little-endian == DuckDB md5_number_upper, and its
+            -- 4×16-bit-segment pigeonhole blocking is EXACT for
+            -- Hamming ≤ 3, so the pair set equals this exhaustive scan.
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       string_split_regex(text, '\\s+'), x -> x <> ''
+                     )) AS tok
+              FROM documents),
+            bits AS (
+              SELECT doc_id, i,
+                     sum(CASE WHEN (md5_number_upper(tok) >> i) & 1 = 1
+                         THEN 1 ELSE -1 END) AS s
+              FROM toks CROSS JOIN (SELECT unnest(range(64)) AS i) b
+              GROUP BY doc_id, i),
+            sigs AS (
+              SELECT doc_id,
+                     sum(CASE WHEN s > 0 THEN (1::UBIGINT << i)
+                         ELSE 0::UBIGINT END)::UBIGINT AS sig
+              FROM bits GROUP BY doc_id)
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        """,
+        # ann_ivf / doc_lang_id / doc_fingerprints: not exactly
+        # SQL-expressible (IVF probe subsets, heuristic language model,
+        # FNV-1a rolling fingerprints) → rows-only; their semantics are
+        # golden-tested in tests/.
     }
 
 

@@ -88,12 +88,6 @@ def _char_shingles(text: str, k: int) -> np.ndarray:
     return np.unique(h)
 
 
-def _h64(s: str) -> int:
-    return int.from_bytes(
-        hashlib.blake2b(s.encode(), digest_size=8).digest(), "little"
-    )
-
-
 def _jaccard_arrays(sa: np.ndarray, sb: np.ndarray) -> float:
     if len(sa) == 0 and len(sb) == 0:
         return 1.0
@@ -289,10 +283,17 @@ def minhash_lsh_pairs(docs, k: int = 5, num_perm: int = 128, bands: int = 32,
 
 # ------------------------------------------------------------ simhash
 
+def _tok64(s: str) -> int:
+    """md5 first-8-bytes little-endian — chosen because it equals
+    DuckDB's ``md5_number_upper``, which makes the SimHash signature
+    (and thus the near-dup pair set) exactly SQL-reproducible."""
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+
+
 def _simhash64(tokens: list[str]) -> int:
     acc = np.zeros(64, dtype=np.int64)
     for tok in tokens:
-        h = np.uint64(_h64(tok))
+        h = np.uint64(_tok64(tok))
         bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
         acc += np.where(bits == 1, 1, -1)
     v = 0
