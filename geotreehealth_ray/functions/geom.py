@@ -24,6 +24,8 @@ __all__ = [
     "ring_bbox",
     "points_in_ring",
     "points_in_rings_any",
+    "pack_ring_edges",
+    "points_in_rings_pairs",
     "clip_ring_to_bbox",
     "convex_clip",
     "intersection_area_star",
@@ -124,6 +126,79 @@ def _points_on_edges(pxb, pyb, x1b, y1b, x2b, y2b, eps: float = 1e-9) -> np.ndar
         & (pyb <= np.maximum(y1b, y2b) + eps)
     )
     return (collinear & within).any(axis=0)
+
+
+def pack_ring_edges(rings: list[np.ndarray]):
+    """Flatten a list of rings into edge-parallel arrays for the
+    pair-vectorized PIP below: returns ``(x1, y1, x2, y2, lens,
+    starts)`` where edges ``starts[r] : starts[r] + lens[r]`` belong to
+    ring ``r`` (one edge per vertex; the closing edge wraps to the
+    ring's first vertex). Built once per partition group, probed for
+    every candidate (point, ring) pair."""
+    if not rings:
+        z = np.empty(0, np.float64)
+        iz = np.empty(0, np.int64)
+        return z, z, z, z, iz, iz
+    lens = np.array([len(r) for r in rings], dtype=np.int64)
+    vx = np.concatenate([r[:, 0] for r in rings]).astype(np.float64)
+    vy = np.concatenate([r[:, 1] for r in rings]).astype(np.float64)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    nxt = np.arange(len(vx)) + 1
+    nxt[ends - 1] = starts
+    return vx, vy, vx[nxt], vy[nxt], lens, starts
+
+
+def points_in_rings_pairs(px: np.ndarray, py: np.ndarray,
+                          ring_ids: np.ndarray, edge_pack) -> np.ndarray:
+    """PIP for a LIST OF (point, ring) PAIRS in one shot — the
+    vectorized replacement for calling :func:`points_in_ring` once per
+    ring inside per-partition join kernels (that loop's per-call numpy
+    overhead, ~1 ms × 10^4 rings per group, dominated the crown-assign
+    stage). Pair ``i`` tests point ``(px[i], py[i])`` against ring
+    ``ring_ids[i]`` of ``edge_pack`` (from :func:`pack_ring_edges`).
+
+    Exactly the same ray-casting + on-edge arithmetic as
+    :func:`points_in_ring` (element-for-element identical formulas), so
+    results are bit-equal; work is ``sum(len(ring) per pair)`` edge
+    rows reduced with ``bincount`` — no Python per-ring loop."""
+    px = np.asarray(px, np.float64)
+    py = np.asarray(py, np.float64)
+    ring_ids = np.asarray(ring_ids, np.int64)
+    x1, y1, x2, y2, lens, starts = edge_pack
+    n = len(px)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    ecnt = lens[ring_ids]
+    total = int(ecnt.sum())
+    pair_of_edge = np.repeat(np.arange(n), ecnt)
+    off = np.arange(total) - np.repeat(np.cumsum(ecnt) - ecnt, ecnt)
+    eidx = np.repeat(starts[ring_ids], ecnt) + off
+    X1, Y1, X2, Y2 = x1[eidx], y1[eidx], x2[eidx], y2[eidx]
+    PX, PY = px[pair_of_edge], py[pair_of_edge]
+    # crossing test only on the ~2-per-ring edges straddling the
+    # point's y level (cond excludes horizontal edges, so no 0-denom)
+    cand = np.flatnonzero((Y1 <= PY) != (Y2 <= PY))
+    cX1, cY1 = X1[cand], Y1[cand]
+    cPY = PY[cand]
+    xint = cX1 + (cPY - cY1) * (X2[cand] - cX1) / (Y2[cand] - cY1)
+    crossings = np.bincount(
+        pair_of_edge[cand[PX[cand] < xint]], minlength=n
+    )
+    inside = (crossings % 2) == 1
+    eps = 1e-9
+    # on-edge test only where the point sits in the edge's eps-bbox
+    near = np.flatnonzero(
+        (PX >= np.minimum(X1, X2) - eps)
+        & (PX <= np.maximum(X1, X2) + eps)
+        & (PY >= np.minimum(Y1, Y2) - eps)
+        & (PY <= np.maximum(Y1, Y2) + eps)
+    )
+    dx, dy = X2[near] - X1[near], Y2[near] - Y1[near]
+    cross = dx * (PY[near] - Y1[near]) - dy * (PX[near] - X1[near])
+    collinear = np.abs(cross) <= eps * (np.abs(dx) + np.abs(dy) + 1.0)
+    on_edge = np.bincount(pair_of_edge[near[collinear]], minlength=n) > 0
+    return inside | on_edge
 
 
 def points_in_rings_any(

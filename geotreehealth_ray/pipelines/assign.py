@@ -22,9 +22,11 @@ Physical plan (SURVEY.md §7.1 steps 5+9):
 3. union both sides and ``groupby(cell, salt)`` — ONE all-to-all
    exchange co-locating each sub-group's stems with every crown that
    can contain them;
-4. per group: per-partition grid index (R-tree slot) + bbox prefilter
-   + exact ray-casting PIP + local nearest-stem partial argmin
-   (combiner);
+4. per group: fully vectorized candidate generation (array
+   ``searchsorted`` of crown bboxes over x-sorted stems — the R-tree
+   slot collapsed into one probe for ALL crowns) + pair-level
+   multi-ring ray-casting PIP (``geom.points_in_rings_pairs``) + local
+   nearest-stem partial argmin (combiner) — no per-crown Python loop;
 5. a hash-bucketed reduce resolves the global winner per crown across
    its ≤#covered-cells partials (single-cell crowns pass through
    untouched inside the same reduce);
@@ -38,12 +40,11 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions import cells, geom
-from ..functions.gridindex import PointGridIndex
 from ..stages.spatial import (
     attach_cell,
+    edge_pack_from_binary,
     explode_to_covering_cells,
     pack_rings,
-    rings_from_binary,
 )
 
 __all__ = ["assign_stems_to_crowns", "candidate_pairs_schema"]
@@ -67,12 +68,19 @@ _UNION_SCHEMA = pa.schema(
 # Hot-cell salting (SURVEY §7.1 step 9): in cells whose stem count
 # exceeds HOT_CELL_THRESHOLD, crowns are PARTITIONED across N_SALT
 # sub-groups while stems are REPLICATED to every sub-group — per-crown
-# work is unchanged, but a dense cell's crown loop fans out over N_SALT
+# work is unchanged, but a dense cell's work fans out over N_SALT
 # parallel tasks instead of one straggler. Cold cells keep salt 0, so
 # the shuffle volume only grows where the skew actually is. The hot
-# set comes from a cheap pre-aggregated count pass and is broadcast.
+# set comes from a cheap sampled count pass and is broadcast.
+#
+# Threshold calibration: the vectorized pair kernel handles a
+# 5k-stem × ~1k-crown cell in ~0.2-0.3 s, a healthy task size — only
+# beyond that is splitting worth the replicated stem rows. (The old
+# per-crown-loop kernel needed salting from ~2k stems; blanket
+# salt_mode='all' paid 4× stem shuffle volume for nothing after the
+# kernel vectorization — measured 16 s vs 23 s on the 240k bench.)
 N_SALT = 4
-HOT_CELL_THRESHOLD = 2000
+HOT_CELL_THRESHOLD = 5000
 
 
 def _salt_of(ids) -> np.ndarray:
@@ -80,27 +88,28 @@ def _salt_of(ids) -> np.ndarray:
     return (h % N_SALT).astype(np.int8)
 
 
+_HOT_SAMPLE_ROWS = 200_000
+
+
 def _hot_cells(stems, res: int):
-    """Broadcastable set of hot cell keys: per-batch partial counts →
-    one tiny groupby — the 'stem-count histogram per cell' pass."""
+    """Broadcastable set of hot cell keys — the 'stem-count histogram
+    per cell' pass, estimated from a deterministic sample so the
+    pre-pass costs one narrow read, never a shuffle. Which cells get
+    salted is a pure partitioning choice (output rows are identical
+    under any salting), so a sampled estimate is safe: a missed hot
+    cell only costs straggler time, a false positive only a few
+    replicated stem rows."""
     import ray
 
-    def partial(t: pa.Table) -> pa.Table:
-        key = cells.cell_of(t["x"].to_numpy(), t["y"].to_numpy(), res)
-        uniq, cnt = np.unique(key, return_counts=True)
-        return pa.table(
-            {"cell": pa.array(uniq, pa.uint64()), "n": pa.array(cnt, pa.int64())}
-        )
-
-    counts = (
-        stems.select_columns(["x", "y"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("cell")
-        .sum("n")
-        .to_pandas()
-    )
-    ncol = "sum(n)" if "sum(n)" in counts.columns else "n"
-    hot = set(counts.loc[counts[ncol] > HOT_CELL_THRESHOLD, "cell"].astype(np.uint64))
+    n = stems.count()  # parquet metadata count — no scan
+    frac = min(1.0, _HOT_SAMPLE_ROWS / max(1, n))
+    sample = stems.select_columns(["x", "y"])
+    if frac < 1.0:
+        sample = sample.random_sample(frac, seed=0)
+    df = sample.to_pandas()
+    key = cells.cell_of(df["x"].to_numpy(), df["y"].to_numpy(), res)
+    uniq, cnt = np.unique(key, return_counts=True)
+    hot = set(uniq[cnt > HOT_CELL_THRESHOLD * frac].astype(np.uint64))
     return ray.put(hot)
 
 
@@ -185,8 +194,84 @@ def _crown_side(batch: pa.Table, res: int, hot_ref=None, salt_all=True) -> pa.Ta
     )
 
 
+_YBUCKET_M = 8.0  # ~median crown diameter; crowns span ≤ 3 buckets
+_YKEY_STRIDE = float(1 << 21)  # > world extent → composite key is exact
+
+
+def _candidate_pairs(skey: np.ndarray, sy: np.ndarray, pack,
+                     max_block_pairs: int = 200_000):
+    """Vectorized 2-D bbox prefilter for ALL (crown, stem) pairs of a
+    partition at once (replaces the per-crown grid-index probe loop,
+    whose ~0.4 ms/probe numpy fixed cost dominated the join stage).
+
+    ``skey`` must be the ASCENDING composite key
+    ``ybucket(y) * _YKEY_STRIDE + x`` (see :func:`_stem_sort_key`) —
+    stems ordered by (y-bucket, x). Each crown probes only the ≤3
+    y-buckets its bbox spans, via one array ``searchsorted`` over all
+    (crown, bucket) rows; without the y-bucketing, an x-only slice
+    explodes ~#stems × crown-width/cell-width candidates per crown,
+    which made dense skew cells (10⁴ stems) multi-second tasks. The
+    exact y cut is applied to the exploded pair list (x is exact from
+    the searchsorted bounds). Crown bboxes come from the edge pack via
+    ``minimum.reduceat`` — no per-ring Python. Yields
+    ``(ring_ids, pt_idx)`` chunks with bounded pair-explosion memory.
+    """
+    vx, vy, _, _, lens, starts = pack
+    n_crowns = len(lens)
+    if n_crowns == 0 or len(skey) == 0:
+        return
+    minx = np.minimum.reduceat(vx, starts)
+    maxx = np.maximum.reduceat(vx, starts)
+    miny = np.minimum.reduceat(vy, starts)
+    maxy = np.maximum.reduceat(vy, starts)
+    b0 = np.floor(miny / _YBUCKET_M).astype(np.int64)
+    b1 = np.floor(maxy / _YBUCKET_M).astype(np.int64)
+    nb = b1 - b0 + 1
+    n_cb = int(nb.sum())
+    # explode crowns × spanned y-buckets
+    crow = np.repeat(np.arange(n_crowns), nb)
+    cbucket = (np.arange(n_cb) - np.repeat(np.cumsum(nb) - nb, nb)) + b0[crow]
+    lo = np.searchsorted(skey, cbucket * _YKEY_STRIDE + minx[crow], side="left")
+    hi = np.searchsorted(skey, cbucket * _YKEY_STRIDE + maxx[crow], side="right")
+    cnt = hi - lo
+    csum = np.cumsum(cnt)
+    # split (crown, bucket) rows into blocks of ≤ max_block_pairs
+    # exploded candidates; a crown's buckets stay within one block so
+    # downstream per-crown reduces see each crown exactly once
+    block_ends = []
+    pos = 0
+    while pos < n_cb:
+        end = int(np.searchsorted(csum, (csum[pos - 1] if pos else 0) + max_block_pairs,
+                                  side="right"))
+        end = max(end, pos + 1)
+        # round the block end UP to a crown boundary
+        while end < n_cb and crow[end] == crow[end - 1]:
+            end += 1
+        block_ends.append((pos, min(end, n_cb)))
+        pos = min(end, n_cb)
+    for p0, p1 in block_ends:
+        c = cnt[p0:p1]
+        total = int(c.sum())
+        if total == 0:
+            continue
+        ring_ids = crow[p0:p1].repeat(c)
+        off = np.arange(total) - np.repeat(np.cumsum(c) - c, c)
+        pt = np.repeat(lo[p0:p1], c) + off
+        keep = (sy[pt] >= miny[ring_ids]) & (sy[pt] <= maxy[ring_ids])
+        if keep.any():
+            yield ring_ids[keep], pt[keep]
+
+
+def _stem_sort_key(sx: np.ndarray, sy: np.ndarray) -> np.ndarray:
+    """Composite (y-bucket, x) sort key for :func:`_candidate_pairs`.
+    Exact in float64: bucket ≤ 2^17, stride 2^21, x < 2^20 → key < 2^38."""
+    return np.floor(sy / _YBUCKET_M) * _YKEY_STRIDE + sx
+
+
 def _assign_cell(group: pa.Table) -> pa.Table:
-    """Per-cell kernel: PIP + local nearest-stem partial argmin."""
+    """Per-cell kernel: PIP + local nearest-stem partial argmin —
+    fully vectorized (array searchsorted candidates + pair-level
+    multi-ring PIP; no per-crown Python loop)."""
     side = group["side"].to_numpy()
     stems = group.filter(pa.array(side == 0))
     crowns = group.filter(pa.array(side == 1))
@@ -203,54 +288,41 @@ def _assign_cell(group: pa.Table) -> pa.Table:
     sx = stems["x"].to_numpy()
     sy = stems["y"].to_numpy()
     sid = stems["stem_id"].to_numpy(zero_copy_only=False)
-    rings = rings_from_binary(crowns["ring_b"])
+    skey = _stem_sort_key(sx, sy)
+    order = np.argsort(skey, kind="stable")  # ties broken by (d, id) below
+    sx, sy, sid, skey = sx[order], sy[order], sid[order], skey[order]
+    pack = edge_pack_from_binary(crowns["ring_b"])
     cids = crowns["crown_id"].to_numpy(zero_copy_only=False)
     ccx = crowns["ccx"].to_numpy()
     ccy = crowns["ccy"].to_numpy()
     cmulti = crowns["multi"].to_numpy(zero_copy_only=False)
-    out_c: list[str] = []
-    out_s: list[str] = []
-    out_d: list[float] = []
-    out_m: list[bool] = []
-    order = np.lexsort((sid,))  # stable stem order for deterministic ties
-    sx, sy, sid = sx[order], sy[order], sid[order]
-    # per-partition grid index (R-tree slot, SURVEY §2.3): bbox probes
-    # are O(log n + hits) — dense cells stay sub-quadratic
-    index = PointGridIndex(sx, sy)
-    for i, ring in enumerate(rings):
-        minx, miny, maxx, maxy = (
-            ring[:, 0].min(),
-            ring[:, 1].min(),
-            ring[:, 0].max(),
-            ring[:, 1].max(),
-        )
-        hit = index.query_bbox(minx, miny, maxx, maxy)
-        if len(hit) == 0:
-            continue
-        hx, hy = sx[hit], sy[hit]
-        cand = (hx >= minx) & (hx <= maxx) & (hy >= miny) & (hy <= maxy)
-        if not cand.any():
-            continue
-        hit = hit[cand]
-        cx_, cy_ = sx[hit], sy[hit]
-        inside = geom.points_in_ring(cx_, cy_, ring)
+    win_ring: list[np.ndarray] = []
+    win_pt: list[np.ndarray] = []
+    win_d: list[np.ndarray] = []
+    for ring_ids, pt in _candidate_pairs(skey, sy, pack):
+        inside = geom.points_in_rings_pairs(sx[pt], sy[pt], ring_ids, pack)
         if not inside.any():
             continue
-        d = np.hypot(cx_[inside] - ccx[i], cy_[inside] - ccy[i])
-        ids_in = sid[hit[inside]]
-        # deterministic (dist, stem_id) argmin — index order is not
-        # id-sorted, so break ties explicitly
-        j = int(np.lexsort((ids_in, d))[0])
-        out_c.append(cids[i])
-        out_s.append(ids_in[j])
-        out_d.append(float(d[j]))
-        out_m.append(bool(cmulti[i]))
+        ring_ids, pt = ring_ids[inside], pt[inside]
+        d = np.hypot(sx[pt] - ccx[ring_ids], sy[pt] - ccy[ring_ids])
+        # deterministic (dist, stem_id) argmin per crown, vectorized:
+        # sort pairs by (ring, d, id) and keep each ring's first row
+        sel = np.lexsort((sid[pt], d, ring_ids))
+        first = sel[np.r_[True, ring_ids[sel][1:] != ring_ids[sel][:-1]]]
+        win_ring.append(ring_ids[first])
+        win_pt.append(pt[first])
+        win_d.append(d[first])
+    if not win_ring:
+        return empty
+    ring_ids = np.concatenate(win_ring)
+    pt = np.concatenate(win_pt)
+    d = np.concatenate(win_d)
     return pa.table(
         {
-            "crown_id": pa.array(out_c, pa.string()),
-            "stem_id": pa.array(out_s, pa.string()),
-            "dist": pa.array(out_d, pa.float64()),
-            "multi": pa.array(out_m, pa.bool_()),
+            "crown_id": pa.array(cids[ring_ids], pa.string()),
+            "stem_id": pa.array(sid[pt], pa.string()),
+            "dist": pa.array(d, pa.float64()),
+            "multi": pa.array(cmulti[ring_ids], pa.bool_()),
         }
     )
 
@@ -264,14 +336,13 @@ def _final_pick_bucket(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def assign_stems_to_crowns(stems, crowns, res: int = cells.DEFAULT_RES,
-                           salt_mode: str = "all"):
+                           salt_mode: str = "hot"):
     """Returns (assignment_ds, unassigned_ds).
 
-    salt_mode: 'all' (default — every cell fans out over N_SALT
-    sub-groups; the extra stem replicas are slim rows and the blanket
-    policy avoids a pre-pass), 'hot' (adaptive: a cheap count pass
-    finds hot cells and only those are salted — preferable when the
-    stems table is enormous relative to the skew), or 'none'.
+    salt_mode: 'hot' (default — a sampled count pass finds cells above
+    HOT_CELL_THRESHOLD and only those are salted, so the shuffle grows
+    only where the skew is), 'all' (blanket N_SALT fan-out, no
+    pre-pass — pays ~N_SALT× stem shuffle volume), or 'none'.
 
     assignment: (crown_id, stem_id, dist) — one row per crown that
     contains ≥1 stem. unassigned: (stem_id) — distinct stems no crown
@@ -289,9 +360,9 @@ def assign_stems_to_crowns(stems, crowns, res: int = cells.DEFAULT_RES,
         _crown_side, batch_format="pyarrow",
         fn_kwargs={"res": res, "hot_ref": hot_ref, "salt_all": salt_all},
     )
-    from .relational import bucketed_reduce
+    from .relational import bucketed_reduce, coalesce_for_shuffle
 
-    both = s.union(c)
+    both = coalesce_for_shuffle(s.union(c))
     candidates = both.groupby(["cell", "salt"]).map_groups(
         _assign_cell, batch_format="pyarrow"
     )
@@ -348,41 +419,47 @@ def _pairs_cell(group: pa.Table) -> pa.Table:
     sx = stems["x"].to_numpy()
     sy = stems["y"].to_numpy()
     sid = stems["stem_id"].to_numpy(zero_copy_only=False)
-    rings = rings_from_binary(crowns["ring_b"])
+    skey = _stem_sort_key(sx, sy)
+    order = np.argsort(skey, kind="stable")
+    sx, sy, sid, skey = sx[order], sy[order], sid[order], skey[order]
+    pack = edge_pack_from_binary(crowns["ring_b"])
     cids = crowns["crown_id"].to_numpy(zero_copy_only=False)
     out_c, out_s = [], []
-    index = PointGridIndex(sx, sy)
-    for i, ring in enumerate(rings):
-        minx, miny = ring[:, 0].min(), ring[:, 1].min()
-        maxx, maxy = ring[:, 0].max(), ring[:, 1].max()
-        hit = index.query_bbox(minx, miny, maxx, maxy)
-        if len(hit) == 0:
-            continue
-        hx, hy = sx[hit], sy[hit]
-        cand = (hx >= minx) & (hx <= maxx) & (hy >= miny) & (hy <= maxy)
-        if not cand.any():
-            continue
-        hit = hit[cand]
-        inside = geom.points_in_ring(sx[hit], sy[hit], ring)
-        for s in sid[hit[inside]]:
-            out_c.append(cids[i])
-            out_s.append(s)
+    for ring_ids, pt in _candidate_pairs(skey, sy, pack):
+        inside = geom.points_in_rings_pairs(sx[pt], sy[pt], ring_ids, pack)
+        if inside.any():
+            out_c.append(cids[ring_ids[inside]])
+            out_s.append(sid[pt[inside]])
+    if not out_c:
+        return pa.table(
+            {"crown_id": pa.array([], pa.string()),
+             "stem_id": pa.array([], pa.string())}
+        )
     return pa.table(
-        {"crown_id": pa.array(out_c, pa.string()),
-         "stem_id": pa.array(out_s, pa.string())}
+        {"crown_id": pa.array(np.concatenate(out_c), pa.string()),
+         "stem_id": pa.array(np.concatenate(out_s), pa.string())}
     )
 
 
 def pip_join_pairs(stems, crowns, res: int = cells.DEFAULT_RES):
     """(crown_id, stem_id) — every point-in-polygon containment pair
     (the spatial inner join itself, without the nearest-stem reduce)."""
+    from .relational import coalesce_for_shuffle
+
+    # no salting: the vectorized pair kernel keeps even dense cells to
+    # sub-second tasks, and the pair join has no per-crown reduce to
+    # protect — skip the replication volume entirely
     s = stems.select_columns(["stem_id", "x", "y"]).map_batches(
-        _stem_side, batch_format="pyarrow", fn_kwargs={"res": res}
+        _stem_side, batch_format="pyarrow",
+        fn_kwargs={"res": res, "salt_all": False},
     )
     c = crowns.select_columns(
         ["crown_id", "ring", "cx", "cy", "minx", "miny", "maxx", "maxy"]
-    ).map_batches(_crown_side, batch_format="pyarrow", fn_kwargs={"res": res})
-    return s.union(c).groupby(["cell", "salt"]).map_groups(
+    ).map_batches(
+        _crown_side, batch_format="pyarrow",
+        fn_kwargs={"res": res, "salt_all": False},
+    )
+    return coalesce_for_shuffle(s.union(c)).groupby(["cell", "salt"]).map_groups(
         _pairs_cell, batch_format="pyarrow"
     )
 

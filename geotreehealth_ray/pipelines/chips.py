@@ -375,9 +375,12 @@ def extract_chips_storage(crowns, tiles_path: str, captions, grid: GridSpec,
     if num_out_blocks is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_out_blocks = cpus * 8
-    # sort gives tile-locality; repartition so every CPU gets several
-    # blocks (block = task work unit) and stragglers stay short
-    ordered = crowns_t.sort("tile_id").repartition(num_out_blocks)
+    # coalesce before the sort (range shuffle cost scales with
+    # in-blocks × out-blocks), sort for tile-locality, then repartition
+    # so every CPU gets several blocks and stragglers stay short
+    from .relational import coalesce_for_shuffle
+
+    ordered = coalesce_for_shuffle(crowns_t).sort("tile_id").repartition(num_out_blocks)
     return ordered.map_batches(
         _chip_task,
         fn_kwargs={"tiles_path": tiles_path, "cap_ref": cap_ref, "cache_tiles": 8},
@@ -510,6 +513,8 @@ def extract_chips(crowns, tiles, captions, grid: GridSpec, n_salt: int = 8):
             captions.map_batches(caption_side, batch_format="pyarrow")
         )
     )
-    return union.groupby(["tile_id", "salt"]).map_groups(
+    from .relational import coalesce_for_shuffle
+
+    return coalesce_for_shuffle(union).groupby(["tile_id", "salt"]).map_groups(
         _chip_kernel, batch_format="pyarrow"
     )

@@ -27,6 +27,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .relational import coalesce_for_shuffle
+
 __all__ = ["exact_dedup", "minhash_lsh_pairs", "simhash_pairs",
            "jaccard_of_texts", "embedding_near_dup"]
 
@@ -345,7 +347,7 @@ def simhash_pairs(docs, max_hamming: int = 3):
     from .relational import bucketed_reduce
 
     found = (
-        docs.map_batches(sig_stage, batch_format="pandas")
+        coalesce_for_shuffle(docs.map_batches(sig_stage, batch_format="pandas"))
         .groupby(["seg_id", "seg_val"])
         .map_groups(verify, batch_format="pandas")
     )

@@ -25,6 +25,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .relational import coalesce_for_shuffle
+
 from ..functions import cells
 
 __all__ = ["knn_points", "knn_cardinal"]
@@ -142,7 +144,7 @@ def knn_points(points, k: int = 5, res: int = cells.DEFAULT_RES,
         _halo_explode, batch_format="pyarrow",
         fn_kwargs={"res": res, "halo_m": halo_m},
     )
-    return exploded.groupby("cell").map_groups(
+    return coalesce_for_shuffle(exploded).groupby("cell").map_groups(
         _knn_cell, batch_format="pyarrow", fn_kwargs={"k": k}
     )
 
@@ -200,6 +202,6 @@ def knn_cardinal(points, min_dist: float = 3.0, res: int = cells.DEFAULT_RES,
         _halo_explode, batch_format="pyarrow",
         fn_kwargs={"res": res, "halo_m": halo_m},
     )
-    return exploded.groupby("cell").map_groups(
+    return coalesce_for_shuffle(exploded).groupby("cell").map_groups(
         _cardinal_cell, batch_format="pyarrow", fn_kwargs={"min_dist": min_dist}
     )

@@ -24,6 +24,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .relational import coalesce_for_shuffle
+
 from ..functions import cells
 from ..functions.gridindex import PointGridIndex
 from ..stages.spatial import explode_to_covering_cells
@@ -163,7 +165,7 @@ def crown_lidar_stats(lidar, crowns, res: int = cells.DEFAULT_RES):
         ["crown_id", "minx", "miny", "maxx", "maxy"]
     ).map_batches(crown_side, batch_format="pyarrow")
 
-    partials = p.union(c).groupby("cell").map_groups(
+    partials = coalesce_for_shuffle(p.union(c)).groupby("cell").map_groups(
         _stats_cell, batch_format="pyarrow"
     )
 

@@ -12,9 +12,34 @@ import pandas as pd
 import pyarrow as pa
 
 __all__ = ["grouped_agg", "broadcast_join", "latest_per_key",
-           "hourly_window_agg", "bucketed_reduce", "NUM_BUCKETS"]
+           "hourly_window_agg", "bucketed_reduce", "NUM_BUCKETS",
+           "shuffle_partitions", "coalesce_for_shuffle"]
 
 NUM_BUCKETS = 256
+
+
+def shuffle_partitions() -> int:
+    """Target partition count for sort-based all-to-all ops (groupby /
+    sort). Ray Data's range shuffle creates #input-blocks × #output-
+    blocks intermediate objects, so feeding a groupby hundreds of tiny
+    blocks is quadratically worse than a handful of full ones (measured
+    109 s → 16 s on the 240k-stem assign at 240 vs 64 blocks). 2 ×
+    cluster CPUs keeps every core busy while bounding the exchange at
+    (2·CPUs)² objects; on a multi-node cluster the CPU count scales
+    with the cluster, so partition size — not count — tracks data."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(8, 2 * cpus)
+
+
+def coalesce_for_shuffle(ds):
+    """Coalesce (no shuffle — adjacent-block concat) to the target
+    partition count before a sort-based wide op."""
+    return ds.repartition(shuffle_partitions())
 
 
 def _epoch_seconds(ts: pd.Series) -> pd.Series:
@@ -50,7 +75,7 @@ def bucketed_reduce(ds, key: str | list[str], fn, num_buckets: int = NUM_BUCKETS
         return fn(g.drop(columns="__bucket"))
 
     return (
-        ds.map_batches(add_bucket, batch_format="pandas")
+        coalesce_for_shuffle(ds.map_batches(add_bucket, batch_format="pandas"))
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )

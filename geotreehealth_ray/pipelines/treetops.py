@@ -15,6 +15,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .relational import coalesce_for_shuffle
+
 from ..functions import cells
 
 __all__ = ["detect_treetops"]
@@ -100,7 +102,7 @@ def detect_treetops(lidar, grid_m: float = 2.0, min_height: float = 5.0,
     pts = lidar.select_columns(["x", "y", "z"]).map_batches(
         lambda t: attach_cell(t, res=res), batch_format="pyarrow"
     )
-    return pts.groupby("cell").map_groups(
+    return coalesce_for_shuffle(pts).groupby("cell").map_groups(
         _cluster_kernel, batch_format="pyarrow",
         fn_kwargs={"grid_m": grid_m, "min_height": min_height},
     )

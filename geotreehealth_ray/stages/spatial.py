@@ -131,6 +131,31 @@ def rings_from_binary(col) -> list[np.ndarray]:
     return out
 
 
+def edge_pack_from_binary(col):
+    """binary ring column → ``geom.pack_ring_edges``-style edge pack
+    built with zero per-ring Python work: ring vertex counts come from
+    the binary offsets, vertices from one strided view of the data
+    buffer. Feeds :func:`geom.points_in_rings_pairs`."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    bufs = col.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int32)[
+        col.offset : col.offset + len(col) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.float64)
+    lens = (offsets[1:] - offsets[:-1]) // 16  # 16 bytes per (x, y)
+    total = int(lens.sum())
+    first = offsets[0] // 8  # the column may be a slice of the buffer
+    vx = data[first + 0 :: 2][:total]
+    vy = data[first + 1 :: 2][:total]
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    nxt = np.arange(total) + 1
+    if len(ends):
+        nxt[ends - 1] = starts
+    return vx, vy, vx[nxt], vy[nxt], lens, starts
+
+
 def pack_rings(batch: pa.Table, ring_col: str = "ring",
                out_col: str = "ring_b") -> pa.Table:
     """map_batches stage: add binary-packed ring column, drop the nested

@@ -116,3 +116,35 @@ def test_star_ring_deterministic():
     a = geom.make_star_ring(1, 2, 5, 12, seed=42)
     b = geom.make_star_ring(1, 2, 5, 12, seed=42)
     np.testing.assert_array_equal(a, b)
+
+
+def test_pair_pip_matches_per_ring_pip():
+    """points_in_rings_pairs must be bit-equal to per-ring
+    points_in_ring over random (point, ring) pairs, including boundary
+    vertices (the vectorized join kernel relies on this equivalence)."""
+    rng = np.random.default_rng(7)
+    rings = [
+        geom.make_star_ring(
+            rng.uniform(10, 90), rng.uniform(10, 90), rng.uniform(1, 8),
+            int(rng.integers(5, 40)), seed=int(rng.integers(1_000_000)),
+        )
+        for _ in range(40)
+    ]
+    pack = geom.pack_ring_edges(rings)
+    px = rng.uniform(0, 100, 1500)
+    py = rng.uniform(0, 100, 1500)
+    rid = rng.integers(0, len(rings), 1500)
+    got = geom.points_in_rings_pairs(px, py, rid, pack)
+    want = np.array(
+        [
+            geom.points_in_ring(px[i : i + 1], py[i : i + 1], rings[rid[i]])[0]
+            for i in range(len(px))
+        ]
+    )
+    np.testing.assert_array_equal(got, want)
+    # every ring vertex is on-boundary => inside
+    vx = np.array([r[0, 0] for r in rings])
+    vy = np.array([r[0, 1] for r in rings])
+    assert geom.points_in_rings_pairs(vx, vy, np.arange(len(rings)), pack).all()
+    # empty pair list
+    assert len(geom.points_in_rings_pairs(np.empty(0), np.empty(0), np.empty(0, np.int64), pack)) == 0
