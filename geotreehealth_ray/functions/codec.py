@@ -38,8 +38,12 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
 
 
 def encode_png(img: np.ndarray) -> bytes:
-    """Encode HxW (gray), HxWx3 (RGB) or HxWx4 (RGBA) uint8 → PNG."""
-    img = np.ascontiguousarray(img, dtype=np.uint8)
+    """Encode HxW (gray), HxWx3 (RGB) or HxWx4 (RGBA) uint8 → PNG.
+
+    zlib level 2: PNG is lossless at any level (decoded pixels are
+    bit-identical), and level 6 cost ~2.5× the compress time of the
+    chip-extraction hot loop for ~10% smaller chips."""
+    img = np.asarray(img, dtype=np.uint8)
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, c = img.shape
@@ -49,7 +53,7 @@ def encode_png(img: np.ndarray) -> bytes:
     raw = np.empty((h, 1 + w * c), dtype=np.uint8)
     raw[:, 0] = 0
     raw[:, 1:] = img.reshape(h, w * c)
-    idat = zlib.compress(raw.tobytes(), 6)
+    idat = zlib.compress(raw.tobytes(), 2)
     return (
         _PNG_SIG
         + _chunk(b"IHDR", ihdr)
@@ -84,6 +88,9 @@ def decode_png(data: bytes) -> np.ndarray:
     stride = 1 + w * c
     raw = raw.reshape(h, stride)
     filters = raw[:, 0]
+    if not filters.any():  # all filter 0 (our own encoder's output):
+        img = raw[:, 1:].reshape(h, w, c).copy()  # skip the row loop
+        return img[:, :, 0] if c == 1 else img
     out = np.zeros((h, w * c), dtype=np.uint8)
     bpp = c
     for y in range(h):
