@@ -510,11 +510,13 @@ def _q_synth_knn_cardinal(sf_dir: str):
     from geotreehealth_ray.pipelines.knn import knn_cardinal
 
     p = _synth_paths()
-    stems = _rd().read_parquet(p["stems"]).map_batches(
+    # repartition FIRST so the dedup batch sees every block (duplicate
+    # stem_ids straddle read blocks; per-batch dedup after the read
+    # would silently keep them). TINY fits one block.
+    stems = _rd().read_parquet(p["stems"]).repartition(1).map_batches(
         lambda df: df.drop_duplicates("stem_id"), batch_format="pandas"
     )
-    # dedup across blocks: TINY fits one block after this projection
-    return knn_cardinal(stems.repartition(1), min_dist=3.0)
+    return knn_cardinal(stems, min_dist=3.0)
 
 
 def _q_synth_median_polygon(sf_dir: str):

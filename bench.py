@@ -29,8 +29,11 @@ import subprocess
 import sys
 import time
 
-BENCH_STEMS = int(os.environ.get("GRAFT_BENCH_STEMS", "60000"))
-BENCH_EXTENT = float(os.environ.get("GRAFT_BENCH_EXTENT", "2000"))
+# default scale: large enough that compute+shuffle dominate fixed
+# per-run costs (at 60k stems the sort barriers were most of the wall);
+# the --scaling protocol uses 4x this (960k, BENCH/BASELINE.md)
+BENCH_STEMS = int(os.environ.get("GRAFT_BENCH_STEMS", "240000"))
+BENCH_EXTENT = float(os.environ.get("GRAFT_BENCH_EXTENT", "4000"))
 
 
 def bench_config():

@@ -217,13 +217,27 @@ def _candidate_pairs(skey: np.ndarray, sy: np.ndarray, pack,
     ``(ring_ids, pt_idx)`` chunks with bounded pair-explosion memory.
     """
     vx, vy, _, _, lens, starts = pack
-    n_crowns = len(lens)
+    if len(lens) == 0 or len(skey) == 0:
+        return
+    yield from _bbox_candidate_pairs(
+        skey, sy,
+        np.minimum.reduceat(vx, starts), np.minimum.reduceat(vy, starts),
+        np.maximum.reduceat(vx, starts), np.maximum.reduceat(vy, starts),
+        max_block_pairs,
+    )
+
+
+def _bbox_candidate_pairs(skey: np.ndarray, sy: np.ndarray,
+                          minx: np.ndarray, miny: np.ndarray,
+                          maxx: np.ndarray, maxy: np.ndarray,
+                          max_block_pairs: int = 200_000):
+    """bbox-rectangle variant of :func:`_candidate_pairs` (same probe,
+    boxes given directly — used by the lidar range join). Yields exact
+    bbox-hit ``(box_ids, pt_idx)`` chunks; within a chunk ``box_ids``
+    is non-decreasing and a box never spans two chunks."""
+    n_crowns = len(minx)
     if n_crowns == 0 or len(skey) == 0:
         return
-    minx = np.minimum.reduceat(vx, starts)
-    maxx = np.maximum.reduceat(vx, starts)
-    miny = np.minimum.reduceat(vy, starts)
-    maxy = np.maximum.reduceat(vy, starts)
     b0 = np.floor(miny / _YBUCKET_M).astype(np.int64)
     b1 = np.floor(maxy / _YBUCKET_M).astype(np.int64)
     nb = b1 - b0 + 1

@@ -83,7 +83,15 @@ def _halo_explode(batch: pa.Table, res: int, halo_m: float | None = None) -> pa.
     ).append_column("owner", pa.array(np.concatenate(owner_out), pa.bool_()))
 
 
+_KNN_CHUNK = 512
+
+
 def _knn_cell(group: pa.Table, k: int) -> pa.Table:
+    """Vectorized per-cell kNN: query chunks × candidate distance
+    matrix, stable argsort along axis 1. Candidates are pre-sorted by
+    id, so the STABLE sort on distance yields exactly the (dist asc,
+    id asc) order the per-query lexsort produced — bit-equal output
+    with no per-query Python loop."""
     ids = group["id"].to_numpy(zero_copy_only=False)
     x = group["x"].to_numpy()
     y = group["y"].to_numpy()
@@ -91,39 +99,44 @@ def _knn_cell(group: pa.Table, k: int) -> pa.Table:
     # candidates: all copies in this cell, deduped by id (a point's own
     # copy and a halo copy never coexist for the same cell)
     qi = np.where(owner)[0]
-    out_id, out_nb, out_rank, out_d = [], [], [], []
+    empty = pa.table(
+        {
+            "id": pa.array([], pa.string()),
+            "neighbor_id": pa.array([], pa.string()),
+            "rank": pa.array([], pa.int32()),
+            "dist": pa.array([], pa.float64()),
+        }
+    )
     if len(qi) == 0 or len(ids) <= 1:
-        return pa.table(
-            {
-                "id": pa.array([], pa.string()),
-                "neighbor_id": pa.array([], pa.string()),
-                "rank": pa.array([], pa.int32()),
-                "dist": pa.array([], pa.float64()),
-            }
-        )
+        return empty
     order = np.lexsort((ids,))
     x_s, y_s, ids_s = x[order], y[order], ids[order]
-    for q in qi:
-        d = np.hypot(x_s - x[q], y_s - y[q])
-        self_mask = ids_s == ids[q]
+    out_q, out_j, out_rank, out_d = [], [], [], []
+    for c0 in range(0, len(qi), _KNN_CHUNK):
+        q = qi[c0 : c0 + _KNN_CHUNK]
+        d = np.hypot(x_s[None, :] - x[q][:, None], y_s[None, :] - y[q][:, None])
+        self_mask = ids_s[None, :] == ids[q][:, None]
         d[self_mask] = np.inf
-        kk = min(k, len(d) - int(self_mask.sum()))
-        if kk <= 0:
-            continue
-        # deterministic (dist asc, id asc) order — exact tie-breaks even
-        # when equal distances straddle the k boundary
-        part = np.lexsort((ids_s, d))[:kk]
-        for r, j in enumerate(part):
-            out_id.append(ids[q])
-            out_nb.append(ids_s[j])
-            out_rank.append(r)
-            out_d.append(float(d[j]))
+        kk = np.minimum(k, len(ids_s) - self_mask.sum(axis=1))
+        srt = np.argsort(d, axis=1, kind="stable")  # (dist, id) order
+        take = np.minimum(kk, srt.shape[1])
+        maxk = int(take.max()) if len(take) else 0
+        for r in range(maxk):
+            rows = np.where(take > r)[0]
+            out_q.append(q[rows])
+            out_j.append(srt[rows, r])
+            out_rank.append(np.full(len(rows), r, np.int32))
+            out_d.append(d[rows, srt[rows, r]])
+    if not out_q:
+        return empty
+    qv = np.concatenate(out_q)
+    jv = np.concatenate(out_j)
     return pa.table(
         {
-            "id": pa.array(out_id, pa.string()),
-            "neighbor_id": pa.array(out_nb, pa.string()),
-            "rank": pa.array(np.array(out_rank, np.int32), pa.int32()),
-            "dist": pa.array(out_d, pa.float64()),
+            "id": pa.array(ids[qv], pa.string()),
+            "neighbor_id": pa.array(ids_s[jv], pa.string()),
+            "rank": pa.array(np.concatenate(out_rank), pa.int32()),
+            "dist": pa.array(np.concatenate(out_d), pa.float64()),
         }
     )
 
@@ -160,33 +173,42 @@ def _cardinal_cell(group: pa.Table, min_dist: float) -> pa.Table:
     y = group["y"].to_numpy()
     owner = group["owner"].to_numpy(zero_copy_only=False)
     qi = np.where(owner)[0]
-    rows = {"id": [], "quad": [], "neighbor_id": [], "dist": []}
     order = np.lexsort((ids,))
     x_s, y_s, ids_s = x[order], y[order], ids[order]
-    for q in qi:
-        dx = x_s - x[q]
-        dy = y_s - y[q]
+    out_q, out_quad, out_j, out_d = [], [], [], []
+    # vectorized: query chunks × candidates; per quadrant a masked
+    # argmin along axis 1 (candidates id-sorted → argmin's first-of-min
+    # IS the lowest-id tie-break the reference loop produced)
+    for c0 in range(0, len(qi), _KNN_CHUNK):
+        q = qi[c0 : c0 + _KNN_CHUNK]
+        dx = x_s[None, :] - x[q][:, None]
+        dy = y_s[None, :] - y[q][:, None]
         d = np.hypot(dx, dy)
-        valid = (d >= min_dist) & (ids_s != ids[q])
+        valid = (d >= min_dist) & (ids_s[None, :] != ids[q][:, None])
         # quadrant of neighbor relative to target (find_cardinal_direction)
         # E = dx>=0, N = dy>=0 → 0:NE 1:NW 2:SE 3:SW (_QUADS order)
         quad = np.where(dx >= 0, np.where(dy >= 0, 0, 2), np.where(dy >= 0, 1, 3))
-        for qcode, qname in enumerate(_QUADS):
-            m = valid & (quad == qcode)
-            if not m.any():
-                continue
-            dd = np.where(m, d, np.inf)
-            j = int(np.argmin(dd))  # ids sorted → lowest-id tie-break
-            rows["id"].append(ids[q])
-            rows["quad"].append(qname)
-            rows["neighbor_id"].append(ids_s[j])
-            rows["dist"].append(float(dd[j]))
+        for qcode in range(4):
+            dd = np.where(valid & (quad == qcode), d, np.inf)
+            j = np.argmin(dd, axis=1)
+            best = dd[np.arange(len(q)), j]
+            hit = np.isfinite(best)
+            out_q.append(q[hit])
+            out_quad.append(np.full(hit.sum(), qcode, np.int8))
+            out_j.append(j[hit])
+            out_d.append(best[hit])
+    qv = np.concatenate(out_q) if out_q else np.empty(0, np.int64)
+    jv = np.concatenate(out_j) if out_j else np.empty(0, np.int64)
+    quadv = np.concatenate(out_quad) if out_quad else np.empty(0, np.int8)
+    quad_names = np.array(_QUADS)
     return pa.table(
         {
-            "id": pa.array(rows["id"], pa.string()),
-            "quad": pa.array(rows["quad"], pa.string()),
-            "neighbor_id": pa.array(rows["neighbor_id"], pa.string()),
-            "dist": pa.array(rows["dist"], pa.float64()),
+            "id": pa.array(ids[qv.astype(np.int64)], pa.string()),
+            "quad": pa.array(quad_names[quadv.astype(np.int64)], pa.string()),
+            "neighbor_id": pa.array(ids_s[jv.astype(np.int64)], pa.string()),
+            "dist": pa.array(
+                np.concatenate(out_d) if out_d else np.empty(0), pa.float64()
+            ),
         }
     )
 

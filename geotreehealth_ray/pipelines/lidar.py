@@ -27,7 +27,6 @@ import pyarrow as pa
 from .relational import coalesce_for_shuffle
 
 from ..functions import cells
-from ..functions.gridindex import PointGridIndex
 from ..stages.spatial import explode_to_covering_cells
 
 __all__ = ["crown_lidar_stats", "subsample_points", "normalize_xyz"]
@@ -84,32 +83,40 @@ def _stats_cell(group: pa.Table) -> pa.Table:
     )
     if len(pts) == 0 or len(crowns) == 0:
         return empty
+    # vectorized range join: points sorted by the (y-bucket, x)
+    # composite key, one array searchsorted for all crown boxes, then
+    # per-crown reduceat aggregation — no per-crown Python loop
+    # (assign.py's candidate machinery; chunks are crown-contiguous)
+    from .assign import _bbox_candidate_pairs, _stem_sort_key
+
     px = pts["x"].to_numpy()
     py = pts["y"].to_numpy()
     pz = pts["z"].to_numpy()
-    index = PointGridIndex(px, py)
-    out = {"crown_id": [], "n_points": [], "max_z": [], "sum_z": []}
+    skey = _stem_sort_key(px, py)
+    order = np.argsort(skey, kind="stable")
+    py_s, pz_s, skey_s = py[order], pz[order], skey[order]
     cids = crowns["crown_id"].to_numpy(zero_copy_only=False)
     bb = [crowns[c].to_numpy() for c in ("minx", "miny", "maxx", "maxy")]
-    for i in range(len(crowns)):
-        hit = index.query_bbox(bb[0][i], bb[1][i], bb[2][i], bb[3][i])
-        if len(hit) == 0:
-            continue
-        hx, hy = px[hit], py[hit]
-        m = (hx >= bb[0][i]) & (hx <= bb[2][i]) & (hy >= bb[1][i]) & (hy <= bb[3][i])
-        if not m.any():
-            continue
-        z = pz[hit[m]]
-        out["crown_id"].append(cids[i])
-        out["n_points"].append(int(m.sum()))
-        out["max_z"].append(float(z.max()))
-        out["sum_z"].append(float(z.sum()))
+    out = {"crown_id": [], "n_points": [], "max_z": [], "sum_z": []}
+    for box_ids, pt in _bbox_candidate_pairs(
+        skey_s, py_s, bb[0], bb[1], bb[2], bb[3]
+    ):
+        bounds = np.flatnonzero(np.r_[True, box_ids[1:] != box_ids[:-1]])
+        z = pz_s[pt]
+        out["crown_id"].append(cids[box_ids[bounds]])
+        out["n_points"].append(
+            np.diff(np.r_[bounds, len(box_ids)]).astype(np.int64)
+        )
+        out["max_z"].append(np.maximum.reduceat(z, bounds))
+        out["sum_z"].append(np.add.reduceat(z, bounds))
+    if not out["crown_id"]:
+        return empty
     return pa.table(
         {
-            "crown_id": pa.array(out["crown_id"], pa.string()),
-            "n_points": pa.array(out["n_points"], pa.int64()),
-            "max_z": pa.array(out["max_z"], pa.float64()),
-            "sum_z": pa.array(out["sum_z"], pa.float64()),
+            "crown_id": pa.array(np.concatenate(out["crown_id"]), pa.string()),
+            "n_points": pa.array(np.concatenate(out["n_points"]), pa.int64()),
+            "max_z": pa.array(np.concatenate(out["max_z"]), pa.float64()),
+            "sum_z": pa.array(np.concatenate(out["sum_z"]), pa.float64()),
         }
     )
 
