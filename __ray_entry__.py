@@ -538,6 +538,121 @@ def _q_synth_stem_dedup(sf_dir: str):
     return dedup_stems(_rd().read_parquet(p["stems"]))
 
 
+def _q_range_stats(sf_dir: str):
+    """Lidar↔crown bbox range join with per-crown stats (the
+    crown_lidar_stats pipeline over SQL-derivable points: z is a whole
+    number so sum/avg are exact in float64 regardless of reduce order)."""
+    from geotreehealth_ray.pipelines.derive import _coords, derive_boxes
+    from geotreehealth_ray.pipelines.lidar import crown_lidar_stats
+
+    def to_pts(t: pa.Table) -> pa.Table:
+        key = t["o_orderkey"].to_numpy()
+        x, y = _coords(key)
+        z = ((key * 13) % 100).astype(np.float64)
+        return pa.table(
+            {
+                "x": pa.array(x, pa.float64()),
+                "y": pa.array(y, pa.float64()),
+                "z": pa.array(z, pa.float64()),
+            }
+        )
+
+    lidar = _read(sf_dir, "orders").select_columns(["o_orderkey"]).map_batches(
+        to_pts, batch_format="pyarrow"
+    )
+    crowns = derive_boxes(_read(sf_dir, "part"))
+    stats = crown_lidar_stats(lidar, crowns)
+
+    def to_keys(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "p_partkey": df["crown_id"].astype(np.int64),
+                "n_points": df["n_points"],
+                "max_z": df["max_z"],
+                "mean_z": df["mean_z"],
+            }
+        )
+
+    return stats.map_batches(to_keys, batch_format="pandas")
+
+
+def _q_cardinal_join(sf_dir: str):
+    """Tile-local cardinal-quadrant nearest neighbor (knn_cardinal
+    local mode — reference batch_sam.py:425-452 over tile-clipped
+    stems; cell = 128 m Morton tile, SQL = self-join on the cell key)."""
+    from geotreehealth_ray.pipelines.derive import _coords
+    from geotreehealth_ray.pipelines.knn import knn_cardinal
+
+    def to_pts(t: pa.Table) -> pa.Table:
+        key = t["c_custkey"].to_numpy()
+        x, y = _coords(key)
+        return pa.table(
+            {
+                "stem_id": pa.array(np.char.zfill(key.astype(str), 12)),
+                "x": pa.array(x, pa.float64()),
+                "y": pa.array(y, pa.float64()),
+            }
+        )
+
+    pts = _read(sf_dir, "customer").select_columns(["c_custkey"]).map_batches(
+        to_pts, batch_format="pyarrow"
+    )
+    out = knn_cardinal(pts, min_dist=3.0, local=True)
+
+    def to_keys(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": pa.array(
+                    np.array([int(v) for v in t["id"].to_pylist()], np.int64)
+                ),
+                "quad": t["quad"],
+                "neighbor": pa.array(
+                    np.array(
+                        [int(v) for v in t["neighbor_id"].to_pylist()], np.int64
+                    )
+                ),
+                "dist": t["dist"],
+            }
+        )
+
+    return out.map_batches(to_keys, batch_format="pyarrow")
+
+
+def _q_median_box(sf_dir: str):
+    """select_median_polygon semantics on SQL-derivable areas: per
+    p_brand keep the box whose area is closest to the group median
+    (areas are whole doubles, so median/abs-diff are fp-exact)."""
+    from geotreehealth_ray.pipelines.crown_ops import select_median_polygon
+
+    def to_rows(t: pa.Table) -> pa.Table:
+        key = t["p_partkey"].to_numpy()
+        size = t["p_size"].to_numpy()
+        half = (1 + (size % 10)).astype(np.float64)
+        return pa.table(
+            {
+                "stem_id": t["p_brand"],
+                "crown_id": pa.array(np.char.zfill(key.astype(str), 12)),
+                "area": pa.array((2.0 * half) ** 2, pa.float64()),
+            }
+        )
+
+    rows = _read(sf_dir, "part").select_columns(
+        ["p_partkey", "p_brand", "p_size"]
+    ).map_batches(to_rows, batch_format="pyarrow")
+    picked = select_median_polygon(rows)
+
+    def to_keys(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "p_brand": df["stem_id"],
+                "p_partkey": df["crown_id"].astype(np.int64),
+                "area": df["area"],
+            }
+        )
+
+    return picked.map_batches(to_keys, batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # spatial operators (derived coordinates — SQL-oracled)
@@ -545,6 +660,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crown_assign": _q_crown_assign,
         "unassigned_stems": _q_unassigned,
         "knn_join": _q_knn_join,
+        "range_stats": _q_range_stats,
+        "cardinal_join": _q_cardinal_join,
+        "median_box": _q_median_box,
         "cell_counts": _q_cell_counts,
         # relational operators
         "q1_pricing": _q_q1,
@@ -637,6 +755,56 @@ def oracle_sql() -> dict[str, str]:
                                 s.s_suppkey) - 1 AS rank
               FROM cpts c CROSS JOIN spts s) t
             WHERE rank < 3
+        """,
+        "range_stats": f"""
+            WITH pts AS (SELECT ((o_orderkey*7919)%10000)/10.0 AS x,
+                                ((o_orderkey*104729)%10000)/10.0 AS y,
+                                CAST((o_orderkey*13)%100 AS DOUBLE) AS z
+                         FROM orders),
+                 bx AS ({_BX})
+            SELECT b.p_partkey, count(*) AS n_points,
+                   max(p.z) AS max_z, avg(p.z) AS mean_z
+            FROM bx b JOIN pts p
+              ON p.x BETWEEN b.cx - b.half AND b.cx + b.half
+             AND p.y BETWEEN b.cy - b.half AND b.cy + b.half
+            GROUP BY b.p_partkey
+        """,
+        "cardinal_join": """
+            WITH p AS (SELECT c_custkey AS key,
+                              ((c_custkey*7919)%10000)/10.0 AS x,
+                              ((c_custkey*104729)%10000)/10.0 AS y
+                       FROM customer),
+                 c AS (SELECT *, CAST(floor(x/128.0) AS BIGINT) AS gx,
+                              CAST(floor(y/128.0) AS BIGINT) AS gy FROM p),
+                 pr AS (SELECT a.key AS id, b.key AS nb,
+                               b.x - a.x AS dx, b.y - a.y AS dy,
+                               sqrt((b.x-a.x)*(b.x-a.x) + (b.y-a.y)*(b.y-a.y))
+                                 AS dist
+                        FROM c a JOIN c b
+                          ON a.gx = b.gx AND a.gy = b.gy AND a.key <> b.key),
+                 q AS (SELECT id, nb, dist,
+                              CASE WHEN dx >= 0 AND dy >= 0 THEN 'NE'
+                                   WHEN dx >= 0 THEN 'SE'
+                                   WHEN dy >= 0 THEN 'NW'
+                                   ELSE 'SW' END AS quad
+                       FROM pr WHERE dist >= 3.0)
+            SELECT id AS c_custkey, quad, nb AS neighbor, dist
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY id, quad ORDER BY dist, nb) AS rn FROM q)
+            WHERE rn = 1
+        """,
+        "median_box": """
+            WITH r AS (SELECT p_brand, p_partkey,
+                              CAST((2*(1+(p_size%10)))*(2*(1+(p_size%10)))
+                                   AS DOUBLE) AS area
+                       FROM part),
+                 m AS (SELECT *, median(area) OVER (PARTITION BY p_brand)
+                                   AS med FROM r)
+            SELECT p_brand, p_partkey, area
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY p_brand
+                    ORDER BY abs(area - med), p_partkey) AS rn FROM m)
+            WHERE rn = 1
         """,
         "cell_counts": f"""
             WITH pts AS ({_PTS})

@@ -205,6 +205,13 @@ def run_queries(sf_dir: str) -> dict:
 def main():
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    # This sandbox faults fresh pages in at ~10 MB/s, and glibc munmaps
+    # large freed buffers, so every big numpy temp re-pays the fault
+    # (measured 23 s to re-fill a 320 MB array; 44 ms with these set).
+    # Raising the thresholds keeps freed buffers in the arena for
+    # reuse. Set BEFORE ray.init so raylet-spawned workers inherit.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "2147483647")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "2147483647")
 
     if "--scaling" in sys.argv:
         results = {}

@@ -24,6 +24,7 @@ __all__ = [
     "neighbors",
     "cells_covering",
     "cell_grid_xy",
+    "mix64",
     "DEFAULT_RES",
     "BASE_CELL_M",
 ]
@@ -40,6 +41,21 @@ _AXIS_BITS = 30
 
 def cell_edge_m(res: int) -> float:
     return BASE_CELL_M / float(1 << res)
+
+
+def mix64(v: np.ndarray) -> np.ndarray:
+    """Bijective 64-bit mix (splitmix64 finalizer). Used to SCRAMBLE a
+    Morton cell key before a sort-based groupby: Z-order puts a dense
+    spatial cluster's cells in adjacent key ranges, so the range
+    partitioner packs the whole hot region into one output block and
+    that block's task becomes the straggler. Mixing the key spreads
+    neighboring cells uniformly across range partitions while keeping
+    the cell→group mapping exact (bijection ⇒ no group merging)."""
+    v = np.asarray(v, dtype=np.uint64).copy()
+    v += np.uint64(0x9E3779B97F4A7C15)
+    v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    v = (v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return v ^ (v >> np.uint64(31))
 
 
 def _part1by1(v: np.ndarray) -> np.ndarray:

@@ -136,7 +136,9 @@ def _stem_side(batch: pa.Table, res: int, hot_ref=None, salt_all=True) -> pa.Tab
     return pa.table(
         {
             "side": pa.array(np.zeros(n, np.int8)),
-            "cell": batch["cell"],
+            # scrambled (bijective) so hot spatial clusters spread
+            # across range partitions — see cells.mix64
+            "cell": pa.array(cells.mix64(batch["cell"].to_numpy()), pa.uint64()),
             "stem_id": batch["stem_id"],
             "x": batch["x"],
             "y": batch["y"],
@@ -179,7 +181,7 @@ def _crown_side(batch: pa.Table, res: int, hot_ref=None, salt_all=True) -> pa.Ta
     return pa.table(
         {
             "side": pa.array(np.ones(n, np.int8)),
-            "cell": pa.array(keys, pa.uint64()),
+            "cell": pa.array(cells.mix64(keys), pa.uint64()),
             "stem_id": pa.nulls(n, pa.string()),
             "x": taken["minx"],  # carried for bbox prefilter
             "y": taken["miny"],
@@ -199,7 +201,7 @@ _YKEY_STRIDE = float(1 << 21)  # > world extent → composite key is exact
 
 
 def _candidate_pairs(skey: np.ndarray, sy: np.ndarray, pack,
-                     max_block_pairs: int = 200_000):
+                     max_block_pairs: int = 64_000):
     """Vectorized 2-D bbox prefilter for ALL (crown, stem) pairs of a
     partition at once (replaces the per-crown grid-index probe loop,
     whose ~0.4 ms/probe numpy fixed cost dominated the join stage).
@@ -230,7 +232,7 @@ def _candidate_pairs(skey: np.ndarray, sy: np.ndarray, pack,
 def _bbox_candidate_pairs(skey: np.ndarray, sy: np.ndarray,
                           minx: np.ndarray, miny: np.ndarray,
                           maxx: np.ndarray, maxy: np.ndarray,
-                          max_block_pairs: int = 200_000):
+                          max_block_pairs: int = 64_000):
     """bbox-rectangle variant of :func:`_candidate_pairs` (same probe,
     boxes given directly — used by the lidar range join). Yields exact
     bbox-hit ``(box_ids, pt_idx)`` chunks; within a chunk ``box_ids``

@@ -183,7 +183,11 @@ def _cardinal_cell(group: pa.Table, min_dist: float) -> pa.Table:
         q = qi[c0 : c0 + _KNN_CHUNK]
         dx = x_s[None, :] - x[q][:, None]
         dy = y_s[None, :] - y[q][:, None]
-        d = np.hypot(dx, dy)
+        # sqrt(dx²+dy²), not np.hypot: each IEEE op (*, +, sqrt) is
+        # correctly rounded, so this matches ANSI-SQL sqrt(...) bit for
+        # bit — the DuckDB oracle reproduces dist and the >=min_dist
+        # boundary exactly
+        d = np.sqrt(dx * dx + dy * dy)
         valid = (d >= min_dist) & (ids_s[None, :] != ids[q][:, None])
         # quadrant of neighbor relative to target (find_cardinal_direction)
         # E = dx>=0, N = dy>=0 → 0:NE 1:NW 2:SE 3:SW (_QUADS order)
@@ -214,16 +218,35 @@ def _cardinal_cell(group: pa.Table, min_dist: float) -> pa.Table:
 
 
 def knn_cardinal(points, min_dist: float = 3.0, res: int = cells.DEFAULT_RES,
-                 id_col: str = "stem_id", halo_m: float | None = None):
+                 id_col: str = "stem_id", halo_m: float | None = None,
+                 local: bool = False):
     """(id, quad, neighbor_id, dist) — nearest neighbor per NE/NW/SE/SW
-    quadrant at distance ≥ min_dist (reference 3 m floor, config.py:34)."""
+    quadrant at distance ≥ min_dist (reference 3 m floor, config.py:34).
+
+    ``local=True`` restricts candidates to the point's own cell with no
+    halo replication — the reference's actual semantics (stems are
+    clipped to the tile before prompting, batch_sam.py:396-410), zero
+    shuffle amplification, and exactly reproducible by a SQL self-join
+    on the cell key. Default (halo) mode instead approximates global
+    quadrant-nearest, exact while that neighbor is within the halo."""
     pts = points.select_columns([id_col, "x", "y"]).map_batches(
         lambda t: t.rename_columns(["id", "x", "y"]), batch_format="pyarrow"
     )
-    exploded = pts.map_batches(
-        _halo_explode, batch_format="pyarrow",
-        fn_kwargs={"res": res, "halo_m": halo_m},
-    )
+    if local:
+        from ..stages.spatial import attach_cell
+
+        def own_cell(t: pa.Table) -> pa.Table:
+            t = attach_cell(t, res=res)
+            return t.append_column(
+                "owner", pa.array(np.ones(len(t), dtype=bool))
+            )
+
+        exploded = pts.map_batches(own_cell, batch_format="pyarrow")
+    else:
+        exploded = pts.map_batches(
+            _halo_explode, batch_format="pyarrow",
+            fn_kwargs={"res": res, "halo_m": halo_m},
+        )
     return coalesce_for_shuffle(exploded).groupby("cell").map_groups(
         _cardinal_cell, batch_format="pyarrow", fn_kwargs={"min_dist": min_dist}
     )
