@@ -33,7 +33,7 @@ import pyarrow as pa
 from .relational import coalesce_for_shuffle
 
 from ..functions import cells, contours, geom
-from ..stages.spatial import pack_rings, rings_from_binary
+from ..stages.spatial import pack_rings, rings_from_binary, scramble_cell
 from .nms import DEFAULT_HALO_M, _explode_with_halo
 
 __all__ = ["remove_perc_of_smallest", "remove_smaller_overlapping",
@@ -105,7 +105,7 @@ def remove_smaller_overlapping(crowns, min_frac: float = 0.5,
         _explode_with_halo, batch_format="pyarrow",
         fn_kwargs={"res": res, "halo_m": halo_m},
     )
-    return coalesce_for_shuffle(exploded).groupby("cell").map_groups(
+    return coalesce_for_shuffle(exploded.map_batches(scramble_cell, batch_format="pyarrow")).groupby("cell").map_groups(
         _drop_smaller_kernel, batch_format="pyarrow",
         fn_kwargs={"min_frac": min_frac},
     )

@@ -28,6 +28,7 @@ import pyarrow as pa
 from .relational import coalesce_for_shuffle
 
 from ..functions import cells
+from ..stages.spatial import scramble_cell
 
 __all__ = ["knn_points", "knn_cardinal"]
 
@@ -157,7 +158,7 @@ def knn_points(points, k: int = 5, res: int = cells.DEFAULT_RES,
         _halo_explode, batch_format="pyarrow",
         fn_kwargs={"res": res, "halo_m": halo_m},
     )
-    return coalesce_for_shuffle(exploded).groupby("cell").map_groups(
+    return coalesce_for_shuffle(exploded.map_batches(scramble_cell, batch_format="pyarrow")).groupby("cell").map_groups(
         _knn_cell, batch_format="pyarrow", fn_kwargs={"k": k}
     )
 
@@ -247,6 +248,6 @@ def knn_cardinal(points, min_dist: float = 3.0, res: int = cells.DEFAULT_RES,
             _halo_explode, batch_format="pyarrow",
             fn_kwargs={"res": res, "halo_m": halo_m},
         )
-    return coalesce_for_shuffle(exploded).groupby("cell").map_groups(
+    return coalesce_for_shuffle(exploded.map_batches(scramble_cell, batch_format="pyarrow")).groupby("cell").map_groups(
         _cardinal_cell, batch_format="pyarrow", fn_kwargs={"min_dist": min_dist}
     )

@@ -27,7 +27,7 @@ import pyarrow as pa
 from .relational import coalesce_for_shuffle
 
 from ..functions import cells
-from ..stages.spatial import explode_to_covering_cells
+from ..stages.spatial import explode_to_covering_cells, scramble_cell
 
 __all__ = ["crown_lidar_stats", "subsample_points", "normalize_xyz"]
 
@@ -172,7 +172,7 @@ def crown_lidar_stats(lidar, crowns, res: int = cells.DEFAULT_RES):
         ["crown_id", "minx", "miny", "maxx", "maxy"]
     ).map_batches(crown_side, batch_format="pyarrow")
 
-    partials = coalesce_for_shuffle(p.union(c)).groupby("cell").map_groups(
+    partials = coalesce_for_shuffle(p.union(c).map_batches(scramble_cell, batch_format="pyarrow")).groupby("cell").map_groups(
         _stats_cell, batch_format="pyarrow"
     )
 

@@ -35,7 +35,7 @@ import pyarrow as pa
 from .relational import coalesce_for_shuffle
 
 from ..functions import cells, geom
-from ..stages.spatial import pack_rings, rings_from_binary
+from ..stages.spatial import pack_rings, rings_from_binary, scramble_cell
 
 __all__ = ["greedy_nms", "merge_overlapping_components", "DEFAULT_HALO_M"]
 
@@ -151,7 +151,7 @@ def greedy_nms(crowns, threshold: float = 0.3, criterion: str = "max_area_frac",
         batch_format="pyarrow",
         fn_kwargs={"res": res, "halo_m": halo_m},
     )
-    return coalesce_for_shuffle(exploded).groupby("cell").map_groups(
+    return coalesce_for_shuffle(exploded.map_batches(scramble_cell, batch_format="pyarrow")).groupby("cell").map_groups(
         _greedy_kernel,
         batch_format="pyarrow",
         fn_kwargs={"criterion": criterion, "threshold": threshold},
@@ -228,6 +228,6 @@ def merge_overlapping_components(crowns, min_frac: float = 0.5,
         batch_format="pyarrow",
         fn_kwargs={"res": res, "halo_m": halo_m},
     )
-    return coalesce_for_shuffle(exploded).groupby("cell").map_groups(
+    return coalesce_for_shuffle(exploded.map_batches(scramble_cell, batch_format="pyarrow")).groupby("cell").map_groups(
         _components_kernel, batch_format="pyarrow", fn_kwargs={"min_frac": min_frac}
     )

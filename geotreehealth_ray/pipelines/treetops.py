@@ -97,12 +97,12 @@ def detect_treetops(lidar, grid_m: float = 2.0, min_height: float = 5.0,
     yield one top per side — acceptable for the detector's purpose, as
     in the reference's per-tile loop which has the same property at
     tile boundaries)."""
-    from ..stages.spatial import attach_cell
+    from ..stages.spatial import attach_cell, scramble_cell
 
     pts = lidar.select_columns(["x", "y", "z"]).map_batches(
         lambda t: attach_cell(t, res=res), batch_format="pyarrow"
     )
-    return coalesce_for_shuffle(pts).groupby("cell").map_groups(
+    return coalesce_for_shuffle(pts.map_batches(scramble_cell, batch_format="pyarrow")).groupby("cell").map_groups(
         _cluster_kernel, batch_format="pyarrow",
         fn_kwargs={"grid_m": grid_m, "min_height": min_height},
     )

@@ -190,6 +190,20 @@ def attach_cell(batch: pa.Table, x_col: str = "x", y_col: str = "y",
     return batch.append_column(out_col, pa.array(key, pa.uint64()))
 
 
+def scramble_cell(batch: pa.Table, col: str = "cell") -> pa.Table:
+    """map_batches stage: bijectively mix the Morton cell key right
+    before a sort-based ``groupby(cell)`` (cells.mix64). Z-order makes
+    a dense spatial cluster's cells key-adjacent, so the range
+    partitioner would pack the whole hot region into one output block
+    and its task becomes the straggler; mixing spreads neighboring
+    cells uniformly while keeping cell→group exact. Apply only at
+    shuffle time — the raw Morton key stays the storage/partition
+    ordering (checkpoint partition ids are Z-order prefixes)."""
+    mixed = cells.mix64(batch[col].to_numpy())
+    i = batch.column_names.index(col)
+    return batch.set_column(i, col, pa.array(mixed, pa.uint64()))
+
+
 def explode_to_covering_cells(batch: pa.Table, res: int = cells.DEFAULT_RES,
                               out_col: str = "cell") -> pa.Table:
     """map_batches stage: replicate each bbox-carrying row to every cell
