@@ -371,6 +371,12 @@ def _q_minhash_pairs(sf_dir: str):
     return minhash_lsh_pairs(_read(sf_dir, "documents"), threshold=0.5)
 
 
+def _q_jaccard_pairs(sf_dir: str):
+    from geotreehealth_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_read(sf_dir, "documents"), n=3, threshold=0.5)
+
+
 def _q_simhash_pairs(sf_dir: str):
     from geotreehealth_ray.pipelines.dedup import simhash_pairs
 
@@ -680,6 +686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_id": _q_doc_lang,
         "doc_fingerprints": _q_doc_fingerprints,
         "minhash_pairs": _q_minhash_pairs,
+        "jaccard_pairs": _q_jaccard_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "emb_near_dup": _q_emb_near_dup,
         "ann_topk": _q_ann_topk,
@@ -971,6 +978,33 @@ def oracle_sql() -> dict[str, str]:
                        / (len(a.s) + len(b.s)
                           - len(list_intersect(a.s, b.s))) AS j
               FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            SELECT doc_id_a, doc_id_b, round(j, 9) AS jaccard
+            FROM pairs WHERE j >= 0.5
+        """,
+        "jaccard_pairs": """
+            -- EXACT oracle (no recall argument needed): the engine's
+            -- prefix-filtered all-pairs join has recall 1.0 by the
+            -- prefix-filtering theorem, and its uint64 gram hashing is
+            -- injective on this corpus, so the pair set equals this
+            -- exhaustive word-trigram Jaccard scan.
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS w
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     list_distinct(
+                       [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        FOR i IN range(1, len(w) - 1)]
+                     ) AS s
+              FROM toks WHERE len(w) >= 3),
+            pairs AS (
+              SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                     len(list_intersect(a.s, b.s))::DOUBLE
+                       / (len(a.s) + len(b.s)
+                          - len(list_intersect(a.s, b.s))) AS j
+              FROM grams a JOIN grams b ON a.doc_id < b.doc_id)
             SELECT doc_id_a, doc_id_b, round(j, 9) AS jaccard
             FROM pairs WHERE j >= 0.5
         """,

@@ -30,7 +30,7 @@ import pyarrow as pa
 from .relational import coalesce_for_shuffle
 
 __all__ = ["exact_dedup", "minhash_lsh_pairs", "simhash_pairs",
-           "jaccard_of_texts", "embedding_near_dup"]
+           "ngram_jaccard_pairs", "jaccard_of_texts", "embedding_near_dup"]
 
 
 # ------------------------------------------------------------- exact
@@ -100,6 +100,93 @@ def _jaccard_arrays(sa: np.ndarray, sb: np.ndarray) -> float:
 
 def jaccard_of_texts(a: str, b: str, k: int = 5) -> float:
     return _jaccard_arrays(_char_shingles(a, k), _char_shingles(b, k))
+
+
+def _word_ngrams(text: str, n: int = 3) -> np.ndarray:
+    """Word n-grams hashed to 64-bit ints (sorted unique array). Token
+    hash is md5 first-8-bytes little-endian (== DuckDB
+    ``md5_number_upper``, same as SimHash's ``_tok64``); gram hash is
+    the degree-(n-1) polynomial of the token hashes in uint64
+    wraparound arithmetic — vectorized over all grams of a doc.
+    Injective on any realistic corpus (collision odds ~ (#grams)²/2⁶⁴),
+    which is what makes the string-based DuckDB oracle exact."""
+    toks = text.split()
+    if len(toks) < n:
+        return np.empty(0, dtype=np.uint64)
+    th = np.array([_tok64(t) for t in toks], dtype=np.uint64)
+    g = np.zeros(len(toks) - n + 1, dtype=np.uint64)
+    for j in range(n):
+        g = g * _POLY_BASE + th[j : len(toks) - n + 1 + j]
+    return np.unique(g)
+
+
+def ngram_jaccard_pairs(docs, n: int = 3, threshold: float = 0.5):
+    """(doc_id_a, doc_id_b, jaccard) — EXACT word-n-gram Jaccard
+    near-dup pairs at ``jaccard ≥ threshold`` (a < b). Unlike MinHash
+    this has recall 1.0 by construction: candidate generation uses
+    prefix filtering (Bayardo et al., "Scaling Up All Pairs Similarity
+    Search", WWW'07; Xiao et al. PPJoin): under any fixed global total
+    order on grams (here: hash ascending), two sets with Jaccard ≥ t
+    must share a gram within their first ``m - ceil(t*m) + 1`` grams —
+    so only those prefix grams are emitted as slim (gram, doc_id) rows.
+
+    Scale flow (text never fans out per gram):
+    1. per-batch gram sets → SLIM prefix rows, ~(1-t)·m per doc;
+    2. groupby(gram) → candidate id pairs (dedup in-bucket);
+    3. shared `_verify_pairs` tail: two bucketed text joins + exact
+       set-Jaccard verify, same exchanges as MinHash.
+    A pathological gram shared by every document would make one bucket
+    quadratic; the prefix trick already biases emitted grams toward the
+    rare end (hash-ascending ≈ frequency-agnostic uniform), and a df-cap
+    salting pass can be layered if a real corpus ever hits it."""
+    import math
+
+    def prefix_stage(df: pd.DataFrame) -> pd.DataFrame:
+        out_gram, out_doc = [], []
+        for did, text in zip(df["doc_id"], df["text"].fillna("")):
+            s = _word_ngrams(text, n)  # sorted unique = global order
+            m = len(s)
+            if m == 0:
+                continue
+            p = m - math.ceil(threshold * m) + 1
+            out_gram.append(s[:p])
+            out_doc.append(np.full(p, did, dtype=np.int64))
+        if not out_gram:
+            return pd.DataFrame(
+                {"gram": pd.array([], "uint64"),
+                 "doc_id": pd.array([], "int64")}
+            )
+        return pd.DataFrame(
+            {"gram": np.concatenate(out_gram),
+             "doc_id": np.concatenate(out_doc)}
+        )
+
+    def candidates_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, g in df.groupby("gram", sort=False):
+            ids = np.unique(g["doc_id"].to_numpy())
+            if len(ids) < 2:
+                continue
+            ii, jj = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ii])
+            out_b.append(ids[jj])
+        if not out_a:
+            return pd.DataFrame(
+                {"doc_id_a": pd.array([], "int64"),
+                 "doc_id_b": pd.array([], "int64")}
+            )
+        return pd.DataFrame(
+            {"doc_id_a": pd.array(np.concatenate(out_a), "int64"),
+             "doc_id_b": pd.array(np.concatenate(out_b), "int64")}
+        ).drop_duplicates(["doc_id_a", "doc_id_b"])
+
+    from .relational import bucketed_reduce
+
+    prefix_rows = docs.select_columns(["doc_id", "text"]).map_batches(
+        prefix_stage, batch_format="pandas"
+    )
+    pairs = bucketed_reduce(prefix_rows, "gram", candidates_bucket)
+    return _verify_pairs(docs, pairs, lambda t: _word_ngrams(t, n), threshold)
 
 
 # ------------------------------------------------------------ minhash
@@ -193,6 +280,16 @@ def minhash_lsh_pairs(docs, k: int = 5, num_perm: int = 128, bands: int = 32,
     )
     # shuffle 1: band buckets → candidate pairs
     pairs = bucketed_reduce(band_rows, "band_hash", candidates_bucket)
+    return _verify_pairs(docs, pairs, lambda t: _char_shingles(t, k), threshold)
+
+
+def _verify_pairs(docs, pairs, shingle_fn, threshold: float):
+    """Shared tail of the near-dup pipelines: given slim candidate id
+    pairs, attach both texts with two bucketed joins (each text crosses
+    the wire once per pair-membership) and keep pairs whose exact
+    set-Jaccard under ``shingle_fn`` is ≥ threshold. Emits
+    (doc_id_a, doc_id_b, jaccard)."""
+    from .relational import bucketed_reduce
 
     _COLS = ["key", "kind", "doc_id_a", "doc_id_b", "text_x"]
 
@@ -262,7 +359,7 @@ def minhash_lsh_pairs(docs, k: int = 5, num_perm: int = 128, bands: int = 32,
         def sh(doc_id, text):
             s = memo.get(doc_id)
             if s is None:
-                s = _char_shingles(text or "", k)
+                s = shingle_fn(text or "")
                 memo[doc_id] = s
             return s
 

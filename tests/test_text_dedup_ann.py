@@ -130,6 +130,49 @@ def test_minhash_precision_and_recall(ray_session):
     assert planted_true and len(pairs & planted_true) >= 0.9 * len(planted_true)
 
 
+def test_ngram_jaccard_exact_recall(ray_session):
+    """Prefix-filtered all-pairs join: recall must be EXACTLY 1.0 (no
+    LSH miss probability) and precision 1.0 (exact verify)."""
+    import ray.data as rd
+
+    df = pq.read_table(f"{SF}/documents.parquet").to_pandas().head(120)
+    edits = df.head(15).copy()
+    edits["doc_id"] = edits["doc_id"] + 100000
+    edits["text"] = edits["text"].str.replace("the", "thee", regex=False)
+    full = pd.concat([df, edits], ignore_index=True)
+    got = dedup.ngram_jaccard_pairs(rd.from_pandas(full), n=3, threshold=0.4)
+    gp = got.to_pandas()
+    pairs = {(a, b) for a, b in zip(gp["doc_id_a"], gp["doc_id_b"])}
+    # brute-force truth over word trigram sets
+    texts = dict(zip(full["doc_id"], full["text"]))
+    ids = sorted(texts)
+    truth = set()
+    for i in range(len(ids)):
+        si = dedup._word_ngrams(texts[ids[i]] or "", 3)
+        for j in range(i + 1, len(ids)):
+            sj = dedup._word_ngrams(texts[ids[j]] or "", 3)
+            if len(si) == 0 and len(sj) == 0:
+                continue  # engine never pairs gram-less docs
+            if dedup._jaccard_arrays(si, sj) >= 0.4:
+                truth.add((ids[i], ids[j]))
+    assert pairs == truth  # recall AND precision exactly 1.0
+    assert truth  # non-vacuous: the planted edits must land above 0.4
+    jac = dict(zip(zip(gp["doc_id_a"], gp["doc_id_b"]), gp["jaccard"]))
+    for (a, b), v in jac.items():
+        assert 0.4 <= v <= 1.0
+
+
+def test_ngram_jaccard_prefix_prunes():
+    """The emitted prefix is m - ceil(t*m) + 1 grams, not all m."""
+    import math
+
+    s = dedup._word_ngrams("a b c d e f g h i j k l", 3)  # 10 grams
+    m = len(s)
+    assert m == 10
+    p = m - math.ceil(0.7 * m) + 1
+    assert p == 4  # at t=0.7 only 4 of 10 grams are emitted
+
+
 def test_simhash_finds_planted_dups(ray_session):
     import ray.data as rd
 
