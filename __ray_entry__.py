@@ -918,6 +918,70 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "doc_content_hash": "SELECT doc_id, md5(text) AS content_hash FROM documents",
+        "doc_lang_id": """
+            -- exact SQL reconstruction of the stopword-profile
+            -- heuristic (text.py LangId): per-lang hit counts over
+            -- lowercased [a-zA-Z']+ tokens, argmax with ties to the
+            -- lexicographically first lang, 0 hits / no tokens → und,
+            -- CJK chars → zh.
+            WITH profs(lang, words) AS (
+              VALUES ('en', ['the','and','of','to','a','in','is','that','it','for']),
+                     ('es', ['el','la','de','que','y','en','un','es','se','no']),
+                     ('de', ['der','die','und','das','ist','nicht','ein','mit','zu','ich']),
+                     ('fr', ['le','la','et','les','des','un','une','est','que','pour'])),
+            toks AS (
+              SELECT doc_id,
+                     list_transform(
+                       regexp_extract_all(coalesce(text,''), '[a-zA-Z'']+'),
+                       x -> lower(x)) AS w,
+                     regexp_matches(coalesce(text,''), '[一-鿿]') AS cjk
+              FROM documents),
+            hits AS (
+              SELECT t.doc_id, t.w, t.cjk, p.lang,
+                     len(list_filter(t.w, x -> list_contains(p.words, x))) AS h
+              FROM toks t CROSS JOIN profs p),
+            best AS (
+              SELECT doc_id, w, cjk, lang, h,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY h DESC, lang ASC) AS rn
+              FROM hits)
+            SELECT doc_id,
+                   CASE WHEN cjk THEN 'zh'
+                        WHEN len(w) = 0 OR h = 0 THEN 'und'
+                        ELSE lang END AS lang_pred,
+                   CASE WHEN cjk THEN 1.0 WHEN len(w) = 0 THEN 0.0
+                        ELSE h::DOUBLE / len(w) END AS lang_conf
+            FROM best WHERE rn = 1
+        """,
+        "doc_fingerprints": """
+            -- exact SQL reconstruction of the rolling 64-bit FNV-1a
+            -- fingerprint over the whitespace-normalized text
+            -- (text.py fingerprints). unicode(char) == utf-8 byte only
+            -- for ASCII — this corpus is all-ASCII (checked), so the
+            -- per-codepoint reduce equals the engine's per-byte hash;
+            -- wraparound multiply is emulated in UHUGEINT mod 2^64.
+            WITH norm AS (
+              SELECT doc_id,
+                     trim(regexp_replace(coalesce(text,''), '\\s+', ' ', 'g')) AS t
+              FROM documents),
+            fp AS (
+              SELECT doc_id,
+                     list_reduce(
+                       list_prepend(14695981039346656037::UBIGINT,
+                         list_transform(
+                           list_filter(string_split(t, ''), c -> c <> ''),
+                           c -> unicode(c)::UBIGINT)),
+                       (acc, b) -> ((xor(acc, b)::UHUGEINT
+                                     * 1099511628211::UHUGEINT)
+                                    % 18446744073709551616::UHUGEINT)::UBIGINT
+                     ) AS h
+              FROM norm)
+            SELECT doc_id,
+                   (h::HUGEINT - CASE WHEN h >= 9223372036854775808::UBIGINT
+                                 THEN 18446744073709551616::HUGEINT
+                                 ELSE 0 END)::BIGINT AS fingerprint
+            FROM fp
+        """,
         "doc_exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups
             FROM documents GROUP BY text
