@@ -294,6 +294,19 @@ def _q_sessions(sf_dir: str):
     return sessionize(_read(sf_dir, "events"), gap_s=1800)
 
 
+def _q_asof_join(sf_dir: str):
+    """As-of join within the event stream: each click matched to the
+    latest prior-or-equal view by the same user (ties on view ts →
+    max event_id)."""
+    from geotreehealth_ray.pipelines.relational import asof_join
+
+    ev = _read(sf_dir, "events")
+    clicks = ev.filter(expr="event_type == 'click'")
+    views = ev.filter(expr="event_type == 'view'")
+    return asof_join(clicks, views, key="user_id", ts_col="ts",
+                     id_col="event_id", right_vals=("value",))
+
+
 def _q_order_priority_revenue(sf_dir: str):
     """Large-large co-partitioned hash join (orders ⋈ per-order
     lineitem revenue) then a grouped rollup by priority."""
@@ -677,6 +690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "latest_event": _q_latest_event,
         "sessions": _q_sessions,
+        "asof_join": _q_asof_join,
         "order_priority_revenue": _q_order_priority_revenue,
         # text / training-data operators
         "doc_token_counts": _q_doc_tokens,
@@ -858,6 +872,25 @@ def oracle_sql() -> dict[str, str]:
                      AS total_value,
                    count(*) AS n_events
             FROM events GROUP BY 1, 2
+        """,
+        "asof_join": """
+            -- native ASOF JOIN; right side deduped per (user, ts) to
+            -- max event_id so ties match the engine's deterministic
+            -- tie-break. lag_us is exact integer microseconds.
+            WITH l AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click'),
+            r AS (
+              SELECT event_id, user_id, ts, value FROM events
+              WHERE event_type = 'view'
+              QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                         ORDER BY event_id DESC) = 1)
+            SELECT l.event_id, l.user_id,
+                   r.event_id AS match_event_id,
+                   r.value AS match_value,
+                   epoch_us(l.ts) - epoch_us(r.ts) AS lag_us
+            FROM l ASOF JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "sessions": """
             WITH e AS (

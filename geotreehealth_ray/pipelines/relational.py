@@ -12,8 +12,8 @@ import pandas as pd
 import pyarrow as pa
 
 __all__ = ["grouped_agg", "broadcast_join", "latest_per_key",
-           "hourly_window_agg", "bucketed_reduce", "NUM_BUCKETS",
-           "shuffle_partitions", "coalesce_for_shuffle"]
+           "asof_join", "hourly_window_agg", "bucketed_reduce",
+           "NUM_BUCKETS", "shuffle_partitions", "coalesce_for_shuffle"]
 
 NUM_BUCKETS = 256
 
@@ -214,6 +214,81 @@ def sessionize(events, key: str = "user_id", ts_col: str = "ts",
         return out.reset_index(drop=True)
 
     return bucketed_reduce(events, key, per_bucket)
+
+
+def asof_join(left, right, key: str = "user_id", ts_col: str = "ts",
+              id_col: str = "event_id", right_vals: tuple = ("value",)):
+    """Distributed as-of join: for each left row, the LATEST right row
+    of the same key with ``right.ts <= left.ts`` (inner join; ties on
+    right ts broken by max right id — deterministic). Output:
+    (id_col, key, match_<id_col>, match_<v>..., lag_us).
+
+    Ray-Data shape: ONE hash shuffle — both sides are tagged, unioned
+    and bucketed by ``key`` (`bucketed_reduce`), then a vectorized
+    ``pandas.merge_asof`` (sorted-merge, O(n log n)) runs per bucket
+    across thousands of keys at once. DuckDB equivalent: ``ASOF JOIN``.
+
+    Partitioning assumption (documented per the custom-operator rule):
+    the full right-side history of one KEY must co-reside in a bucket —
+    as-of semantics admit no correct per-key time split without
+    replicating right rows across time-slice boundaries; per-key
+    history is bounded in the target workloads (events per user)."""
+    _COLS = ["kind", id_col, key, ts_col, *right_vals]
+
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[id_col, key, ts_col]].copy()
+        out["kind"] = np.int8(0)
+        for v in right_vals:
+            out[v] = np.nan
+        return out.reindex(columns=_COLS)
+
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[id_col, key, ts_col, *right_vals]].copy()
+        out["kind"] = np.int8(1)
+        return out.reindex(columns=_COLS)
+
+    out_cols = {id_col: "int64", key: "int64", f"match_{id_col}": "int64"}
+    out_cols.update({f"match_{v}": "float64" for v in right_vals})
+    out_cols["lag_us"] = "int64"
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({c: pd.array([], t) for c, t in out_cols.items()})
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["kind"] == 0][[id_col, key, ts_col]].sort_values(
+            ts_col, kind="stable"
+        )
+        r = df[df["kind"] == 1][[id_col, key, ts_col, *right_vals]].sort_values(
+            [ts_col, id_col], kind="stable"
+        ).drop_duplicates([key, ts_col], keep="last")
+        if l.empty or r.empty:
+            return _empty()
+        r = r.copy()
+        r["__rts"] = r[ts_col]  # right ts survives the merge for lag
+        m = pd.merge_asof(
+            l, r, on=ts_col, by=key, direction="backward",
+            suffixes=("", "_r"),
+        )
+        m = m[m[f"{id_col}_r"].notna()]
+        if m.empty:
+            return _empty()
+        lag = (m[ts_col] - m["__rts"]).to_numpy().astype(
+            "timedelta64[us]"
+        ).astype("int64")
+        out = {
+            id_col: m[id_col].astype("int64"),
+            key: m[key].astype("int64"),
+            f"match_{id_col}": m[f"{id_col}_r"].astype("int64"),
+        }
+        for v in right_vals:
+            out[f"match_{v}"] = m[v].astype("float64")
+        out["lag_us"] = lag
+        return pd.DataFrame(out).reset_index(drop=True)
+
+    both = left.map_batches(tag_left, batch_format="pandas").union(
+        right.map_batches(tag_right, batch_format="pandas")
+    )
+    return bucketed_reduce(both, key, per_bucket)
 
 
 def latest_per_key(ds, key: str, order_cols: list[str]):

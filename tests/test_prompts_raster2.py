@@ -145,6 +145,43 @@ def test_hash_join_matches_pandas(ray_session):
     pd.testing.assert_frame_equal(got[key], exp[key])
 
 
+def test_asof_join_semantics(ray_session):
+    """Backward as-of: latest right.ts <= left.ts per key; inner (no
+    earlier view → dropped); ties on right ts → max event_id."""
+    import ray.data as rd
+
+    from geotreehealth_ray.pipelines.relational import asof_join
+
+    t = pd.to_datetime
+    left = pd.DataFrame(
+        {"event_id": [10, 11, 12, 13],
+         "user_id": [1, 1, 2, 3],
+         "ts": t(["2020-01-01 01:00", "2020-01-01 03:00",
+                  "2020-01-01 02:00", "2020-01-01 02:00"])}
+    )
+    right = pd.DataFrame(
+        {"event_id": [1, 2, 3, 4, 5],
+         "user_id": [1, 1, 1, 2, 2],
+         # user 1: views at 00:30 and 02:00 (tie pair 2/3 at 02:00);
+         # user 2: view AFTER the click only at 03:00, plus 01:00
+         "ts": t(["2020-01-01 00:30", "2020-01-01 02:00",
+                  "2020-01-01 02:00", "2020-01-01 01:00",
+                  "2020-01-01 03:00"]),
+         "value": [1.0, 2.0, 3.0, 4.0, 5.0]}
+    )
+    right.loc[2, "event_id"] = 3  # tie: ids 2 and 3 at the same ts
+    out = asof_join(rd.from_pandas(left), rd.from_pandas(right)).to_pandas()
+    out = out.sort_values("event_id").reset_index(drop=True)
+    # click 10 (01:00) → view 1 (00:30); click 11 (03:00) → tie at
+    # 02:00 resolved to max id 3; click 12 (02:00) → view 4 (01:00);
+    # click 13: user 3 has no view → dropped (inner)
+    assert list(out["event_id"]) == [10, 11, 12]
+    assert list(out["match_event_id"]) == [1, 3, 4]
+    assert list(out["match_value"]) == [1.0, 3.0, 4.0]
+    assert list(out["lag_us"]) == [30 * 60 * 10**6, 3600 * 10**6,
+                                   3600 * 10**6]
+
+
 def test_sessionize_gap_semantics(ray_session):
     import ray.data as rd
 
