@@ -446,6 +446,13 @@ def _q_ann_topk(sf_dir: str):
     )
 
 
+def _q_phash_pairs(sf_dir: str):
+    from geotreehealth_ray.pipelines.dedup import phash_near_dup
+    from geotreehealth_ray.pipelines.derive import derive_phashes
+
+    return phash_near_dup(derive_phashes(_read(sf_dir, "orders")), max_hamming=7)
+
+
 def _q_ann_ivf(sf_dir: str):
     from geotreehealth_ray.pipelines.ann import ann_ivf_topk
 
@@ -703,6 +710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": _q_jaccard_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "emb_near_dup": _q_emb_near_dup,
+        "phash_pairs": _q_phash_pairs,
         "ann_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,
         # geospatial operators on TRUE polygons / rasters / point clouds
@@ -1131,6 +1139,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
             FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        """,
+        "phash_pairs": """
+            -- exact oracle: derive_phashes' planted-near-dup phashes are
+            -- md5_number_upper expressions (see derive.py), and the
+            -- engine's 8x8-bit-segment pigeonhole blocking is EXACT for
+            -- Hamming <= 7, so the pair set equals this exhaustive scan.
+            WITH ph AS (
+              SELECT o_orderkey AS image_id,
+                xor(xor(xor(
+                  md5_number_upper(CAST(o_orderkey // 4 AS VARCHAR)),
+                  CASE WHEN o_orderkey % 4 >= 1 THEN 1::UBIGINT << CAST(
+                    md5_number_upper(CAST(o_orderkey // 4 AS VARCHAR) || ':1')
+                    % 64 AS INTEGER) ELSE 0::UBIGINT END),
+                  CASE WHEN o_orderkey % 4 >= 2 THEN 1::UBIGINT << CAST(
+                    md5_number_upper(CAST(o_orderkey // 4 AS VARCHAR) || ':2')
+                    % 64 AS INTEGER) ELSE 0::UBIGINT END),
+                  CASE WHEN o_orderkey % 4 >= 3 THEN 1::UBIGINT << CAST(
+                    md5_number_upper(CAST(o_orderkey // 4 AS VARCHAR) || ':3')
+                    % 64 AS INTEGER) ELSE 0::UBIGINT END
+                ) AS phash
+              FROM orders)
+            SELECT a.image_id AS image_id_a, b.image_id AS image_id_b,
+                   CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+            FROM ph a JOIN ph b ON a.image_id < b.image_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 7
         """,
         # ann_ivf / doc_lang_id / doc_fingerprints: not exactly
         # SQL-expressible (IVF probe subsets, heuristic language model,

@@ -30,7 +30,8 @@ import pyarrow as pa
 from .relational import coalesce_for_shuffle
 
 __all__ = ["exact_dedup", "minhash_lsh_pairs", "simhash_pairs",
-           "ngram_jaccard_pairs", "jaccard_of_texts", "embedding_near_dup"]
+           "ngram_jaccard_pairs", "jaccard_of_texts", "embedding_near_dup",
+           "phash_near_dup"]
 
 
 # ------------------------------------------------------------- exact
@@ -451,6 +452,88 @@ def simhash_pairs(docs, max_hamming: int = 3):
     return bucketed_reduce(
         found, "doc_id_a",
         lambda df: df.drop_duplicates(["doc_id_a", "doc_id_b"]),
+    )
+
+
+# ------------------------------------------------------- phash neardup
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (any shape)."""
+    b = np.unpackbits(x.reshape(-1).view(np.uint8))
+    return b.reshape(x.size, 8 * x.dtype.itemsize).sum(axis=1).reshape(x.shape)
+
+
+def phash_near_dup(images, max_hamming: int = 7,
+                   id_col: str = "image_id", hash_col: str = "phash"):
+    """(image_id_a, image_id_b, hamming) — near-duplicate images by
+    perceptual-hash Hamming distance over the image+caption table's
+    ``phash`` int64 column (sources/synth.py gen_images;
+    functions/codec.py average_hash).
+
+    Pigeonhole blocking, exact for the threshold: the 64-bit hash is
+    split into ``max_hamming + 1`` contiguous segments, so any pair
+    within Hamming ``max_hamming`` agrees exactly on >= 1 segment —
+    bucket by each (seg_id, seg_val) and verify in-bucket (recall 1.0,
+    like simhash_pairs' 4x16-bit scheme but parameterized). Only slim
+    (id, seg, sig) rows enter the shuffle — never image bytes. In-bucket
+    verify is one vectorized XOR + popcount over the bucket matrix;
+    buckets are 2^(64/(h+1))-way splits of the corpus, so they stay
+    small unless the corpus is dominated by byte-identical images (run
+    exact_dedup first in that case — same guidance as the reference's
+    drop_duplicates-before-overlap-cleanup order, see
+    reference src/delineation_utils.py dedup-then-merge flow)."""
+    n_seg = max_hamming + 1
+    if not 1 <= n_seg <= 64:
+        raise ValueError("max_hamming must be in [0, 63]")
+    bounds = [(i * 64 // n_seg, (i + 1) * 64 // n_seg) for i in range(n_seg)]
+
+    def sig_stage(df: pd.DataFrame) -> pd.DataFrame:
+        ph = df[hash_col].to_numpy(np.int64).view(np.uint64)
+        ids = df[id_col].to_numpy()
+        segs = [((ph >> np.uint64(lo)) & np.uint64((1 << (hi - lo)) - 1))
+                .astype(np.int64) for lo, hi in bounds]
+        return pd.DataFrame(
+            {
+                id_col: np.tile(ids, n_seg),
+                "seg_id": np.repeat(np.arange(n_seg, dtype=np.int32), len(ids)),
+                "seg_val": np.concatenate(segs) if segs else np.array([], np.int64),
+                "sig": np.tile(ph.view(np.int64), n_seg),
+            }
+        )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(id_col).sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        sigs = g["sig"].to_numpy(np.int64).view(np.uint64)
+        m = len(ids)
+        out_a, out_b, out_h = [], [], []
+        chunk = 2048  # bound the XOR matrix at chunk×m (heavy-bucket guard)
+        for s in range(0, m, chunk):
+            rows = sigs[s : s + chunk]
+            ham = _popcount64(rows[:, None] ^ sigs[None, :])
+            ia, ib = np.nonzero(ham <= max_hamming)
+            keep = (ia + s) < ib  # upper triangle only (i < j globally)
+            out_a.append(ids[ia[keep] + s])
+            out_b.append(ids[ib[keep]])
+            out_h.append(ham[ia[keep], ib[keep]].astype(np.int64))
+        return pd.DataFrame(
+            {
+                "image_id_a": np.concatenate(out_a) if out_a else np.array([]),
+                "image_id_b": np.concatenate(out_b) if out_b else np.array([]),
+                "hamming": np.concatenate(out_h) if out_h else np.array([], np.int64),
+            }
+        )
+
+    from .relational import bucketed_reduce
+
+    found = (
+        coalesce_for_shuffle(images.map_batches(sig_stage, batch_format="pandas"))
+        .groupby(["seg_id", "seg_val"])
+        .map_groups(verify, batch_format="pandas")
+    )
+    return bucketed_reduce(
+        found, "image_id_a",
+        lambda df: df.drop_duplicates(["image_id_a", "image_id_b"]),
     )
 
 

@@ -19,7 +19,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["derive_points", "derive_boxes", "XMUL", "YMUL", "DOMAIN"]
+__all__ = ["derive_points", "derive_boxes", "derive_phashes",
+           "XMUL", "YMUL", "DOMAIN"]
 
 XMUL = 7919
 YMUL = 104729
@@ -46,6 +47,45 @@ def derive_points(orders):
                 "okey": pa.array(key, pa.int64()),
                 "x": pa.array(x, pa.float64()),
                 "y": pa.array(y, pa.float64()),
+            }
+        )
+
+    return orders.select_columns(["o_orderkey"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def derive_phashes(orders):
+    """orders → image-table-shaped Dataset (image_id, phash) with
+    PLANTED near-duplicate groups, SQL-reproducible bit-for-bit.
+
+    Members of group g = o_orderkey // 4 share the 64-bit base pattern
+    md5_u64(str(g)); the variant v = o_orderkey % 4 flips the first v
+    of the group's 3 flip positions md5_u64(f"{g}:{j}") % 64 — so
+    in-group pairs sit at Hamming <= 3 and cross-group pairs at ~32.
+    md5_u64 is md5-first-8-bytes-little-endian == DuckDB
+    md5_number_upper (same trick as simhash_pairs' token hash), so
+    oracle_sql()['phash_pairs'] reproduces every hash exactly."""
+    from .dedup import _tok64
+
+    def fn(t: pa.Table) -> pa.Table:
+        key = t["o_orderkey"].to_numpy()
+        ph = np.empty(len(key), np.uint64)
+        cache: dict[int, list[int]] = {}
+        for i, k in enumerate(key):
+            g, v = int(k) // 4, int(k) % 4
+            masks = cache.get(g)
+            if masks is None:
+                base = _tok64(str(g))
+                masks = [base]
+                for j in (1, 2, 3):
+                    masks.append(masks[-1] ^ (1 << (_tok64(f"{g}:{j}") % 64)))
+                cache[g] = masks
+            ph[i] = masks[v]
+        return pa.table(
+            {
+                "image_id": pa.array(key, pa.int64()),
+                "phash": pa.array(ph.view(np.int64), pa.int64()),
             }
         )
 

@@ -269,3 +269,62 @@ def test_ann_ivf_recall(emb_ds):
         a = set(approx[approx["query_id"] == qi]["vec_id"])
         recalls.append(len(e & a) / len(e))
     assert np.mean(recalls) >= 0.6  # nprobe=4 of 8 buckets
+
+
+def test_phash_near_dup_blocking_is_exact(ray_session):
+    """Pigeonhole blocking == brute-force popcount at the threshold:
+    recall AND precision 1.0 on structured hashes (planted clusters at
+    Hamming 1-6 plus random far hashes)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    hashes, planted = [], []
+    for c in range(30):
+        base = np.uint64(rng.integers(0, 2**63, dtype=np.int64))
+        hashes.append(base)
+        flipped = base
+        for j in range(1 + c % 3):
+            flipped ^= np.uint64(1) << np.uint64(rng.integers(0, 64))
+            hashes.append(flipped)
+    hashes.extend(np.uint64(v) for v in
+                  rng.integers(0, 2**63, size=200, dtype=np.int64))
+    arr = np.array(hashes, np.uint64)
+    ids = np.arange(len(arr), dtype=np.int64)
+    ds = rd.from_pandas(pd.DataFrame(
+        {"image_id": ids, "phash": arr.view(np.int64)}))
+    got = dedup.phash_near_dup(ds, max_hamming=7).to_pandas()
+    got_pairs = {(a, b) for a, b in zip(got["image_id_a"], got["image_id_b"])}
+    ham = dedup._popcount64(arr[:, None] ^ arr[None, :])
+    ia, ib = np.nonzero(ham <= 7)
+    want = {(int(i), int(j)) for i, j in zip(ia, ib) if i < j}
+    assert got_pairs == want and len(want) > 0
+    for _, r in got.iterrows():
+        assert r["hamming"] == ham[r["image_id_a"], r["image_id_b"]]
+
+
+def test_phash_near_dup_real_images(ray_session):
+    """End-to-end on the image+caption table shape: re-rendered (noisy)
+    copies of an image land within Hamming 7 of the original's
+    average_hash; unrelated images stay far."""
+    import ray.data as rd
+
+    from geotreehealth_ray.functions import codec
+
+    rng = np.random.default_rng(11)
+    rows = {"image_id": [], "phash": []}
+    for i in range(40):
+        img = rng.integers(0, 256, size=(64, 64, 3)).astype(np.uint8)
+        rows["image_id"].append(f"img-{i:03d}")
+        rows["phash"].append(codec.average_hash(img))
+        if i < 6:  # planted near-dup: tiny brightness jitter, re-hashed
+            noisy = np.clip(
+                img.astype(np.int16) + rng.integers(-1, 2, img.shape), 0, 255
+            ).astype(np.uint8)
+            rows["image_id"].append(f"img-{i:03d}-dup")
+            rows["phash"].append(codec.average_hash(noisy))
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    got = dedup.phash_near_dup(ds, max_hamming=7).to_pandas()
+    pairs = {(a, b) for a, b in zip(got["image_id_a"], got["image_id_b"])}
+    for i in range(6):
+        assert (f"img-{i:03d}", f"img-{i:03d}-dup") in pairs
+    assert (got["hamming"] <= 7).all()
