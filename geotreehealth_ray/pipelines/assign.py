@@ -376,12 +376,9 @@ def assign_stems_to_crowns(stems, crowns, res: int = cells.DEFAULT_RES,
         _crown_side, batch_format="pyarrow",
         fn_kwargs={"res": res, "hot_ref": hot_ref, "salt_all": salt_all},
     )
-    from .relational import bucketed_reduce, coalesce_for_shuffle
+    from .relational import bucketed_reduce, sorted_group_map
 
-    both = coalesce_for_shuffle(s.union(c))
-    candidates = both.groupby(["cell", "salt"]).map_groups(
-        _assign_cell, batch_format="pyarrow"
-    )
+    candidates = sorted_group_map(s.union(c), ["cell", "salt"], _assign_cell)
     # single-cell crowns (the vast majority) have exactly one candidate
     # row; only cell-spanning crowns need duplicate resolution. Branching
     # the dataset would re-execute the upstream per branch, so the split
@@ -460,7 +457,7 @@ def _pairs_cell(group: pa.Table) -> pa.Table:
 def pip_join_pairs(stems, crowns, res: int = cells.DEFAULT_RES):
     """(crown_id, stem_id) — every point-in-polygon containment pair
     (the spatial inner join itself, without the nearest-stem reduce)."""
-    from .relational import coalesce_for_shuffle
+    from .relational import sorted_group_map
 
     # no salting: the vectorized pair kernel keeps even dense cells to
     # sub-second tasks, and the pair join has no per-crown reduce to
@@ -475,9 +472,7 @@ def pip_join_pairs(stems, crowns, res: int = cells.DEFAULT_RES):
         _crown_side, batch_format="pyarrow",
         fn_kwargs={"res": res, "salt_all": False},
     )
-    return coalesce_for_shuffle(s.union(c)).groupby(["cell", "salt"]).map_groups(
-        _pairs_cell, batch_format="pyarrow"
-    )
+    return sorted_group_map(s.union(c), ["cell", "salt"], _pairs_cell)
 
 
 def candidate_pairs_schema() -> pa.Schema:

@@ -513,8 +513,6 @@ def extract_chips(crowns, tiles, captions, grid: GridSpec, n_salt: int = 8):
             captions.map_batches(caption_side, batch_format="pyarrow")
         )
     )
-    from .relational import coalesce_for_shuffle
+    from .relational import sorted_group_map
 
-    return coalesce_for_shuffle(union).groupby(["tile_id", "salt"]).map_groups(
-        _chip_kernel, batch_format="pyarrow"
-    )
+    return sorted_group_map(union, ["tile_id", "salt"], _chip_kernel)

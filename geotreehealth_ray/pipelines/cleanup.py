@@ -30,7 +30,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .relational import coalesce_for_shuffle
+from .relational import sorted_group_map
 
 from ..functions import cells, contours, geom
 from ..stages.spatial import pack_rings, rings_from_binary, scramble_cell
@@ -105,9 +105,9 @@ def remove_smaller_overlapping(crowns, min_frac: float = 0.5,
         _explode_with_halo, batch_format="pyarrow",
         fn_kwargs={"res": res, "halo_m": halo_m},
     )
-    return coalesce_for_shuffle(exploded.map_batches(scramble_cell, batch_format="pyarrow")).groupby("cell").map_groups(
-        _drop_smaller_kernel, batch_format="pyarrow",
-        fn_kwargs={"min_frac": min_frac},
+    return sorted_group_map(
+        exploded.map_batches(scramble_cell, batch_format="pyarrow"),
+        ["cell"], _drop_smaller_kernel, fn_kwargs={"min_frac": min_frac},
     )
 
 

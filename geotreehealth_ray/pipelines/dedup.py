@@ -27,7 +27,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .relational import coalesce_for_shuffle
+from .relational import sorted_group_map
 
 __all__ = ["exact_dedup", "minhash_lsh_pairs", "simhash_pairs",
            "ngram_jaccard_pairs", "jaccard_of_texts", "embedding_near_dup",
@@ -444,10 +444,9 @@ def simhash_pairs(docs, max_hamming: int = 3):
 
     from .relational import bucketed_reduce
 
-    found = (
-        coalesce_for_shuffle(docs.map_batches(sig_stage, batch_format="pandas"))
-        .groupby(["seg_id", "seg_val"])
-        .map_groups(verify, batch_format="pandas")
+    found = sorted_group_map(
+        docs.map_batches(sig_stage, batch_format="pandas"),
+        ["seg_id", "seg_val"], verify, batch_format="pandas",
     )
     return bucketed_reduce(
         found, "doc_id_a",
@@ -526,10 +525,9 @@ def phash_near_dup(images, max_hamming: int = 7,
 
     from .relational import bucketed_reduce
 
-    found = (
-        coalesce_for_shuffle(images.map_batches(sig_stage, batch_format="pandas"))
-        .groupby(["seg_id", "seg_val"])
-        .map_groups(verify, batch_format="pandas")
+    found = sorted_group_map(
+        images.map_batches(sig_stage, batch_format="pandas"),
+        ["seg_id", "seg_val"], verify, batch_format="pandas",
     )
     return bucketed_reduce(
         found, "image_id_a",

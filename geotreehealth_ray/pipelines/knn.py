@@ -25,7 +25,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .relational import coalesce_for_shuffle
+from .relational import sorted_group_map
 
 from ..functions import cells
 from ..stages.spatial import scramble_cell
@@ -158,8 +158,9 @@ def knn_points(points, k: int = 5, res: int = cells.DEFAULT_RES,
         _halo_explode, batch_format="pyarrow",
         fn_kwargs={"res": res, "halo_m": halo_m},
     )
-    return coalesce_for_shuffle(exploded.map_batches(scramble_cell, batch_format="pyarrow")).groupby("cell").map_groups(
-        _knn_cell, batch_format="pyarrow", fn_kwargs={"k": k}
+    return sorted_group_map(
+        exploded.map_batches(scramble_cell, batch_format="pyarrow"),
+        ["cell"], _knn_cell, fn_kwargs={"k": k},
     )
 
 
@@ -248,6 +249,7 @@ def knn_cardinal(points, min_dist: float = 3.0, res: int = cells.DEFAULT_RES,
             _halo_explode, batch_format="pyarrow",
             fn_kwargs={"res": res, "halo_m": halo_m},
         )
-    return coalesce_for_shuffle(exploded.map_batches(scramble_cell, batch_format="pyarrow")).groupby("cell").map_groups(
-        _cardinal_cell, batch_format="pyarrow", fn_kwargs={"min_dist": min_dist}
+    return sorted_group_map(
+        exploded.map_batches(scramble_cell, batch_format="pyarrow"),
+        ["cell"], _cardinal_cell, fn_kwargs={"min_dist": min_dist},
     )

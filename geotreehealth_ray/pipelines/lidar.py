@@ -24,7 +24,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .relational import coalesce_for_shuffle
 
 from ..functions import cells
 from ..stages.spatial import explode_to_covering_cells, scramble_cell
@@ -172,8 +171,11 @@ def crown_lidar_stats(lidar, crowns, res: int = cells.DEFAULT_RES):
         ["crown_id", "minx", "miny", "maxx", "maxy"]
     ).map_batches(crown_side, batch_format="pyarrow")
 
-    partials = coalesce_for_shuffle(p.union(c).map_batches(scramble_cell, batch_format="pyarrow")).groupby("cell").map_groups(
-        _stats_cell, batch_format="pyarrow"
+    from .relational import sorted_group_map
+
+    partials = sorted_group_map(
+        p.union(c).map_batches(scramble_cell, batch_format="pyarrow"),
+        ["cell"], _stats_cell,
     )
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:

@@ -32,7 +32,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .relational import coalesce_for_shuffle
+from .relational import sorted_group_map
 
 from ..functions import cells, geom
 from ..stages.spatial import pack_rings, rings_from_binary, scramble_cell
@@ -151,9 +151,9 @@ def greedy_nms(crowns, threshold: float = 0.3, criterion: str = "max_area_frac",
         batch_format="pyarrow",
         fn_kwargs={"res": res, "halo_m": halo_m},
     )
-    return coalesce_for_shuffle(exploded.map_batches(scramble_cell, batch_format="pyarrow")).groupby("cell").map_groups(
-        _greedy_kernel,
-        batch_format="pyarrow",
+    return sorted_group_map(
+        exploded.map_batches(scramble_cell, batch_format="pyarrow"),
+        ["cell"], _greedy_kernel,
         fn_kwargs={"criterion": criterion, "threshold": threshold},
     )
 
@@ -228,6 +228,7 @@ def merge_overlapping_components(crowns, min_frac: float = 0.5,
         batch_format="pyarrow",
         fn_kwargs={"res": res, "halo_m": halo_m},
     )
-    return coalesce_for_shuffle(exploded.map_batches(scramble_cell, batch_format="pyarrow")).groupby("cell").map_groups(
-        _components_kernel, batch_format="pyarrow", fn_kwargs={"min_frac": min_frac}
+    return sorted_group_map(
+        exploded.map_batches(scramble_cell, batch_format="pyarrow"),
+        ["cell"], _components_kernel, fn_kwargs={"min_frac": min_frac},
     )

@@ -15,7 +15,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .relational import coalesce_for_shuffle
+from .relational import sorted_group_map
 
 from ..functions import cells
 
@@ -102,7 +102,8 @@ def detect_treetops(lidar, grid_m: float = 2.0, min_height: float = 5.0,
     pts = lidar.select_columns(["x", "y", "z"]).map_batches(
         lambda t: attach_cell(t, res=res), batch_format="pyarrow"
     )
-    return coalesce_for_shuffle(pts.map_batches(scramble_cell, batch_format="pyarrow")).groupby("cell").map_groups(
-        _cluster_kernel, batch_format="pyarrow",
+    return sorted_group_map(
+        pts.map_batches(scramble_cell, batch_format="pyarrow"),
+        ["cell"], _cluster_kernel,
         fn_kwargs={"grid_m": grid_m, "min_height": min_height},
     )
