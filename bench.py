@@ -191,7 +191,8 @@ def run_queries(sf_dir: str) -> dict:
     qs = mod.queries()
     picks = ["pip_join", "crown_assign", "knn_join", "cell_counts",
              "q1_pricing", "revenue_by_nation", "events_hourly",
-             "doc_exact_dedup", "minhash_pairs", "jaccard_pairs", "ann_topk"]
+             "doc_exact_dedup", "minhash_pairs", "jaccard_pairs",
+             "phash_pairs", "ann_topk"]
     out = {}
     for name in picks:
         t0 = time.perf_counter()
