@@ -372,6 +372,12 @@ def _q_doc_lang(sf_dir: str):
     return lang_id(_read(sf_dir, "documents"))
 
 
+def _q_lang_confusion(sf_dir: str):
+    from geotreehealth_ray.pipelines.text import lang_confusion
+
+    return lang_confusion(_read(sf_dir, "documents"))
+
+
 def _q_doc_fingerprints(sf_dir: str):
     from geotreehealth_ray.pipelines.text import fingerprints
 
@@ -705,6 +711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_content_hash": _q_doc_hash,
         "doc_exact_dedup": _q_doc_dedup,
         "doc_lang_id": _q_doc_lang,
+        "lang_confusion": _q_lang_confusion,
         "doc_fingerprints": _q_doc_fingerprints,
         "minhash_pairs": _q_minhash_pairs,
         "jaccard_pairs": _q_jaccard_pairs,
@@ -735,6 +742,43 @@ _BX = (
     "((p_partkey*104729)%10000)/10.0 AS cy, "
     "CAST(1 + (p_size%10) AS DOUBLE) AS half FROM part"
 )
+
+
+# exact SQL reconstruction of the stopword-profile heuristic
+# (text.py LangId): per-lang hit counts over lowercased [a-zA-Z']+
+# tokens, argmax with ties to the lexicographically first lang,
+# 0 hits / no tokens → und, CJK chars → zh. Shared by the doc_lang_id
+# and lang_confusion oracles.
+_LANG_PRED_SQL = """
+            WITH profs(lang, words) AS (
+              VALUES ('en', ['the','and','of','to','a','in','is','that','it','for']),
+                     ('es', ['el','la','de','que','y','en','un','es','se','no']),
+                     ('de', ['der','die','und','das','ist','nicht','ein','mit','zu','ich']),
+                     ('fr', ['le','la','et','les','des','un','une','est','que','pour'])),
+            toks AS (
+              SELECT doc_id,
+                     list_transform(
+                       regexp_extract_all(coalesce(text,''), '[a-zA-Z'']+'),
+                       x -> lower(x)) AS w,
+                     regexp_matches(coalesce(text,''), '[一-鿿]') AS cjk
+              FROM documents),
+            hits AS (
+              SELECT t.doc_id, t.w, t.cjk, p.lang,
+                     len(list_filter(t.w, x -> list_contains(p.words, x))) AS h
+              FROM toks t CROSS JOIN profs p),
+            best AS (
+              SELECT doc_id, w, cjk, lang, h,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY h DESC, lang ASC) AS rn
+              FROM hits)
+            SELECT doc_id,
+                   CASE WHEN cjk THEN 'zh'
+                        WHEN len(w) = 0 OR h = 0 THEN 'und'
+                        ELSE lang END AS lang_pred,
+                   CASE WHEN cjk THEN 1.0 WHEN len(w) = 0 THEN 0.0
+                        ELSE h::DOUBLE / len(w) END AS lang_conf
+            FROM best WHERE rn = 1
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -959,40 +1003,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "doc_content_hash": "SELECT doc_id, md5(text) AS content_hash FROM documents",
-        "doc_lang_id": """
-            -- exact SQL reconstruction of the stopword-profile
-            -- heuristic (text.py LangId): per-lang hit counts over
-            -- lowercased [a-zA-Z']+ tokens, argmax with ties to the
-            -- lexicographically first lang, 0 hits / no tokens → und,
-            -- CJK chars → zh.
-            WITH profs(lang, words) AS (
-              VALUES ('en', ['the','and','of','to','a','in','is','that','it','for']),
-                     ('es', ['el','la','de','que','y','en','un','es','se','no']),
-                     ('de', ['der','die','und','das','ist','nicht','ein','mit','zu','ich']),
-                     ('fr', ['le','la','et','les','des','un','une','est','que','pour'])),
-            toks AS (
-              SELECT doc_id,
-                     list_transform(
-                       regexp_extract_all(coalesce(text,''), '[a-zA-Z'']+'),
-                       x -> lower(x)) AS w,
-                     regexp_matches(coalesce(text,''), '[一-鿿]') AS cjk
-              FROM documents),
-            hits AS (
-              SELECT t.doc_id, t.w, t.cjk, p.lang,
-                     len(list_filter(t.w, x -> list_contains(p.words, x))) AS h
-              FROM toks t CROSS JOIN profs p),
-            best AS (
-              SELECT doc_id, w, cjk, lang, h,
-                     row_number() OVER (PARTITION BY doc_id
-                                        ORDER BY h DESC, lang ASC) AS rn
-              FROM hits)
-            SELECT doc_id,
-                   CASE WHEN cjk THEN 'zh'
-                        WHEN len(w) = 0 OR h = 0 THEN 'und'
-                        ELSE lang END AS lang_pred,
-                   CASE WHEN cjk THEN 1.0 WHEN len(w) = 0 THEN 0.0
-                        ELSE h::DOUBLE / len(w) END AS lang_conf
-            FROM best WHERE rn = 1
+        "doc_lang_id": _LANG_PRED_SQL,
+        "lang_confusion": f"""
+            -- confusion-matrix counts: true documents.lang vs the same
+            -- exact lang-pred reconstruction used by doc_lang_id.
+            WITH pred AS ({_LANG_PRED_SQL})
+            SELECT d.lang, p.lang_pred, count(*) AS n
+            FROM documents d JOIN pred p USING (doc_id)
+            GROUP BY d.lang, p.lang_pred
         """,
         "doc_fingerprints": """
             -- exact SQL reconstruction of the rolling 64-bit FNV-1a
@@ -1165,10 +1183,8 @@ def oracle_sql() -> dict[str, str]:
             FROM ph a JOIN ph b ON a.image_id < b.image_id
             WHERE bit_count(xor(a.phash, b.phash)) <= 7
         """,
-        # ann_ivf / doc_lang_id / doc_fingerprints: not exactly
-        # SQL-expressible (IVF probe subsets, heuristic language model,
-        # FNV-1a rolling fingerprints) → rows-only; their semantics are
-        # golden-tested in tests/.
+        # ann_ivf: not exactly SQL-expressible (approximate IVF probe
+        # subsets) → rows-only; recall golden-tested in tests/.
     }
 
 

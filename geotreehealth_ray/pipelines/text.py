@@ -120,6 +120,33 @@ def lang_id(docs, concurrency: int = 2):
     )
 
 
+class LangConfusion(LangId):
+    """Per-row (true label, predicted label) pairs feeding the
+    distributed confusion matrix. The reference computes its confusion
+    matrix driver-side with sklearn over collected epoch predictions
+    (main.py:276-299); here it is a grouped count aggregate so the
+    matrix never requires collecting per-row predictions."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        out = super().__call__(df)
+        return pd.DataFrame(
+            {"lang": df["lang"].values, "lang_pred": out["lang_pred"].values}
+        )
+
+
+def lang_confusion(docs, concurrency: int = 2):
+    """(lang, lang_pred, n) confusion-matrix counts: actor-pool
+    prediction stage → combiner-pattern grouped count (one slim row per
+    (label, pred) cell per batch enters the shuffle)."""
+    from .relational import grouped_agg
+
+    pairs = docs.map_batches(
+        LangConfusion, batch_format="pandas", batch_size=2048,
+        concurrency=concurrency,
+    )
+    return grouped_agg(pairs, ["lang", "lang_pred"], {}, count_alias="n")
+
+
 _FP_BASE = np.uint64(1099511628211)
 _FP_OFF = np.uint64(14695981039346656037)
 

@@ -82,6 +82,20 @@ def test_lang_id_heuristics(docs_ds):
     assert list(out["lang_pred"]) == ["en", "es", "zh"]
 
 
+def test_lang_confusion_counts(docs_ds):
+    got = text.lang_confusion(docs_ds).to_pandas()
+    assert set(got.columns) == {"lang", "lang_pred", "n"}
+    # cells sum to the full table: the matrix is a partition of all docs
+    assert got["n"].sum() == docs_ds.count()
+    # cross-check one cell against a driver-side recompute
+    df = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    li = text.LangId()
+    pred = li(df)["lang_pred"]
+    exp = (df["lang"] == "en") & (pred == "en")
+    cell = got[(got["lang"] == "en") & (got["lang_pred"] == "en")]
+    assert int(cell["n"].iloc[0]) == int(exp.sum())
+
+
 def test_exact_dedup_with_planted_dups(ray_session):
     import ray.data as rd
 
