@@ -106,6 +106,27 @@ def normalize_rgb_array(img: np.ndarray, crop: int | None = 224) -> np.ndarray:
     return a.astype(np.float32)
 
 
+def normalize_hsi(cube: np.ndarray, scale: bool = False) -> np.ndarray:
+    """Reference normalize_hsi (build_dataloaders.py:145-170): the
+    active behavior is only the CHW→HWC transpose — the L2 + per-band
+    min-max normalization body is commented out there. ``scale=True``
+    enables that dormant branch (per-pixel L2 across bands, per-band
+    min-max over positives, zeros preserved) for parity with the
+    commented code. Input (C,H,W) float; output (H,W,C) float32."""
+    a = np.transpose(cube, (1, 2, 0)).astype(np.float32)
+    if not scale:
+        return a
+    eps = np.float32(1e-8)
+    l2 = np.linalg.norm(a, axis=2, keepdims=True).astype(np.float32)
+    a = a / (l2 + eps)
+    pos = a > 0
+    min_vals = np.min(np.where(pos, a, np.inf), axis=(0, 1), keepdims=True)
+    min_vals = np.where(np.isfinite(min_vals), min_vals, 0.0).astype(np.float32)
+    max_vals = np.max(a, axis=(0, 1), keepdims=True).astype(np.float32)
+    scaled = (a - min_vals) / (max_vals - min_vals + eps)
+    return np.where(a == 0, np.float32(0.0), scaled).astype(np.float32)
+
+
 def _center_crop_or_pad(a: np.ndarray, th: int, tw: int) -> np.ndarray:
     h, w = a.shape[:2]
     # crop

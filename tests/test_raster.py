@@ -50,6 +50,20 @@ def test_normalize_rgb_shape_and_range():
     assert out.dtype == np.float32
 
 
+def test_normalize_hsi_transpose_and_scaled_branch():
+    cube = np.random.default_rng(4).uniform(0, 1, (7, 4, 5)).astype(np.float32)
+    # active reference behavior: pure CHW→HWC transpose
+    out = raster.normalize_hsi(cube)
+    assert out.shape == (4, 5, 7)
+    np.testing.assert_array_equal(out, np.transpose(cube, (1, 2, 0)))
+    # dormant branch: values land in [0, 1], zeros stay zero
+    cube[0, 0, 0] = 0.0
+    s = raster.normalize_hsi(cube, scale=True)
+    assert s.shape == (4, 5, 7)
+    assert s.min() >= 0.0 and s.max() <= 1.0 + 1e-6
+    assert s[0, 0, 0] == 0.0
+
+
 def test_normalize_point_cloud_centroid_zero():
     # reference tests/build_dataloaders_test.py:38-42
     pts = np.random.default_rng(3).normal(10, 5, (2773, 3))
