@@ -342,6 +342,66 @@ def _q_order_priority_revenue(sf_dir: str):
     )
 
 
+def _q_running_total(sf_dir: str):
+    """Streaming-style cumulative window: per-user running sum of
+    event value in exact integer micro-units."""
+    from geotreehealth_ray.pipelines.relational import running_total
+
+    return running_total(_read(sf_dir, "events"))
+
+
+def _q_topk_per_cust(sf_dir: str):
+    """Grouped top-k: each customer's 3 priciest orders with rank."""
+    from geotreehealth_ray.pipelines.relational import topk_per_group
+
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_custkey", "o_orderkey", "o_totalprice"]
+    )
+    return topk_per_group(orders, "o_custkey", "o_totalprice", "o_orderkey", k=3)
+
+
+def _q_median_price(sf_dir: str):
+    """Holistic grouped aggregate: exact lower-median order price per
+    customer (no combiner possible — co-locate key then rank-pick)."""
+    from geotreehealth_ray.pipelines.relational import grouped_median
+
+    return grouped_median(
+        _read(sf_dir, "orders"), "o_custkey", "o_totalprice",
+        alias="median_price",
+    )
+
+
+def _q_distinct_suppliers(sf_dir: str):
+    """COUNT(DISTINCT) per key with per-batch pair-dedup combiner."""
+    from geotreehealth_ray.pipelines.relational import distinct_count
+
+    return distinct_count(
+        _read(sf_dir, "lineitem"), "l_partkey", "l_suppkey",
+        alias="n_suppliers",
+    )
+
+
+def _q_event_deltas(sf_dir: str):
+    """Per-key LAG: inter-event gap in microseconds per user."""
+    from geotreehealth_ray.pipelines.relational import lag_delta
+
+    return lag_delta(_read(sf_dir, "events"))
+
+
+def _q_price_histogram(sf_dir: str):
+    """Histogram binning + distributed count (combiner groupby)."""
+    from geotreehealth_ray.pipelines.relational import grouped_agg
+
+    def binify(t: pa.Table) -> pa.Table:
+        b = np.floor(t["o_totalprice"].to_numpy() / 10000.0).astype(np.int64)
+        return pa.table({"bin": pa.array(b, pa.int64())})
+
+    binned = _read(sf_dir, "orders").select_columns(["o_totalprice"]).map_batches(
+        binify, batch_format="pyarrow"
+    )
+    return grouped_agg(binned, ["bin"], {}, count_alias="n_orders")
+
+
 def _q_doc_tokens(sf_dir: str):
     from geotreehealth_ray.pipelines.text import token_counts
 
@@ -705,6 +765,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions": _q_sessions,
         "asof_join": _q_asof_join,
         "order_priority_revenue": _q_order_priority_revenue,
+        "running_total": _q_running_total,
+        "topk_per_cust": _q_topk_per_cust,
+        "median_price": _q_median_price,
+        "distinct_suppliers": _q_distinct_suppliers,
+        "event_deltas": _q_event_deltas,
+        "price_histogram": _q_price_histogram,
         # text / training-data operators
         "doc_token_counts": _q_doc_tokens,
         "doc_quality": _q_doc_quality,
@@ -974,6 +1040,51 @@ def oracle_sql() -> dict[str, str]:
               FROM lineitem GROUP BY l_orderkey) t
               ON o_orderkey = l_orderkey
             GROUP BY o_orderpriority
+        """,
+        "running_total": """
+            SELECT event_id, user_id,
+                   row_number() OVER w AS seq,
+                   CAST(sum(CAST(floor(value*1000000 + 0.5) AS BIGINT))
+                        OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS running_micro
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "topk_per_cust": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+              FROM orders) t
+            WHERE rnk <= 3
+        """,
+        "median_price": """
+            SELECT o_custkey, median_price FROM (
+              SELECT o_custkey, o_totalprice AS median_price,
+                     row_number() OVER (
+                       PARTITION BY o_custkey ORDER BY o_totalprice) AS rn,
+                     count(*) OVER (PARTITION BY o_custkey) AS cnt
+              FROM orders) t
+            WHERE rn = (cnt + 1) // 2
+        """,
+        "distinct_suppliers": """
+            SELECT l_partkey, count(DISTINCT l_suppkey) AS n_suppliers
+            FROM lineitem GROUP BY l_partkey
+        """,
+        "event_deltas": """
+            SELECT event_id, user_id, prev_id, delta_us FROM (
+              SELECT event_id, user_id,
+                     lag(event_id) OVER w AS prev_id,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER w AS delta_us
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
+            WHERE prev_id IS NOT NULL
+        """,
+        "price_histogram": """
+            SELECT CAST(floor(o_totalprice/10000.0) AS BIGINT) AS bin,
+                   count(*) AS n_orders
+            FROM orders GROUP BY 1
         """,
         "latest_event": """
             SELECT user_id, event_id, event_type, round(value, 6) AS value FROM (

@@ -14,7 +14,8 @@ import pyarrow as pa
 __all__ = ["grouped_agg", "broadcast_join", "latest_per_key",
            "asof_join", "hourly_window_agg", "bucketed_reduce",
            "sorted_group_map", "NUM_BUCKETS", "shuffle_partitions",
-           "coalesce_for_shuffle"]
+           "coalesce_for_shuffle", "running_total", "topk_per_group",
+           "grouped_median", "distinct_count", "lag_delta"]
 
 NUM_BUCKETS = 256
 
@@ -383,6 +384,128 @@ def latest_per_key(ds, key: str, order_cols: list[str]):
         return df.drop_duplicates(key, keep="first")
 
     return bucketed_reduce(ds, key, pick)
+
+
+def running_total(ds, key: str = "user_id", ts_col: str = "ts",
+                  id_col: str = "event_id", value_col: str = "value"):
+    """Cumulative windowed aggregate per key: each row gets the running
+    sum of ``value_col`` over all rows of the same key up to and
+    including itself, ordered by (ts, id). The classic streaming
+    running-state operator, batch-expressed: one hash shuffle
+    (`bucketed_reduce` co-locates each key's history), then a
+    vectorized groupby().cumsum() per bucket. Sums are integer
+    micro-units (floor(v*1e6+0.5)) so they are exact and match SQL
+    ``SUM(...) OVER (PARTITION BY key ORDER BY ts, id ROWS UNBOUNDED
+    PRECEDING)`` bit-for-bit. Output: (id, key, seq, running_micro).
+
+    Partitioning assumption: one key's full history co-resides in a
+    bucket (same contract as `asof_join`)."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col, id_col], kind="stable")
+        micro = np.floor(df[value_col].to_numpy() * 1e6 + 0.5).astype(np.int64)
+        g = pd.DataFrame({key: df[key], "__m": micro}).groupby(key, sort=False)
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].astype("int64"),
+                key: df[key].astype("int64"),
+                "seq": (g.cumcount() + 1).astype("int64"),
+                "running_micro": g["__m"].cumsum().astype("int64"),
+            }
+        ).reset_index(drop=True)
+
+    return bucketed_reduce(ds, key, per_bucket)
+
+
+def topk_per_group(ds, key: str, order_col: str, id_col: str, k: int = 3):
+    """Top-k rows per key by (order_col desc, id asc) with a dense
+    1-based rank — the grouped analogue of global sort+limit
+    (ROW_NUMBER() ... QUALIFY rn <= k in SQL). One hash shuffle, then
+    a vectorized sort + cumcount per bucket; ties on order_col broken
+    by id so output is deterministic at any parallelism."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            [key, order_col, id_col], ascending=[True, False, True],
+            kind="stable",
+        )
+        rnk = df.groupby(key, sort=False).cumcount() + 1
+        out = df.loc[rnk <= k, [key, id_col, order_col]].copy()
+        out["rnk"] = rnk[rnk <= k].astype("int64")
+        return out.reset_index(drop=True)
+
+    return bucketed_reduce(ds, key, per_bucket)
+
+
+def grouped_median(ds, key: str, val_col: str, alias: str = "median_val"):
+    """Exact lower-median per key: the element at 0-based index
+    (n-1)//2 of the key's sorted values (== SQL row_number()=(n+1)//2
+    over ORDER BY val). Deterministic under ties — the VALUE at that
+    rank is unique even when rows tie. Holistic aggregate, so unlike
+    `grouped_agg` there is no combiner: each key's values co-reside in
+    one hash bucket and one vectorized sort + take runs per bucket."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, val_col], kind="stable").reset_index(drop=True)
+        sizes = df.groupby(key, sort=False).size()
+        starts = np.r_[0, np.cumsum(sizes.to_numpy())[:-1]]
+        idx = starts + (sizes.to_numpy() - 1) // 2
+        out = df.iloc[idx][[key, val_col]].rename(columns={val_col: alias})
+        return out.reset_index(drop=True)
+
+    return bucketed_reduce(ds.select_columns([key, val_col]), key, per_bucket)
+
+
+def distinct_count(ds, key: str, val_col: str, alias: str = "n_distinct"):
+    """COUNT(DISTINCT val) per key, shuffle-lean: each batch first
+    drops its local duplicate (key, val) pairs (combiner — the shuffle
+    moves unique pairs per batch, not raw rows), then one hash shuffle
+    co-locates each key and a vectorized nunique runs per bucket."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df[[key, val_col]].drop_duplicates()
+
+    pairs = ds.select_columns([key, val_col]).map_batches(
+        partial, batch_format="pandas"
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates().groupby(key, sort=False)
+        return pd.DataFrame({alias: g[val_col].size().astype("int64")}).reset_index()
+
+    return bucketed_reduce(pairs, key, per_bucket)
+
+
+def lag_delta(ds, key: str = "user_id", ts_col: str = "ts",
+              id_col: str = "event_id"):
+    """Per-key LAG: each row joined to its immediate predecessor in
+    (ts, id) order within the key, emitting the gap in microseconds.
+    Rows with no predecessor (first per key) are dropped — inner-LAG
+    semantics, matching SQL LAG(...)+filter. One hash shuffle, then a
+    vectorized shift per bucket. Output: (id, key, prev_id, delta_us)."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col, id_col], kind="stable")
+        keys = df[key].to_numpy()
+        ids = df[id_col].to_numpy()
+        epoch_us = (
+            pd.to_datetime(df[ts_col]).astype("datetime64[us]").astype("int64")
+        ).to_numpy()
+        same = np.r_[False, keys[1:] == keys[:-1]]
+        delta = epoch_us - np.r_[0, epoch_us[:-1]]
+        prev = np.r_[0, ids[:-1]]
+        return pd.DataFrame(
+            {
+                id_col: ids[same].astype("int64"),
+                key: keys[same].astype("int64"),
+                "prev_id": prev[same].astype("int64"),
+                "delta_us": delta[same].astype("int64"),
+            }
+        )
+
+    return bucketed_reduce(
+        ds.select_columns([id_col, key, ts_col]), key, per_bucket
+    )
 
 
 def hourly_window_agg(events, ts_col: str = "ts", key: str = "user_id",

@@ -1,0 +1,144 @@
+"""Windowed / grouped relational operators: running total, top-k per
+group, grouped median, distinct count, lag delta. Each checked against
+a single-process pandas reference on a small skewed frame — the exact
+SQL equivalence is additionally gated by the driver oracles
+(__ray_entry__.oracle_sql: running_total, topk_per_cust, median_price,
+distinct_suppliers, event_deltas)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _events(n=200, users=7, seed=11):
+    rng = np.random.default_rng(seed)
+    ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+        np.sort(rng.integers(0, 10**6, n)), unit="s"
+    )
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(1, n + 1, dtype=np.int64),
+            "user_id": rng.integers(1, users + 1, n).astype(np.int64),
+            "ts": ts,
+            "value": rng.uniform(-5, 5, n).round(4),
+        }
+    )
+
+
+def test_running_total_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from geotreehealth_ray.pipelines.relational import running_total
+
+    df = _events()
+    out = (
+        running_total(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    ref["micro"] = np.floor(ref["value"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    g = ref.groupby("user_id", sort=False)
+    ref["seq"] = g.cumcount() + 1
+    ref["running_micro"] = g["micro"].cumsum()
+    ref = ref.sort_values("event_id").reset_index(drop=True)
+    assert len(out) == len(ref)
+    np.testing.assert_array_equal(out["seq"], ref["seq"])
+    np.testing.assert_array_equal(out["running_micro"], ref["running_micro"])
+
+
+def test_topk_per_group_rank_and_ties(ray_session):
+    import ray.data as rd
+
+    from geotreehealth_ray.pipelines.relational import topk_per_group
+
+    # deliberate ties on the order col — id must break them
+    df = pd.DataFrame(
+        {
+            "k": np.repeat([1, 2], 5).astype(np.int64),
+            "id": np.arange(10, dtype=np.int64),
+            "v": np.array([5.0, 5.0, 3.0, 9.0, 1.0, 2.0, 2.0, 2.0, 2.0, 2.0]),
+        }
+    )
+    out = (
+        topk_per_group(rd.from_pandas(df), "k", "v", "id", k=3)
+        .to_pandas()
+        .sort_values(["k", "rnk"])
+        .reset_index(drop=True)
+    )
+    assert out[out["k"] == 1]["id"].tolist() == [3, 0, 1]
+    assert out[out["k"] == 2]["id"].tolist() == [5, 6, 7]
+    assert out["rnk"].tolist() == [1, 2, 3, 1, 2, 3]
+
+
+def test_grouped_median_lower_median(ray_session):
+    import ray.data as rd
+
+    from geotreehealth_ray.pipelines.relational import grouped_median
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 20, 500).astype(np.int64),
+            "v": rng.uniform(0, 100, 500).round(2),
+        }
+    )
+    out = (
+        grouped_median(rd.from_pandas(df), "k", "v", alias="m")
+        .to_pandas()
+        .set_index("k")["m"]
+    )
+    for k, g in df.groupby("k"):
+        vals = np.sort(g["v"].to_numpy())
+        assert out[k] == vals[(len(vals) - 1) // 2]
+
+
+def test_distinct_count(ray_session):
+    import ray.data as rd
+
+    from geotreehealth_ray.pipelines.relational import distinct_count
+
+    rng = np.random.default_rng(6)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 15, 800).astype(np.int64),
+            "v": rng.integers(0, 10, 800).astype(np.int64),
+        }
+    )
+    out = (
+        distinct_count(rd.from_pandas(df), "k", "v", alias="nd")
+        .to_pandas()
+        .set_index("k")["nd"]
+    )
+    ref = df.groupby("k")["v"].nunique()
+    assert out.sort_index().tolist() == ref.sort_index().tolist()
+
+
+def test_lag_delta_first_rows_dropped(ray_session):
+    import ray.data as rd
+
+    from geotreehealth_ray.pipelines.relational import lag_delta
+
+    df = _events(n=120, users=5, seed=12)
+    out = (
+        lag_delta(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    epoch = ref["ts"].astype("datetime64[us]").astype("int64")
+    same = ref["user_id"].eq(ref["user_id"].shift(1))
+    exp = pd.DataFrame(
+        {
+            "event_id": ref["event_id"],
+            "prev_id": ref["event_id"].shift(1),
+            "delta_us": epoch - epoch.shift(1),
+        }
+    )[same.to_numpy()]
+    exp = exp.sort_values("event_id").reset_index(drop=True)
+    assert len(out) == len(exp)
+    np.testing.assert_array_equal(out["prev_id"], exp["prev_id"].astype("int64"))
+    np.testing.assert_array_equal(out["delta_us"], exp["delta_us"].astype("int64"))
+    assert (out["delta_us"] >= 0).all()
