@@ -402,6 +402,56 @@ def _q_price_histogram(sf_dir: str):
     return grouped_agg(binned, ["bin"], {}, count_alias="n_orders")
 
 
+def _q_props_stats(sf_dir: str):
+    """Semi-structured extraction: JSON int field pulled from the
+    events.props blobs (vectorized regex over Arrow), then a combiner
+    grouped aggregate per event_type."""
+    from geotreehealth_ray.pipelines.relational import grouped_agg
+    from geotreehealth_ray.pipelines.text import json_extract_int
+
+    ev = _read(sf_dir, "events").select_columns(["event_type", "props"])
+    ds = json_extract_int(ev, "props", "k", "k")
+    return grouped_agg(ds, ["event_type"], {"sum_k": "k"}, count_alias="n_events")
+
+
+def _q_cust_order_counts(sf_dir: str):
+    """LEFT OUTER hash join: every customer with their URGENT-order
+    count, zero for customers with none (the priority filter makes the
+    null-extending branch non-vacuous at every sf — verified 203 such
+    customers at sf0.01)."""
+    from geotreehealth_ray.pipelines.relational import grouped_agg, hash_join
+
+    per_cust = grouped_agg(
+        _read(sf_dir, "orders")
+        .filter(expr="o_orderpriority == '1-URGENT'")
+        .select_columns(["o_custkey"]),
+        ["o_custkey"], {}, count_alias="n",
+    ).map_batches(
+        lambda df: df.rename(columns={"o_custkey": "c_custkey"}),
+        batch_format="pandas",
+    )
+    cust = _read(sf_dir, "customer").select_columns(["c_custkey"])
+    j = hash_join(cust, per_cust, on="c_custkey", how="left")
+    return j.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "c_custkey": df["c_custkey"].astype("int64"),
+                "n_orders": df["n"].fillna(0).astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def _q_label_centroids(sf_dir: str):
+    """Vector-column grouped mean: per-class embedding centroid via
+    exact integer micro-unit partials (only labels × dims slim rows
+    shuffle, never the vectors)."""
+    from geotreehealth_ray.pipelines.ann import label_centroids
+
+    return label_centroids(_read(sf_dir, "embeddings"))
+
+
 def _q_doc_tokens(sf_dir: str):
     from geotreehealth_ray.pipelines.text import token_counts
 
@@ -771,6 +821,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_suppliers": _q_distinct_suppliers,
         "event_deltas": _q_event_deltas,
         "price_histogram": _q_price_histogram,
+        "props_stats": _q_props_stats,
+        "cust_order_counts": _q_cust_order_counts,
+        "label_centroids": _q_label_centroids,
         # text / training-data operators
         "doc_token_counts": _q_doc_tokens,
         "doc_quality": _q_doc_quality,
@@ -1085,6 +1138,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(floor(o_totalprice/10000.0) AS BIGINT) AS bin,
                    count(*) AS n_orders
             FROM orders GROUP BY 1
+        """,
+        "props_stats": """
+            SELECT event_type,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "cust_order_counts": """
+            SELECT c_custkey, coalesce(n, 0) AS n_orders
+            FROM customer LEFT JOIN (
+              SELECT o_custkey, count(*) AS n FROM orders
+              WHERE o_orderpriority = '1-URGENT' GROUP BY 1) t
+              ON c_custkey = o_custkey
+        """,
+        "label_centroids": """
+            SELECT label, dim,
+                   (CAST(sum(m) AS DOUBLE) / count(*)) / 1000000.0
+                     AS centroid
+            FROM (
+              SELECT CAST(label AS BIGINT) AS label,
+                     CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT)
+                       AS dim,
+                     CAST(floor(CAST(unnest(embedding) AS DOUBLE)*1000000
+                                + 0.5) AS BIGINT) AS m
+              FROM embeddings) u
+            GROUP BY label, dim
         """,
         "latest_event": """
             SELECT user_id, event_id, event_type, round(value, 6) AS value FROM (

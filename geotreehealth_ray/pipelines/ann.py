@@ -84,6 +84,53 @@ def ann_bruteforce_topk(embeddings, queries: np.ndarray, k: int = 10,
     )
 
 
+def label_centroids(embeddings, label_col: str = "label",
+                    vec_col: str = "embedding"):
+    """Per-class mean embedding (class centroids — the vector-column
+    analogue of a grouped mean, used for prototype/centroid classifiers
+    over training corpora). Output: one row per (label, dim) with the
+    centroid component as double.
+
+    Combiner pattern over the vector column: each batch reduces its
+    rows to (label, dim, sum_micro, n) partials — exact int64
+    micro-unit sums, so the reduce is order-insensitive and matches
+    the SQL oracle bit-for-bit — and only labels × dims slim rows
+    enter the shuffle, never the vectors."""
+    from .relational import grouped_agg
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+        micro = np.floor(m * 1e6 + 0.5).astype(np.int64)
+        labels = df[label_col].to_numpy()
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), m.shape[1]), np.int64)
+        np.add.at(sums, inv, micro)
+        counts = np.bincount(inv, minlength=len(uniq))
+        dims = m.shape[1]
+        return pd.DataFrame(
+            {
+                "label": np.repeat(uniq.astype(np.int64), dims),
+                "dim": np.tile(np.arange(dims, dtype=np.int64), len(uniq)),
+                "s": sums.ravel(),
+                "n": np.repeat(counts.astype(np.int64), dims),
+            }
+        )
+
+    partials = embeddings.map_batches(partial, batch_format="pandas")
+    agg = grouped_agg(partials, ["label", "dim"], {"s": "s", "n": "n"})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "label": df["label"].astype("int64"),
+                "dim": df["dim"].astype("int64"),
+                "centroid": (df["s"] / df["n"]) / 1e6,
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
 def train_centroids(embeddings, n_centroids: int = 16, sample_n: int = 4096,
                     iters: int = 10, seed: int = 11,
                     vec_col: str = "embedding") -> np.ndarray:

@@ -17,7 +17,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["token_counts", "quality_scores", "LangId", "lang_id",
+__all__ = ["token_counts", "quality_scores", "LangId", "lang_id", "json_extract_int",
            "fingerprints", "content_hashes"]
 
 _WS = re.compile(r"\s+")
@@ -149,6 +149,23 @@ def lang_confusion(docs, concurrency: int = 2):
 
 _FP_BASE = np.uint64(1099511628211)
 _FP_OFF = np.uint64(14695981039346656037)
+
+
+def json_extract_int(ds, col: str, field: str, out: str):
+    """Extract an integer JSON field from a string column as a new
+    int64 column (schema-on-read over semi-structured payloads, e.g.
+    the events.props blobs). Vectorized: one compiled-regex
+    ``pyarrow.compute.extract_regex`` pass over the Arrow column —
+    no per-row json.loads. Scope: flat integer fields; nested paths
+    would plug a real JSON parser into the same map_batches slot."""
+    pattern = rf'"{re.escape(field)}"\s*:\s*(?P<v>-?\d+)'
+
+    def fn(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t[col], pattern)
+        v = pc.cast(pc.struct_field(m, "v"), pa.int64())
+        return t.append_column(out, v)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def _fnv1a_bytes(data: bytes) -> int:

@@ -115,6 +115,68 @@ def test_distinct_count(ray_session):
     assert out.sort_index().tolist() == ref.sort_index().tolist()
 
 
+def test_json_extract_int(ray_session):
+    import ray.data as rd
+
+    from geotreehealth_ray.pipelines.text import json_extract_int
+
+    df = pd.DataFrame(
+        {
+            "id": np.arange(4, dtype=np.int64),
+            "props": ['{"k": 87}', '{"a": 1, "k": -3}', '{"a": 2}', None],
+        }
+    )
+    out = (
+        json_extract_int(rd.from_pandas(df), "props", "k", "k")
+        .to_pandas()
+        .sort_values("id")
+    )
+    assert out["k"].tolist()[:2] == [87, -3]
+    assert pd.isna(out["k"].iloc[2]) and pd.isna(out["k"].iloc[3])
+
+
+def test_label_centroids_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from geotreehealth_ray.pipelines.ann import label_centroids
+
+    rng = np.random.default_rng(9)
+    vecs = rng.normal(0, 1, (300, 8)).astype(np.float32)
+    labels = rng.integers(0, 4, 300).astype(np.int32)
+    df = pd.DataFrame({"label": labels, "embedding": list(vecs)})
+    out = (
+        label_centroids(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values(["label", "dim"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 4 * 8
+    for lbl in range(4):
+        exp = vecs[labels == lbl].astype(np.float64).mean(axis=0)
+        got = out[out["label"] == lbl]["centroid"].to_numpy()
+        np.testing.assert_allclose(got, exp, atol=1e-6)
+
+
+def test_hash_join_left_outer_nulls(ray_session):
+    import ray.data as rd
+
+    from geotreehealth_ray.pipelines.relational import hash_join
+
+    left = pd.DataFrame({"k": np.arange(10, dtype=np.int64)})
+    right = pd.DataFrame(
+        {"k": np.array([0, 2, 4], dtype=np.int64), "v": [1.0, 2.0, 3.0]}
+    )
+    out = (
+        hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k", how="left")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 10
+    assert out.loc[out["k"].isin([0, 2, 4]), "v"].tolist() == [1.0, 2.0, 3.0]
+    assert out.loc[~out["k"].isin([0, 2, 4]), "v"].isna().all()
+
+
 def test_lag_delta_first_rows_dropped(ray_session):
     import ray.data as rd
 
