@@ -452,6 +452,17 @@ def _q_label_centroids(sf_dir: str):
     return label_centroids(_read(sf_dir, "embeddings"))
 
 
+def _q_kmeans_clusters(sf_dir: str):
+    """Iterative distributed k-means (Lloyd's): broadcast centroids,
+    streaming exact-integer partials, driver reduces k slim rows per
+    batch. Deterministic at any parallelism; golden-tested against a
+    single-process reference (tests/test_relational_windows.py)."""
+    from geotreehealth_ray.pipelines.ann import kmeans_lloyd
+
+    assignments, _ = kmeans_lloyd(_read(sf_dir, "embeddings"), k=8, iters=5)
+    return assignments
+
+
 def _q_doc_tokens(sf_dir: str):
     from geotreehealth_ray.pipelines.text import token_counts
 
@@ -839,6 +850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phash_pairs": _q_phash_pairs,
         "ann_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,
+        "kmeans_clusters": _q_kmeans_clusters,
         # geospatial operators on TRUE polygons / rasters / point clouds
         # (deterministic synthetic tables; golden-tested in tests/)
         "synth_assign": _q_synth_assign,

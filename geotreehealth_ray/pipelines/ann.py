@@ -17,7 +17,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["ann_bruteforce_topk", "ann_ivf_topk", "train_centroids"]
+__all__ = ["ann_bruteforce_topk", "ann_ivf_topk", "train_centroids",
+           "label_centroids", "kmeans_lloyd"]
 
 
 def _as_matrix(col) -> np.ndarray:
@@ -129,6 +130,75 @@ def label_centroids(embeddings, label_col: str = "label",
         )
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def kmeans_lloyd(embeddings, k: int = 8, iters: int = 5,
+                 vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Distributed Lloyd's k-means over the full table (iterative
+    algorithm pattern): per iteration the k×dim centroid matrix is
+    broadcast once (``ray.put``) and one streaming ``map_batches`` pass
+    emits per-batch partials — k slim rows of exact int64 micro-unit
+    sums + counts — which the driver reduces (k × #batches rows, never
+    the data). Exact integer partials make the reduce order-insensitive,
+    so centroids (and therefore assignments) are bit-identical at any
+    parallelism — the same determinism contract as the scaling bench.
+
+    Init: the k rows with smallest ``id_col`` (deterministic, no RNG).
+    Distance: squared Euclidean, argmin ties → lowest cluster index.
+    Empty clusters keep their previous centroid.
+
+    Returns (assignments Dataset of (id, cluster), centroids ndarray).
+    The input is materialized once so each iteration re-streams object
+    store blocks instead of re-reading the source."""
+    import ray
+
+    ds = embeddings.select_columns([id_col, vec_col]).materialize()
+    init = ds.sort(id_col).limit(k).to_pandas()
+    cent = np.stack(init[vec_col].to_numpy()).astype(np.float64)
+
+    def _argmin(x: np.ndarray, c: np.ndarray) -> np.ndarray:
+        d = (x * x).sum(1)[:, None] - 2.0 * (x @ c.T) + (c * c).sum(1)[None, :]
+        return np.argmin(d, axis=1)
+
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(ref)
+            x = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+            a = _argmin(x, c)
+            micro = np.floor(x * 1e6 + 0.5).astype(np.int64)
+            sums = np.zeros((k, x.shape[1]), np.int64)
+            np.add.at(sums, a, micro)
+            return pd.DataFrame(
+                {
+                    "c": np.arange(k, dtype=np.int64),
+                    "n": np.bincount(a, minlength=k).astype(np.int64),
+                    "s": list(sums),
+                }
+            )
+
+        parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+        for ci in range(k):
+            rows = parts[parts["c"] == ci]
+            n = int(rows["n"].sum())
+            if n:
+                s = np.sum(np.stack(rows["s"].to_numpy()).astype(np.int64), axis=0)
+                cent[ci] = (s / n) / 1e6
+
+    ref = ray.put(cent)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(ref)
+        x = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].astype("int64"),
+                "cluster": _argmin(x, c).astype("int64"),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pandas"), cent
 
 
 def train_centroids(embeddings, n_centroids: int = 16, sample_n: int = 4096,

@@ -177,6 +177,42 @@ def test_hash_join_left_outer_nulls(ray_session):
     assert out.loc[~out["k"].isin([0, 2, 4]), "v"].isna().all()
 
 
+def test_kmeans_lloyd_matches_single_process(ray_session):
+    import ray.data as rd
+
+    from geotreehealth_ray.pipelines.ann import kmeans_lloyd
+
+    rng = np.random.default_rng(21)
+    k, iters, dim = 4, 3, 6
+    centers = rng.normal(0, 8, (k, dim))
+    vecs = (centers[rng.integers(0, k, 240)] + rng.normal(0, 0.5, (240, dim))
+            ).astype(np.float32)
+    df = pd.DataFrame(
+        {"vec_id": np.arange(240, dtype=np.int64), "embedding": list(vecs)}
+    )
+
+    out_ds, cent = kmeans_lloyd(rd.from_pandas(df), k=k, iters=iters)
+    out = out_ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+    # single-process reference with the identical protocol
+    x = vecs.astype(np.float64)
+    c = x[:k].copy()
+
+    def am(xx, cc):
+        d = (xx * xx).sum(1)[:, None] - 2 * xx @ cc.T + (cc * cc).sum(1)[None, :]
+        return np.argmin(d, axis=1)
+
+    for _ in range(iters):
+        a = am(x, c)
+        micro = np.floor(x * 1e6 + 0.5).astype(np.int64)
+        for ci in range(k):
+            m = a == ci
+            if m.any():
+                c[ci] = (micro[m].sum(axis=0) / m.sum()) / 1e6
+    np.testing.assert_array_equal(cent, c)
+    np.testing.assert_array_equal(out["cluster"].to_numpy(), am(x, c))
+
+
 def test_lag_delta_first_rows_dropped(ray_session):
     import ray.data as rd
 
