@@ -620,6 +620,16 @@ def _q_synth_assign(sf_dir: str):
     return assignment
 
 
+def _q_synth_image_stats(sf_dir: str):
+    """Image-table decode + feature extraction (actor pool): per-image
+    pixel stats + stored-vs-recomputed phash integrity flag over the
+    north-rule (image_id, bytes, w, h, fmt, caption, phash) table."""
+    from geotreehealth_ray.stages.multimodal import image_stats
+
+    p = _synth_paths()
+    return image_stats(_rd().read_parquet(p["images"]))
+
+
 def _q_synth_nms(sf_dir: str):
     from geotreehealth_ray.pipelines.nms import greedy_nms
 
@@ -861,6 +871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "synth_knn_cardinal": _q_synth_knn_cardinal,
         "synth_median_polygon": _q_synth_median_polygon,
         "synth_stem_dedup": _q_synth_stem_dedup,
+        "synth_image_stats": _q_synth_image_stats,
     }
 
 

@@ -23,7 +23,8 @@ import pyarrow as pa
 
 from ..functions import codec
 
-__all__ = ["AudioFeatureSlot", "VideoFrameSampleSlot", "ImageResizeStage"]
+__all__ = ["AudioFeatureSlot", "VideoFrameSampleSlot", "ImageResizeStage",
+           "ImageStatsSlot", "image_stats"]
 
 
 def _stub_signal(payload: bytes, n: int) -> np.ndarray:
@@ -115,6 +116,47 @@ class VideoFrameSampleSlot:
                 "h": pa.array(out["h"], pa.int32()),
             }
         )
+
+
+class ImageStatsSlot:
+    """Actor-pool decode + feature stage over the north-rule image
+    table (image_id, bytes, w, h, fmt, caption, phash): decodes each
+    payload (png / qdct via functions.codec) and emits per-image pixel
+    stats plus a recomputed average-hash compared to the stored phash
+    — a per-row integrity invariant that rides along with feature
+    extraction (phash_ok must be all-true for lossless fmts; the qdct
+    fmt quantizes, so its hash is recomputed on the DECODED pixels and
+    still deterministic). Output is slim (no bytes column), so chips
+    never enter downstream shuffles."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        ids, means, checksums, ok = [], [], [], []
+        for i in range(n):
+            img = codec.decode(batch["bytes"][i].as_py(), batch["fmt"][i].as_py())
+            ids.append(batch["image_id"][i].as_py())
+            means.append(
+                int(np.floor(img.astype(np.float64).mean() * 1000.0 + 0.5))
+            )
+            checksums.append(int(img.astype(np.uint64).sum()))
+            ok.append(codec.average_hash(img) == batch["phash"][i].as_py())
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "pixel_mean_milli": pa.array(means, pa.int64()),
+                "pixel_checksum": pa.array(checksums, pa.int64()),
+                "phash_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+
+def image_stats(images, concurrency: int = 2, batch_size: int = 64):
+    """images table → per-image stats via the actor-pool decode stage
+    (small batches — binary payloads dominate block memory)."""
+    return images.map_batches(
+        ImageStatsSlot, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )
 
 
 class ImageResizeStage:

@@ -91,6 +91,43 @@ def test_image_resize_stage(ray_session):
     assert out.iloc[0]["w"] == 64 and out.iloc[0]["h"] == 64
 
 
+def test_image_stats_slot_integrity(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    imgs = [rng.integers(0, 256, (32, 32, 3), dtype=np.uint8) for _ in range(6)]
+    fmts = ["png", "png", "png", "qdct", "qdct", "png"]
+    tbl = pa.table(
+        {
+            "image_id": pa.array([f"i{k}" for k in range(6)]),
+            "bytes": pa.array(
+                [codec.encode(im, f) for im, f in zip(imgs, fmts)], pa.binary()
+            ),
+            "w": pa.array([32] * 6, pa.int32()),
+            "h": pa.array([32] * 6, pa.int32()),
+            "fmt": pa.array(fmts),
+            "caption": pa.array([f"cap {k}" for k in range(6)]),
+            "phash": pa.array(
+                [codec.average_hash(im) for im in imgs], pa.int64()
+            ),
+        }
+    )
+    out = (
+        multimodal.image_stats(rd.from_arrow(tbl))
+        .to_pandas()
+        .set_index("image_id")
+    )
+    assert len(out) == 6
+    # lossless rows: decode is exact → recomputed phash must match
+    for k, f in enumerate(fmts):
+        if f == "png":
+            assert out.loc[f"i{k}", "phash_ok"]
+            exp = imgs[k].astype(np.uint64).sum()
+            assert out.loc[f"i{k}", "pixel_checksum"] == exp
+            exp_mean = int(np.floor(imgs[k].astype(np.float64).mean() * 1000 + 0.5))
+            assert out.loc[f"i{k}", "pixel_mean_milli"] == exp_mean
+
+
 def test_strict_paths_raise():
     with pytest.raises(NotImplementedError):
         multimodal.AudioFeatureSlot(strict=True)
