@@ -452,6 +452,42 @@ def _q_label_centroids(sf_dir: str):
     return label_centroids(_read(sf_dir, "embeddings"))
 
 
+def _q_set_intersect(sf_dir: str):
+    """Table INTERSECT (distinct-row set semantics): customers with
+    both an urgent and a high-priority order."""
+    from geotreehealth_ray.pipelines.relational import set_op
+
+    orders = _read(sf_dir, "orders")
+    a = orders.filter(expr="o_orderpriority == '1-URGENT'").select_columns(
+        ["o_custkey"]
+    )
+    b = orders.filter(expr="o_orderpriority == '2-HIGH'").select_columns(
+        ["o_custkey"]
+    )
+    return set_op(a, b, "intersect")
+
+
+def _q_set_except(sf_dir: str):
+    """Table EXCEPT: customers with an order but no urgent order."""
+    from geotreehealth_ray.pipelines.relational import set_op
+
+    orders = _read(sf_dir, "orders")
+    a = orders.select_columns(["o_custkey"])
+    b = orders.filter(expr="o_orderpriority == '1-URGENT'").select_columns(
+        ["o_custkey"]
+    )
+    return set_op(a, b, "except")
+
+
+def _q_hll_custkeys(sf_dir: str):
+    """HLL distinct-count sketch register table over orders.o_custkey —
+    the sketch itself is the exact-oracle output; the estimate is a
+    driver-side fold (accuracy gated in tests)."""
+    from geotreehealth_ray.pipelines.sketch import hll_registers
+
+    return hll_registers(_read(sf_dir, "orders"), "o_custkey")
+
+
 def _q_kmeans_clusters(sf_dir: str):
     """Iterative distributed k-means (Lloyd's): broadcast centroids,
     streaming exact-integer partials, driver reduces k slim rows per
@@ -845,6 +881,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_stats": _q_props_stats,
         "cust_order_counts": _q_cust_order_counts,
         "label_centroids": _q_label_centroids,
+        "set_intersect": _q_set_intersect,
+        "set_except": _q_set_except,
+        "hll_custkeys": _q_hll_custkeys,
         # text / training-data operators
         "doc_token_counts": _q_doc_tokens,
         "doc_quality": _q_doc_quality,
@@ -1175,6 +1214,42 @@ def oracle_sql() -> dict[str, str]:
               SELECT o_custkey, count(*) AS n FROM orders
               WHERE o_orderpriority = '1-URGENT' GROUP BY 1) t
               ON c_custkey = o_custkey
+        """,
+        "set_intersect": """
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+        """,
+        "set_except": """
+            SELECT o_custkey FROM orders
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        """,
+        "hll_custkeys": """
+            -- exact SQL reconstruction of the HLL register table
+            -- (sketch.py hll_registers, p=12): FNV-1a over the key's 8
+            -- little-endian bytes (UHUGEINT mod-2^64 wraparound), rank
+            -- of the low 52 bits via length(bin(x)) — integer-exact,
+            -- no floating point.
+            WITH h AS (
+              SELECT list_reduce(
+                       list_prepend(14695981039346656037::UBIGINT,
+                         list_transform(range(0, 8),
+                           i -> ((o_custkey >> (8*i)) & 255)::UBIGINT)),
+                       (acc, b) -> ((xor(acc, b)::UHUGEINT
+                                     * 1099511628211::UHUGEINT)
+                                    % 18446744073709551616::UHUGEINT)::UBIGINT
+                     ) AS hv
+              FROM orders),
+            r AS (
+              SELECT CAST(hv >> 52 AS BIGINT) AS bucket,
+                     hv & 4503599627370495::UBIGINT AS rest
+              FROM h)
+            SELECT bucket,
+                   CAST(max(CASE WHEN rest = 0 THEN 53
+                                 ELSE 53 - length(bin(rest)) END)
+                        AS BIGINT) AS reg
+            FROM r GROUP BY bucket
         """,
         "label_centroids": """
             SELECT label, dim,

@@ -15,7 +15,7 @@ __all__ = ["grouped_agg", "broadcast_join", "latest_per_key",
            "asof_join", "hourly_window_agg", "bucketed_reduce",
            "sorted_group_map", "NUM_BUCKETS", "shuffle_partitions",
            "coalesce_for_shuffle", "running_total", "topk_per_group",
-           "grouped_median", "distinct_count", "lag_delta"]
+           "grouped_median", "distinct_count", "lag_delta", "set_op"]
 
 NUM_BUCKETS = 256
 
@@ -506,6 +506,44 @@ def lag_delta(ds, key: str = "user_id", ts_col: str = "ts",
     return bucketed_reduce(
         ds.select_columns([id_col, key, ts_col]), key, per_bucket
     )
+
+
+def set_op(left, right, op: str = "intersect"):
+    """SQL set operators with set (distinct-row) semantics over two
+    datasets of identical schema: ``intersect`` → distinct rows present
+    in both; ``except`` → distinct left rows absent from the right
+    (the reference has no table set ops — SURVEY §2.7 gap row). Both
+    sides are tagged, unioned, and hash-bucketed on the first column
+    (equal rows always co-bucket), then one vectorized pandas
+    merge/anti-merge runs per bucket — a single shuffle total."""
+    if op not in ("intersect", "except"):
+        raise ValueError(op)
+    cols = [c for c in left.columns()]
+
+    def tag(side):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            # per-batch distinct first: the shuffle moves unique rows
+            df = df.drop_duplicates()
+            df["__side"] = np.int8(side)
+            return df
+
+        return fn
+
+    u = left.map_batches(tag(0), batch_format="pandas").union(
+        right.map_batches(tag(1), batch_format="pandas")
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__side"] == 0][cols].drop_duplicates()
+        r = df[df["__side"] == 1][cols].drop_duplicates()
+        if op == "intersect":
+            return l.merge(r, on=cols, how="inner").reset_index(drop=True)
+        m = l.merge(r, on=cols, how="left", indicator=True)
+        return (
+            m[m["_merge"] == "left_only"][cols].reset_index(drop=True)
+        )
+
+    return bucketed_reduce(u, cols[0], per_bucket)
 
 
 def hourly_window_agg(events, ts_col: str = "ts", key: str = "user_id",

@@ -1,0 +1,99 @@
+"""Sketch aggregates — the "no sketches / approx-distinct" gap row of
+the reference's aggregation surface (SURVEY.md §2.5), filled with a
+HyperLogLog-style distinct-count sketch built for exact verifiability:
+
+- the operator's OUTPUT is the register table (bucket, reg) — a pure
+  integer function of the input multiset, so the driver's DuckDB oracle
+  reconstructs it bit-for-bit (vectorized FNV-1a over the key's 8 LE
+  bytes; rank via length(bin(x)) — no floating point anywhere);
+- the cardinality estimate is a deterministic driver-side fold of the
+  4096-row register table (`hll_estimate`), never of the data.
+
+Scale shape: per-batch partial register maxima (≤ m slim rows per
+batch) → one hash-bucketed grouped max. The raw keys never shuffle, so
+the sketch costs O(m) network per batch regardless of input size —
+this is the operator to reach for when `distinct_count`'s exact
+pair-shuffle would dominate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+__all__ = ["hll_registers", "hll_estimate", "P_DEFAULT"]
+
+P_DEFAULT = 12  # 2^12 = 4096 registers → ~1.6% standard error
+
+_FNV_OFF = np.uint64(14695981039346656037)
+_FNV_PRM = np.uint64(1099511628211)
+
+
+def _fnv1a_u64(keys: np.ndarray) -> np.ndarray:
+    """Vectorized FNV-1a over the 8 little-endian bytes of each int64
+    key (identical to hashing the key's struct.pack('<q') bytes)."""
+    v = keys.astype(np.int64).view(np.uint64)
+    h = np.full(len(v), _FNV_OFF, np.uint64)
+    with np.errstate(over="ignore"):
+        for b in range(8):
+            byte = (v >> np.uint64(8 * b)) & np.uint64(0xFF)
+            h = (h ^ byte) * _FNV_PRM
+    return h
+
+
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized integer bit length (0 for 0) — exact, no log2."""
+    x = x.copy()
+    r = np.zeros(x.shape, np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = x >= (np.uint64(1) << np.uint64(s))
+        r[m] += s
+        x[m] >>= np.uint64(s)
+    r[x == 1] += 1
+    return r
+
+
+def hll_registers(ds, col: str, p: int = P_DEFAULT):
+    """(bucket, reg) register table of the HLL sketch of ``col``
+    (int64 keys): bucket = top ``p`` hash bits; reg = max over the
+    bucket's values of (leading-zero count of the remaining 64-p bits)
+    + 1 (values whose remaining bits are all zero contribute 64-p+1).
+    Buckets never hit by any key are absent (estimate treats them as
+    0). Combiner: per-batch max per bucket, then one grouped max."""
+    from .relational import bucketed_reduce
+
+    w = 64 - p
+    mask = (np.uint64(1) << np.uint64(w)) - np.uint64(1)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = _fnv1a_u64(df[col].to_numpy())
+        bucket = (h >> np.uint64(w)).astype(np.int64)
+        rest = h & mask
+        reg = np.where(rest == 0, w + 1, w + 1 - _bit_length_u64(rest)).astype(
+            np.int64
+        )
+        out = pd.DataFrame({"bucket": bucket, "reg": reg})
+        return out.groupby("bucket", sort=False, as_index=False)["reg"].max()
+
+    partials = ds.select_columns([col]).map_batches(
+        partial, batch_format="pandas"
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("bucket", sort=False, as_index=False)["reg"].max()
+
+    return bucketed_reduce(partials, "bucket", per_bucket)
+
+
+def hll_estimate(registers: pd.DataFrame, p: int = P_DEFAULT) -> float:
+    """Deterministic cardinality estimate from the register table
+    (standard HLL with the small-range linear-counting correction)."""
+    m = 1 << p
+    regs = np.zeros(m, np.int64)
+    regs[registers["bucket"].to_numpy()] = registers["reg"].to_numpy()
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if e <= 2.5 * m and zeros:
+        e = m * np.log(m / zeros)
+    return float(e)

@@ -177,6 +177,46 @@ def test_hash_join_left_outer_nulls(ray_session):
     assert out.loc[~out["k"].isin([0, 2, 4]), "v"].isna().all()
 
 
+def test_set_op_intersect_except(ray_session):
+    import ray.data as rd
+
+    from geotreehealth_ray.pipelines.relational import set_op
+
+    a = pd.DataFrame({"k": np.array([1, 2, 2, 3, 4, 4, 4], np.int64)})
+    b = pd.DataFrame({"k": np.array([2, 4, 5, 5], np.int64)})
+    inter = sorted(
+        set_op(rd.from_pandas(a), rd.from_pandas(b), "intersect")
+        .to_pandas()["k"].tolist()
+    )
+    assert inter == [2, 4]  # distinct-row semantics
+    exc = sorted(
+        set_op(rd.from_pandas(a), rd.from_pandas(b), "except")
+        .to_pandas()["k"].tolist()
+    )
+    assert exc == [1, 3]
+
+
+def test_hll_registers_and_estimate(ray_session):
+    import ray.data as rd
+
+    from geotreehealth_ray.pipelines import sketch
+
+    n_distinct = 5000
+    rng = np.random.default_rng(3)
+    keys = rng.choice(10**9, n_distinct, replace=False).astype(np.int64)
+    # duplicates must not change the register table
+    dup = np.concatenate([keys, keys[:1000]])
+    df = pd.DataFrame({"k": dup})
+    regs = sketch.hll_registers(rd.from_pandas(df), "k").to_pandas()
+    regs_nodup = sketch.hll_registers(
+        rd.from_pandas(pd.DataFrame({"k": keys})), "k"
+    ).to_pandas()
+    key = lambda d: d.sort_values("bucket").reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(regs), key(regs_nodup))
+    est = sketch.hll_estimate(regs)
+    assert abs(est - n_distinct) / n_distinct < 0.05  # ~1.6% stderr @ p=12
+
+
 def test_kmeans_lloyd_matches_single_process(ray_session):
     import ray.data as rd
 
