@@ -350,6 +350,14 @@ def _q_running_total(sf_dir: str):
     return running_total(_read(sf_dir, "events"))
 
 
+def _q_rolling_sum(sf_dir: str):
+    """Sliding row-window aggregate: per-user 3-event rolling value
+    sum in exact integer micro-units."""
+    from geotreehealth_ray.pipelines.relational import rolling_sum
+
+    return rolling_sum(_read(sf_dir, "events"), window=3)
+
+
 def _q_topk_per_cust(sf_dir: str):
     """Grouped top-k: each customer's 3 priciest orders with rank."""
     from geotreehealth_ray.pipelines.relational import topk_per_group
@@ -873,6 +881,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": _q_asof_join,
         "order_priority_revenue": _q_order_priority_revenue,
         "running_total": _q_running_total,
+        "rolling_sum_3": _q_rolling_sum,
         "topk_per_cust": _q_topk_per_cust,
         "median_price": _q_median_price,
         "distinct_suppliers": _q_distinct_suppliers,
@@ -1162,6 +1171,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(floor(value*1000000 + 0.5) AS BIGINT))
                         OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT)
                      AS running_micro
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "rolling_sum_3": """
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(floor(value*1000000 + 0.5) AS BIGINT))
+                        OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS rolling_micro
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,

@@ -15,7 +15,8 @@ __all__ = ["grouped_agg", "broadcast_join", "latest_per_key",
            "asof_join", "hourly_window_agg", "bucketed_reduce",
            "sorted_group_map", "NUM_BUCKETS", "shuffle_partitions",
            "coalesce_for_shuffle", "running_total", "topk_per_group",
-           "grouped_median", "distinct_count", "lag_delta", "set_op"]
+           "grouped_median", "distinct_count", "lag_delta", "set_op",
+           "rolling_sum"]
 
 NUM_BUCKETS = 256
 
@@ -415,6 +416,44 @@ def running_total(ds, key: str = "user_id", ts_col: str = "ts",
         ).reset_index(drop=True)
 
     return bucketed_reduce(ds, key, per_bucket)
+
+
+def rolling_sum(ds, key: str = "user_id", ts_col: str = "ts",
+                id_col: str = "event_id", value_col: str = "value",
+                window: int = 3):
+    """Sliding row-based window aggregate per key: each row gets the
+    sum of ``value_col`` over the last ``window`` rows (inclusive) of
+    its key, ordered by (ts, id) — SQL ``SUM(...) OVER (PARTITION BY
+    key ORDER BY ts, id ROWS BETWEEN window-1 PRECEDING AND CURRENT
+    ROW)``. Completes the window family (tumbling `hourly_window_agg`,
+    session `sessionize`, cumulative `running_total`, lag `lag_delta`).
+    Exact int64 micro-unit sums; same key-co-residence contract and
+    single hash shuffle as the others."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col, id_col], kind="stable").reset_index(
+            drop=True
+        )
+        micro = np.floor(df[value_col].to_numpy() * 1e6 + 0.5).astype(np.int64)
+        work = pd.DataFrame({key: df[key], "__m": micro})
+        roll = (
+            work.groupby(key, sort=False)["__m"]
+            .rolling(window, min_periods=1)
+            .sum()
+            .reset_index(level=0, drop=True)
+            .sort_index()
+        )
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].astype("int64"),
+                key: df[key].astype("int64"),
+                "rolling_micro": roll.to_numpy().astype("int64"),
+            }
+        )
+
+    return bucketed_reduce(
+        ds.select_columns([id_col, key, ts_col, value_col]), key, per_bucket
+    )
 
 
 def topk_per_group(ds, key: str, order_col: str, id_col: str, k: int = 3):

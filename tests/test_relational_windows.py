@@ -48,6 +48,35 @@ def test_running_total_matches_pandas(ray_session):
     np.testing.assert_array_equal(out["running_micro"], ref["running_micro"])
 
 
+def test_rolling_sum_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from geotreehealth_ray.pipelines.relational import rolling_sum
+
+    df = _events(n=150, users=6, seed=13)
+    out = (
+        rolling_sum(rd.from_pandas(df), window=3)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    micro = np.floor(ref["value"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    exp = (
+        pd.DataFrame({"u": ref["user_id"], "m": micro})
+        .groupby("u", sort=False)["m"]
+        .rolling(3, min_periods=1)
+        .sum()
+        .reset_index(level=0, drop=True)
+        .sort_index()
+        .astype("int64")
+    )
+    ref_out = pd.DataFrame(
+        {"event_id": ref["event_id"], "rolling_micro": exp}
+    ).sort_values("event_id").reset_index(drop=True)
+    np.testing.assert_array_equal(out["rolling_micro"], ref_out["rolling_micro"])
+
+
 def test_topk_per_group_rank_and_ties(ray_session):
     import ray.data as rd
 
