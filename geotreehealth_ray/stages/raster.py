@@ -32,6 +32,8 @@ __all__ = [
     "masked_linear_stretch",
     "clean_hsi",
     "HSI_BAD_BANDS",
+    "normalize_hsi",
+    "preprocess_hsi",
     "normalize_rgb_array",
     "normalize_point_cloud",
     "pad_image",
@@ -125,6 +127,28 @@ def normalize_hsi(cube: np.ndarray, scale: bool = False) -> np.ndarray:
     max_vals = np.max(a, axis=(0, 1), keepdims=True).astype(np.float32)
     scaled = (a - min_vals) / (max_vals - min_vals + eps)
     return np.where(a == 0, np.float32(0.0), scaled).astype(np.float32)
+
+
+def preprocess_hsi(cube: np.ndarray, scale: bool = False) -> np.ndarray:
+    """Full reference HSI dataloader chain (build_dataloaders.py:70-86
+    ``preprocess``): clip to [0, 10000] + nan→0, drop the four
+    water-absorption band ranges (426 → 310), CHW→HWC transpose
+    (``normalize_hsi`` — whose scaling body is commented out there),
+    then ``np.pad(..., ((0,0),(2,2),(2,2)))``. The pad runs AFTER the
+    transpose, so its axes (1, 2) are WIDTH and CHANNELS of the HWC
+    cube — output (h, w+4, 314); the reference's own CI test enshrines
+    shape[2] == 314 (tests/build_dataloaders_test.py:36). That test's
+    ``max <= 1`` assertion can only hold with the dormant scaling
+    branch — pass ``scale=True`` for it."""
+    a = np.clip(np.nan_to_num(cube.astype(np.float64)), 0.0, 10000.0)
+    keep = np.ones(a.shape[0], dtype=bool)
+    for lo, hi in HSI_BAD_BANDS:
+        keep[lo:hi] = False
+    a = normalize_hsi(a[keep], scale=scale)
+    return np.pad(
+        a.astype(np.float32), ((0, 0), (2, 2), (2, 2)), "constant",
+        constant_values=0,
+    )
 
 
 def _center_crop_or_pad(a: np.ndarray, th: int, tw: int) -> np.ndarray:

@@ -64,6 +64,22 @@ def test_normalize_hsi_transpose_and_scaled_branch():
     assert s[0, 0, 0] == 0.0
 
 
+def test_preprocess_hsi_reference_chain():
+    # reference tests/build_dataloaders_test.py:31-36: the enshrined
+    # output contract is shape[2] == 314 (310 kept bands + the 2+2 pad
+    # that lands on the CHANNEL axis after the transpose)
+    rng = np.random.default_rng(8)
+    cube = rng.integers(-10000, 10000, (426, 40, 40)).astype(np.float64)
+    out = raster.preprocess_hsi(cube)
+    assert out.shape == (40, 44, 314)
+    assert out.min() >= 0.0
+    # the reference test's max<=1 assertion holds only with the dormant
+    # scaling branch enabled
+    s = raster.preprocess_hsi(cube, scale=True)
+    assert s.shape == (40, 44, 314)
+    assert s.max() <= 1.0 + 1e-6
+
+
 def test_normalize_point_cloud_centroid_zero():
     # reference tests/build_dataloaders_test.py:38-42
     pts = np.random.default_rng(3).normal(10, 5, (2773, 3))
