@@ -972,7 +972,33 @@ _LANG_PRED_SQL = """
 
 
 def oracle_sql() -> dict[str, str]:
+    # the synth_* oracles below read the deterministic synthetic tables
+    # by absolute parquet path — make sure they exist regardless of the
+    # order the driver evaluates queries vs oracles in
+    _synth_paths()
     return {
+        "synth_stem_dedup": f"""
+            -- engine: crown_ops.dedup_stems (max dbh, tie → latest
+            -- year); tie-free on this deterministic table (verified:
+            -- no duplicate (stem_id, dbh, year))
+            SELECT * FROM read_parquet('{_SYNTH_CACHE}/stems/*.parquet')
+            QUALIFY row_number() OVER (
+              PARTITION BY stem_id ORDER BY dbh DESC, year DESC) = 1
+        """,
+        "synth_median_polygon": f"""
+            -- engine: crown_ops.select_median_polygon (area closest to
+            -- the interpolated group median, tie → crown_id asc)
+            WITH c AS (
+              SELECT stem_id, crown_id, area
+              FROM read_parquet('{_SYNTH_CACHE}/crowns/*.parquet')
+              WHERE stem_id IS NOT NULL),
+            m AS (
+              SELECT *, median(area) OVER (PARTITION BY stem_id) AS med
+              FROM c)
+            SELECT stem_id, crown_id, area FROM m
+            QUALIFY row_number() OVER (
+              PARTITION BY stem_id ORDER BY abs(area - med), crown_id) = 1
+        """,
         "pip_join": f"""
             WITH pts AS ({_PTS}), bx AS ({_BX})
             SELECT b.p_partkey, p.o_orderkey
