@@ -513,6 +513,12 @@ def _q_doc_tokens(sf_dir: str):
     return token_counts(_read(sf_dir, "documents"))
 
 
+def _q_doc_bpe_tokens(sf_dir: str):
+    from geotreehealth_ray.pipelines.text import bpe_token_counts
+
+    return bpe_token_counts(_read(sf_dir, "documents"))
+
+
 def _q_doc_quality(sf_dir: str):
     from geotreehealth_ray.pipelines.text import quality_scores
 
@@ -895,6 +901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_custkeys": _q_hll_custkeys,
         # text / training-data operators
         "doc_token_counts": _q_doc_tokens,
+        "doc_bpe_tokens": _q_doc_bpe_tokens,
         "doc_quality": _q_doc_quality,
         "doc_content_hash": _q_doc_hash,
         "doc_exact_dedup": _q_doc_dedup,
@@ -1318,6 +1325,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
                      AS n_tokens
+            FROM documents
+        """,
+        "doc_bpe_tokens": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(coalesce(text,''),
+                     '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+|\\s+'))
+                     AS BIGINT) AS n_bpe_tokens
             FROM documents
         """,
         "doc_quality": """

@@ -17,8 +17,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["token_counts", "quality_scores", "LangId", "lang_id", "json_extract_int",
-           "fingerprints", "content_hashes"]
+__all__ = ["token_counts", "bpe_token_counts", "quality_scores", "LangId",
+           "lang_id", "json_extract_int", "fingerprints", "content_hashes"]
 
 _WS = re.compile(r"\s+")
 
@@ -33,6 +33,27 @@ def token_counts(docs):
         return pd.DataFrame(
             {"doc_id": df["doc_id"], "n_tokens": toks.map(len).astype("int64")}
         )
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
+# GPT-2-style pretokenizer shape restricted to ASCII classes so Python
+# re and DuckDB's RE2 tokenize identically (verified match over the
+# corpus): contractions, letter runs, digit runs, symbol runs, spaces.
+_BPE_PAT = re.compile(
+    r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+"
+)
+
+
+def bpe_token_counts(docs):
+    """(doc_id, n_bpe_tokens) — BPE-ish pretokenizer count (the token
+    budget a GPT-2-style tokenizer would see before merges; the
+    training-data-pipeline complement of the whitespace count). One
+    vectorized compiled-regex pass per batch."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["text"].fillna("").str.count(_BPE_PAT).astype("int64")
+        return pd.DataFrame({"doc_id": df["doc_id"], "n_bpe_tokens": n})
 
     return docs.map_batches(fn, batch_format="pandas")
 
