@@ -79,7 +79,7 @@ _UNION_SCHEMA = pa.schema(
 # per-crown-loop kernel needed salting from ~2k stems; blanket
 # salt_mode='all' paid 4× stem shuffle volume for nothing after the
 # kernel vectorization — measured 16 s vs 23 s on the 240k bench.)
-N_SALT = 4
+N_SALT = 8
 HOT_CELL_THRESHOLD = 5000
 
 
@@ -89,6 +89,41 @@ def _salt_of(ids) -> np.ndarray:
 
 
 _HOT_SAMPLE_ROWS = 200_000
+
+
+def _crown_reach(crowns) -> tuple[float, float]:
+    """One narrow column scan → (mx, my): the max reach of any crown's
+    bbox from its centroid, per axis. This is the stem halo margin for
+    owner-mode assignment: a crown can only contain stems within
+    (mx, my) of its centroid, so replicating each stem to every cell
+    its margin box touches guarantees the (crown, contained-stem) pair
+    co-locates in the crown's owner cell. The scan is a combiner
+    (one max row per batch) — no shuffle, driver sees #batches rows."""
+
+    def partial(t: pa.Table):
+        if len(t) == 0:
+            return pa.table({"mx": pa.array([], pa.float64()),
+                             "my": pa.array([], pa.float64())})
+        cx = t["cx"].to_numpy()
+        cy = t["cy"].to_numpy()
+        mx = max(
+            float(np.max(cx - t["minx"].to_numpy())),
+            float(np.max(t["maxx"].to_numpy() - cx)),
+        )
+        my = max(
+            float(np.max(cy - t["miny"].to_numpy())),
+            float(np.max(t["maxy"].to_numpy() - cy)),
+        )
+        return pa.table({"mx": pa.array([mx]), "my": pa.array([my])})
+
+    parts = (
+        crowns.select_columns(["cx", "cy", "minx", "miny", "maxx", "maxy"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(parts) == 0:
+        return 0.0, 0.0
+    return float(parts["mx"].max()), float(parts["my"].max())
 
 
 def _hot_cells(stems, res: int):
@@ -190,6 +225,91 @@ def _crown_side(batch: pa.Table, res: int, hot_ref=None, salt_all=True) -> pa.Ta
             "ccx": taken["cx"],
             "ccy": taken["cy"],
             "multi": pa.array((reps > 1)[idx]),
+            "salt": pa.array(salts),
+        },
+        schema=_UNION_SCHEMA,
+    )
+
+
+def _stem_side_owner(batch: pa.Table, res: int, mx: float, my: float,
+                     hot_ref=None, salt_all=True) -> pa.Table:
+    """Owner-mode stem side: each stem replicates to every cell its
+    margin box [x−mx, x+mx] × [y−my, y+my] touches — the inverse of
+    halo mode's crown replication. Every crown that can contain the
+    stem has its centroid within that box, so the pair meets in the
+    crown's owner cell and the per-cell argmin is already the GLOBAL
+    winner (no second exchange)."""
+    import ray
+
+    sx = batch["x"].to_numpy()
+    sy = batch["y"].to_numpy()
+    idx, keys = cells.cells_covering_arrays(sx - mx, sy - my, sx + mx, sy + my, res)
+    taken = batch.take(pa.array(idx))
+    if salt_all:
+        is_hot = np.ones(len(taken), dtype=bool)
+    else:
+        hot = ray.get(hot_ref) if hot_ref is not None else set()
+        is_hot = (
+            np.isin(keys, np.fromiter(hot, dtype=np.uint64)) if hot else
+            np.zeros(len(taken), dtype=bool)
+        )
+    reps = np.where(is_hot, N_SALT, 1)
+    idx2 = np.repeat(np.arange(len(taken)), reps)
+    starts = np.cumsum(reps) - reps
+    salt = (np.arange(len(idx2)) - np.repeat(starts, reps)).astype(np.int8)
+    taken = taken.take(pa.array(idx2))
+    keys2 = keys[idx2]
+    n = len(taken)
+    return pa.table(
+        {
+            "side": pa.array(np.zeros(n, np.int8)),
+            "cell": pa.array(cells.mix64(keys2), pa.uint64()),
+            "stem_id": taken["stem_id"],
+            "x": taken["x"],
+            "y": taken["y"],
+            "crown_id": pa.nulls(n, pa.string()),
+            "ring_b": pa.nulls(n, pa.binary()),
+            "ccx": pa.nulls(n, pa.float64()),
+            "ccy": pa.nulls(n, pa.float64()),
+            "multi": pa.nulls(n, pa.bool_()),
+            "salt": pa.array(salt),
+        },
+        schema=_UNION_SCHEMA,
+    )
+
+
+def _crown_side_owner(batch: pa.Table, res: int, hot_ref=None,
+                      salt_all=True) -> pa.Table:
+    """Owner-mode crown side: exactly ONE row per crown, keyed by its
+    centroid's cell (the ownership rule — SURVEY.md §7.4 halo
+    correctness). No replication, no ``multi`` duplicate resolution."""
+    import ray
+
+    batch = pack_rings(batch)
+    keys = cells.cell_of(batch["cx"].to_numpy(), batch["cy"].to_numpy(), res)
+    n = len(batch)
+    if salt_all:
+        is_hot = np.ones(n, dtype=bool)
+    else:
+        hot = ray.get(hot_ref) if hot_ref is not None else set()
+        is_hot = (
+            np.isin(keys, np.fromiter(hot, dtype=np.uint64)) if hot else
+            np.zeros(n, dtype=bool)
+        )
+    salt_per_row = _salt_of(batch["crown_id"].to_numpy(zero_copy_only=False))
+    salts = np.where(is_hot, salt_per_row, np.int8(0)).astype(np.int8)
+    return pa.table(
+        {
+            "side": pa.array(np.ones(n, np.int8)),
+            "cell": pa.array(cells.mix64(keys), pa.uint64()),
+            "stem_id": pa.nulls(n, pa.string()),
+            "x": batch["minx"],
+            "y": batch["miny"],
+            "crown_id": batch["crown_id"],
+            "ring_b": batch["ring_b"],
+            "ccx": batch["cx"],
+            "ccy": batch["cy"],
+            "multi": pa.array(np.zeros(n, dtype=bool)),
             "salt": pa.array(salts),
         },
         schema=_UNION_SCHEMA,
@@ -352,7 +472,8 @@ def _final_pick_bucket(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def assign_stems_to_crowns(stems, crowns, res: int = cells.DEFAULT_RES,
-                           salt_mode: str = "hot"):
+                           salt_mode: str = "hot", mode: str = "owner",
+                           margin: tuple[float, float] | None = None):
     """Returns (assignment_ds, unassigned_ds).
 
     salt_mode: 'hot' (default — a sampled count pass finds cells above
@@ -360,37 +481,67 @@ def assign_stems_to_crowns(stems, crowns, res: int = cells.DEFAULT_RES,
     only where the skew is), 'all' (blanket N_SALT fan-out, no
     pre-pass — pays ~N_SALT× stem shuffle volume), or 'none'.
 
+    mode: 'owner' (default) keys each crown to its centroid's cell and
+    halo-replicates STEMS by the global max crown reach (``margin``,
+    computed by a narrow combiner scan when not given) — every
+    (crown, contained-stem) pair meets in exactly one group, so the
+    assignment needs ONE all-to-all exchange. 'halo' is the inverse
+    (crowns replicate to bbox-covering cells; a second hash-bucketed
+    exchange resolves cross-cell duplicates) — cheaper when a few huge
+    outlier crowns would blow up the global stem margin.
+
     assignment: (crown_id, stem_id, dist) — one row per crown that
     contains ≥1 stem. unassigned: (stem_id) — distinct stems no crown
     selected.
     """
     hot_ref = _hot_cells(stems, res) if salt_mode == "hot" else None
     salt_all = salt_mode == "all"
-    s = stems.select_columns(["stem_id", "x", "y"]).map_batches(
-        _stem_side, batch_format="pyarrow",
-        fn_kwargs={"res": res, "hot_ref": hot_ref, "salt_all": salt_all},
-    )
-    c = crowns.select_columns(
-        ["crown_id", "ring", "cx", "cy", "minx", "miny", "maxx", "maxy"]
-    ).map_batches(
-        _crown_side, batch_format="pyarrow",
-        fn_kwargs={"res": res, "hot_ref": hot_ref, "salt_all": salt_all},
-    )
     from .relational import bucketed_reduce, sorted_group_map
 
-    candidates = sorted_group_map(s.union(c), ["cell", "salt"], _assign_cell)
-    # single-cell crowns (the vast majority) have exactly one candidate
-    # row; only cell-spanning crowns need duplicate resolution. Branching
-    # the dataset would re-execute the upstream per branch, so the split
-    # happens inside one pass: the reduce sorts only rows flagged multi.
-    def _resolve(df: pd.DataFrame) -> pd.DataFrame:
-        direct = df[~df["multi"]]
-        span = df[df["multi"]]
-        if len(span):
-            span = _final_pick_bucket(span)
-        return pd.concat([direct, span], ignore_index=True).drop(columns="multi")
+    if mode == "owner":
+        mx, my = margin if margin is not None else _crown_reach(crowns)
+        s = stems.select_columns(["stem_id", "x", "y"]).map_batches(
+            _stem_side_owner, batch_format="pyarrow",
+            fn_kwargs={"res": res, "mx": mx, "my": my,
+                       "hot_ref": hot_ref, "salt_all": salt_all},
+        )
+        c = crowns.select_columns(
+            ["crown_id", "ring", "cx", "cy", "minx", "miny", "maxx", "maxy"]
+        ).map_batches(
+            _crown_side_owner, batch_format="pyarrow",
+            fn_kwargs={"res": res, "hot_ref": hot_ref, "salt_all": salt_all},
+        )
+        # each crown lives in exactly one group → the per-group
+        # (dist, stem_id) argmin IS the global winner; project off the
+        # dormant 'multi' column in the same fused stage
+        assignment = sorted_group_map(
+            s.union(c), ["cell", "salt"], _assign_cell
+        ).select_columns(["crown_id", "stem_id", "dist"])
+    else:
+        s = stems.select_columns(["stem_id", "x", "y"]).map_batches(
+            _stem_side, batch_format="pyarrow",
+            fn_kwargs={"res": res, "hot_ref": hot_ref, "salt_all": salt_all},
+        )
+        c = crowns.select_columns(
+            ["crown_id", "ring", "cx", "cy", "minx", "miny", "maxx", "maxy"]
+        ).map_batches(
+            _crown_side, batch_format="pyarrow",
+            fn_kwargs={"res": res, "hot_ref": hot_ref, "salt_all": salt_all},
+        )
+        candidates = sorted_group_map(s.union(c), ["cell", "salt"], _assign_cell)
 
-    assignment = bucketed_reduce(candidates, "crown_id", _resolve)
+        # single-cell crowns (the vast majority) have exactly one candidate
+        # row; only cell-spanning crowns need duplicate resolution. Branching
+        # the dataset would re-execute the upstream per branch, so the split
+        # happens inside one pass: the reduce sorts only rows flagged multi.
+        def _resolve(df: pd.DataFrame) -> pd.DataFrame:
+            direct = df[~df["multi"]]
+            span = df[df["multi"]]
+            if len(span):
+                span = _final_pick_bucket(span)
+            return pd.concat([direct, span], ignore_index=True).drop(columns="multi")
+
+        assignment = bucketed_reduce(candidates, "crown_id", _resolve)
     # left-anti: distinct stems minus winners (co-partitioned on
     # stem_id hash buckets — no broadcast, works at any winner size)
     stem_ids = stems.select_columns(["stem_id"]).map_batches(

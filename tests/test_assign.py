@@ -28,11 +28,14 @@ def _load(paths, ray_session):
     return stems, crowns
 
 
-def test_assignment_matches_reference(tiny_tables, ray_session):
+@pytest.mark.parametrize("mode", ["owner", "halo"])
+def test_assignment_matches_reference(tiny_tables, ray_session, mode):
     import pyarrow.parquet as pq
 
     stems, crowns = _load(tiny_tables, ray_session)
-    assignment, unassigned = assign_stems_to_crowns(stems, crowns, res=13)
+    assignment, unassigned = assign_stems_to_crowns(
+        stems, crowns, res=13, mode=mode
+    )
     got = assignment.to_pandas().sort_values("crown_id").reset_index(drop=True)
     got_un = set(unassigned.to_pandas()["stem_id"])
 
