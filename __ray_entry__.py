@@ -496,6 +496,81 @@ def _q_hll_custkeys(sf_dir: str):
     return hll_registers(_read(sf_dir, "orders"), "o_custkey")
 
 
+def _q_cust_semi_join(sf_dir: str):
+    """SEMI join (SQL EXISTS): customers that placed ≥1 URGENT order —
+    left columns only, never duplicated by multiple matches; the probe
+    side ships one deduped key column through the shuffle."""
+    from geotreehealth_ray.pipelines.relational import hash_join
+
+    cust = _read(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_name", "c_nationkey"]
+    )
+    urgent = (
+        _read(sf_dir, "orders")
+        .filter(expr="o_orderpriority == '1-URGENT'")
+        .map_batches(
+            lambda df: df[["o_custkey"]].rename(columns={"o_custkey": "c_custkey"}),
+            batch_format="pandas",
+        )
+    )
+    return hash_join(cust, urgent, on="c_custkey", how="semi")
+
+
+def _q_cust_anti_join(sf_dir: str):
+    """ANTI join (SQL NOT EXISTS): customers with no URGENT order."""
+    from geotreehealth_ray.pipelines.relational import hash_join
+
+    cust = _read(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_name", "c_nationkey"]
+    )
+    urgent = (
+        _read(sf_dir, "orders")
+        .filter(expr="o_orderpriority == '1-URGENT'")
+        .map_batches(
+            lambda df: df[["o_custkey"]].rename(columns={"o_custkey": "c_custkey"}),
+            batch_format="pandas",
+        )
+    )
+    return hash_join(cust, urgent, on="c_custkey", how="anti")
+
+
+def _q_bloom_custkeys(sf_dir: str):
+    """Bloom membership sketch over orders.o_custkey: output = the
+    nonzero 32-bit words of the bitmap (pure integer function of the
+    key set → exact SQL reconstruction); probe helper + FPR gated in
+    tests."""
+    from geotreehealth_ray.pipelines.sketch import bloom_words
+
+    return bloom_words(_read(sf_dir, "orders"), "o_custkey")
+
+
+def _q_price_p90(sf_dir: str):
+    """Exact discrete p90 order price per order priority — holistic
+    grouped quantile with an integer-rational rank (no float ceil)."""
+    from geotreehealth_ray.pipelines.relational import grouped_quantile
+
+    return grouped_quantile(
+        _read(sf_dir, "orders"), "o_orderpriority", "o_totalprice",
+        num=9, den=10, alias="p90_price",
+    )
+
+
+def _q_doc_term_stats(sf_dir: str):
+    """Inverted-index statistics: (term, df, cf) for terms in ≥3 docs —
+    the vocabulary/posting-size pass of an index build."""
+    from geotreehealth_ray.pipelines.text import term_stats
+
+    return term_stats(_read(sf_dir, "documents"), min_df=3)
+
+
+def _q_doc_tfidf(sf_dir: str):
+    """Top-5 most distinctive terms per document by integer-only
+    TF-IDF ordering (tf desc, df asc, term asc)."""
+    from geotreehealth_ray.pipelines.text import tfidf_topk
+
+    return tfidf_topk(_read(sf_dir, "documents"), k=5)
+
+
 def _q_kmeans_clusters(sf_dir: str):
     """Iterative distributed k-means (Lloyd's): broadcast centroids,
     streaming exact-integer partials, driver reduces k slim rows per
@@ -899,6 +974,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "set_intersect": _q_set_intersect,
         "set_except": _q_set_except,
         "hll_custkeys": _q_hll_custkeys,
+        "bloom_custkeys": _q_bloom_custkeys,
+        "cust_semi_join": _q_cust_semi_join,
+        "cust_anti_join": _q_cust_anti_join,
+        "price_p90": _q_price_p90,
+        "doc_term_stats": _q_doc_term_stats,
+        "doc_tfidf": _q_doc_tfidf,
         # text / training-data operators
         "doc_token_counts": _q_doc_tokens,
         "doc_bpe_tokens": _q_doc_bpe_tokens,
@@ -1223,6 +1304,82 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
               FROM orders) t
             WHERE rnk <= 3
+        """,
+        "cust_semi_join": """
+            SELECT c_custkey, c_name, c_nationkey FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        """,
+        "cust_anti_join": """
+            SELECT c_custkey, c_name, c_nationkey FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority = '1-URGENT')
+        """,
+        "bloom_custkeys": """
+            -- exact SQL reconstruction of the Bloom bitmap's nonzero
+            -- 32-bit words (sketch.py bloom_words, m=2^18 bits, k=3
+            -- disjoint 18-bit hash slices): FNV-1a over the key's 8 LE
+            -- bytes, then bit_or of the per-position 32-bit masks.
+            WITH h AS (
+              SELECT list_reduce(
+                       list_prepend(14695981039346656037::UBIGINT,
+                         list_transform(range(0, 8),
+                           i -> ((o_custkey >> (8*i)) & 255)::UBIGINT)),
+                       (acc, b) -> ((xor(acc, b)::UHUGEINT
+                                     * 1099511628211::UHUGEINT)
+                                    % 18446744073709551616::UHUGEINT)::UBIGINT
+                     ) AS hv
+              FROM orders),
+            pos AS (
+              SELECT CAST((hv >> (18 * i)) & 262143 AS BIGINT) AS p
+              FROM h, range(0, 3) AS r(i))
+            SELECT p >> 5 AS word,
+                   bit_or(1::BIGINT << CAST(p & 31 AS INTEGER)) AS bits
+            FROM pos GROUP BY 1
+        """,
+        "price_p90": """
+            SELECT o_orderpriority, p90_price FROM (
+              SELECT o_orderpriority, o_totalprice AS p90_price,
+                     row_number() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice) AS rn,
+                     count(*) OVER (PARTITION BY o_orderpriority) AS cnt
+              FROM orders) t
+            WHERE rn = (cnt * 9 + 9) // 10
+        """,
+        "doc_term_stats": """
+            WITH toks AS (
+              SELECT doc_id, t.term FROM documents,
+                unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+                  AS t(term)
+              WHERE t.term <> '')
+            SELECT term, count(DISTINCT doc_id)::BIGINT AS df,
+                   count(*)::BIGINT AS cf
+            FROM toks GROUP BY term
+            HAVING count(DISTINCT doc_id) >= 3
+        """,
+        "doc_tfidf": """
+            WITH toks AS (
+              SELECT doc_id, t.term FROM documents,
+                unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+                  AS t(term)
+              WHERE t.term <> ''),
+            tf AS (
+              SELECT doc_id, term, count(*)::BIGINT AS tf
+              FROM toks GROUP BY 1, 2),
+            dfreq AS (
+              SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+              FROM toks GROUP BY 1),
+            ranked AS (
+              SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                     row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC
+                     ) AS rnk
+              FROM tf JOIN dfreq USING (term))
+            SELECT doc_id, term, tf, df FROM ranked WHERE rnk <= 5
         """,
         "median_price": """
             SELECT o_custkey, median_price FROM (

@@ -66,26 +66,32 @@ _UNION_SCHEMA = pa.schema(
 )
 
 # Hot-cell salting (SURVEY §7.1 step 9): in cells whose stem count
-# exceeds HOT_CELL_THRESHOLD, crowns are PARTITIONED across N_SALT
-# sub-groups while stems are REPLICATED to every sub-group — per-crown
-# work is unchanged, but a dense cell's work fans out over N_SALT
+# exceeds HOT_CELL_THRESHOLD, crowns are PARTITIONED across the cell's
+# salt sub-groups while stems are REPLICATED to every sub-group —
+# per-crown work is unchanged, but a dense cell's work fans out over
 # parallel tasks instead of one straggler. Cold cells keep salt 0, so
-# the shuffle volume only grows where the skew actually is. The hot
-# set comes from a cheap sampled count pass and is broadcast.
+# the shuffle volume only grows where the skew actually is.
+#
+# The salt count is ADAPTIVE per cell — ceil(estimated_stems /
+# HOT_CELL_THRESHOLD), capped at N_SALT_MAX — so a cell at 1.2× the
+# threshold replicates its stems 2×, not a blanket max fan-out (a
+# fixed ×8 fanned HALF the dataset out 8-fold on the 15.36M clustered
+# input and blew the exchange to 100M+ rows). The (cell → k) table
+# comes from a cheap sampled count pass and is broadcast.
 #
 # Threshold calibration: the vectorized pair kernel handles a
 # 5k-stem × ~1k-crown cell in ~0.2-0.3 s, a healthy task size — only
-# beyond that is splitting worth the replicated stem rows. (The old
-# per-crown-loop kernel needed salting from ~2k stems; blanket
-# salt_mode='all' paid 4× stem shuffle volume for nothing after the
-# kernel vectorization — measured 16 s vs 23 s on the 240k bench.)
-N_SALT = 8
+# beyond that is splitting worth the replicated stem rows.
+N_SALT = 8  # blanket fan-out used by salt_mode='all' only
+N_SALT_MAX = 16
 HOT_CELL_THRESHOLD = 5000
 
 
-def _salt_of(ids) -> np.ndarray:
+def _salt_of(ids, k: np.ndarray) -> np.ndarray:
+    """Deterministic per-row salt: hash(id) % k, with k the row's
+    cell's salt count (vectorized modulo-by-array)."""
     h = pd.util.hash_pandas_object(pd.Series(ids), index=False).to_numpy()
-    return (h % N_SALT).astype(np.int8)
+    return (h % np.maximum(k, 1).astype(np.uint64)).astype(np.int8)
 
 
 _HOT_SAMPLE_ROWS = 200_000
@@ -127,13 +133,16 @@ def _crown_reach(crowns) -> tuple[float, float]:
 
 
 def _hot_cells(stems, res: int):
-    """Broadcastable set of hot cell keys — the 'stem-count histogram
-    per cell' pass, estimated from a deterministic sample so the
-    pre-pass costs one narrow read, never a shuffle. Which cells get
-    salted is a pure partitioning choice (output rows are identical
-    under any salting), so a sampled estimate is safe: a missed hot
-    cell only costs straggler time, a false positive only a few
-    replicated stem rows."""
+    """Broadcastable (sorted cell keys, per-cell salt count) table —
+    the 'stem-count histogram per cell' pass, estimated from a
+    deterministic sample so the pre-pass costs one narrow read, never a
+    shuffle. Which cells get salted (and how finely) is a pure
+    partitioning choice (output rows are identical under any salting),
+    so a sampled estimate is safe: a missed hot cell only costs
+    straggler time, a false positive only a few replicated stem rows.
+
+    Returns (ray.ObjectRef[(keys, ks)], extra_stem_rows_estimate) —
+    the estimate feeds the shuffle partition-count sizing."""
     import ray
 
     n = stems.count()  # parquet metadata count — no scan
@@ -144,25 +153,40 @@ def _hot_cells(stems, res: int):
     df = sample.to_pandas()
     key = cells.cell_of(df["x"].to_numpy(), df["y"].to_numpy(), res)
     uniq, cnt = np.unique(key, return_counts=True)
-    hot = set(uniq[cnt > HOT_CELL_THRESHOLD * frac].astype(np.uint64))
-    return ray.put(hot)
+    est = cnt / frac
+    hot = est > HOT_CELL_THRESHOLD
+    ks = np.minimum(
+        np.ceil(est[hot] / HOT_CELL_THRESHOLD), N_SALT_MAX
+    ).astype(np.int64)
+    keys = uniq[hot].astype(np.uint64)  # np.unique output is sorted
+    extra = float(np.sum(est[hot] * (ks - 1)))
+    return ray.put((keys, ks)), extra
+
+
+def _cell_salt_k(hot, keys: np.ndarray, salt_all: bool) -> np.ndarray:
+    """Per-row salt count for each row's cell key: adaptive table
+    lookup (sorted-array searchsorted), 1 where not hot; blanket
+    N_SALT when salt_all."""
+    if salt_all:
+        return np.full(len(keys), N_SALT, np.int64)
+    if hot is None:
+        return np.ones(len(keys), np.int64)
+    hk, kv = hot
+    if len(hk) == 0:
+        return np.ones(len(keys), np.int64)
+    pos = np.clip(np.searchsorted(hk, keys), 0, len(hk) - 1)
+    return np.where(hk[pos] == keys, kv[pos], 1).astype(np.int64)
 
 
 def _stem_side(batch: pa.Table, res: int, hot_ref=None, salt_all=True) -> pa.Table:
     import ray
 
     batch = attach_cell(batch, res=res)
-    if salt_all:
-        is_hot = np.ones(len(batch), dtype=bool)
-    else:
-        hot = ray.get(hot_ref) if hot_ref is not None else set()
-        key = batch["cell"].to_numpy()
-        is_hot = (
-            np.isin(key, np.fromiter(hot, dtype=np.uint64)) if hot else
-            np.zeros(len(batch), dtype=bool)
-        )
-    # hot-cell stems replicate to every salt; cold stems stay single
-    reps = np.where(is_hot, N_SALT, 1)
+    hot = ray.get(hot_ref) if hot_ref is not None else None
+    key = batch["cell"].to_numpy()
+    # hot-cell stems replicate to every salt of their cell (adaptive
+    # count); cold stems stay single
+    reps = _cell_salt_k(hot, key, salt_all)
     idx = np.repeat(np.arange(len(batch)), reps)
     starts = np.cumsum(reps) - reps
     salt = (np.arange(len(idx)) - np.repeat(starts, reps)).astype(np.int8)
@@ -191,7 +215,7 @@ def _stem_side(batch: pa.Table, res: int, hot_ref=None, salt_all=True) -> pa.Tab
 def _crown_side(batch: pa.Table, res: int, hot_ref=None, salt_all=True) -> pa.Table:
     import ray
 
-    hot = None if salt_all else (ray.get(hot_ref) if hot_ref is not None else set())
+    hot = ray.get(hot_ref) if hot_ref is not None else None
     batch = pack_rings(batch)
     idx, keys = cells.cells_covering_arrays(
         batch["minx"].to_numpy(),
@@ -202,17 +226,12 @@ def _crown_side(batch: pa.Table, res: int, hot_ref=None, salt_all=True) -> pa.Ta
     )
     # spans >1 cell ⇔ replicated more than once (vectorized)
     reps = np.bincount(idx, minlength=len(batch))
-    salt_per_row = _salt_of(batch["crown_id"].to_numpy(zero_copy_only=False))
+    k = _cell_salt_k(hot, keys, salt_all)
+    salts = _salt_of(
+        batch["crown_id"].to_numpy(zero_copy_only=False)[idx], k
+    )
     taken = batch.take(pa.array(idx))
     n = len(taken)
-    if hot is None:
-        is_hot = np.ones(n, dtype=bool)
-    else:
-        is_hot = (
-            np.isin(keys, np.fromiter(hot, dtype=np.uint64)) if hot else
-            np.zeros(n, dtype=bool)
-        )
-    salts = np.where(is_hot, salt_per_row[idx], np.int8(0)).astype(np.int8)
     return pa.table(
         {
             "side": pa.array(np.ones(n, np.int8)),
@@ -245,15 +264,8 @@ def _stem_side_owner(batch: pa.Table, res: int, mx: float, my: float,
     sy = batch["y"].to_numpy()
     idx, keys = cells.cells_covering_arrays(sx - mx, sy - my, sx + mx, sy + my, res)
     taken = batch.take(pa.array(idx))
-    if salt_all:
-        is_hot = np.ones(len(taken), dtype=bool)
-    else:
-        hot = ray.get(hot_ref) if hot_ref is not None else set()
-        is_hot = (
-            np.isin(keys, np.fromiter(hot, dtype=np.uint64)) if hot else
-            np.zeros(len(taken), dtype=bool)
-        )
-    reps = np.where(is_hot, N_SALT, 1)
+    hot = ray.get(hot_ref) if hot_ref is not None else None
+    reps = _cell_salt_k(hot, keys, salt_all)
     idx2 = np.repeat(np.arange(len(taken)), reps)
     starts = np.cumsum(reps) - reps
     salt = (np.arange(len(idx2)) - np.repeat(starts, reps)).astype(np.int8)
@@ -288,16 +300,9 @@ def _crown_side_owner(batch: pa.Table, res: int, hot_ref=None,
     batch = pack_rings(batch)
     keys = cells.cell_of(batch["cx"].to_numpy(), batch["cy"].to_numpy(), res)
     n = len(batch)
-    if salt_all:
-        is_hot = np.ones(n, dtype=bool)
-    else:
-        hot = ray.get(hot_ref) if hot_ref is not None else set()
-        is_hot = (
-            np.isin(keys, np.fromiter(hot, dtype=np.uint64)) if hot else
-            np.zeros(n, dtype=bool)
-        )
-    salt_per_row = _salt_of(batch["crown_id"].to_numpy(zero_copy_only=False))
-    salts = np.where(is_hot, salt_per_row, np.int8(0)).astype(np.int8)
+    hot = ray.get(hot_ref) if hot_ref is not None else None
+    k = _cell_salt_k(hot, keys, salt_all)
+    salts = _salt_of(batch["crown_id"].to_numpy(zero_copy_only=False), k)
     return pa.table(
         {
             "side": pa.array(np.ones(n, np.int8)),
@@ -494,12 +499,34 @@ def assign_stems_to_crowns(stems, crowns, res: int = cells.DEFAULT_RES,
     contains ≥1 stem. unassigned: (stem_id) — distinct stems no crown
     selected.
     """
-    hot_ref = _hot_cells(stems, res) if salt_mode == "hot" else None
+    hot_ref, hot_extra = (
+        _hot_cells(stems, res) if salt_mode == "hot" else (None, 0.0)
+    )
     salt_all = salt_mode == "all"
-    from .relational import bucketed_reduce, sorted_group_map
+    from .relational import (
+        bucketed_reduce,
+        shuffle_partitions_for,
+        sorted_group_map,
+    )
+
+    n_stems = stems.count()  # parquet metadata — no scan
+    n_crowns = crowns.count()
+    edge = cells.cell_edge_m(res)
+
+    def _union_bytes(mx: float, my: float) -> float:
+        """Sort-exchange size estimate to pick the partition count:
+        stems replicate by the margin-box covering factor plus the
+        measured hot-cell salt fan-out; crown rows carry packed rings
+        (~row const + ring bytes). Only block SIZING depends on this —
+        correctness never does."""
+        cover = (1.0 + 2.0 * mx / edge) * (1.0 + 2.0 * my / edge)
+        mult = N_SALT if salt_all else 1.0
+        stem_rows = n_stems * cover * mult + (0 if salt_all else hot_extra)
+        return stem_rows * 90.0 + n_crowns * 420.0
 
     if mode == "owner":
         mx, my = margin if margin is not None else _crown_reach(crowns)
+        parts = shuffle_partitions_for(_union_bytes(mx, my))
         s = stems.select_columns(["stem_id", "x", "y"]).map_batches(
             _stem_side_owner, batch_format="pyarrow",
             fn_kwargs={"res": res, "mx": mx, "my": my,
@@ -515,9 +542,10 @@ def assign_stems_to_crowns(stems, crowns, res: int = cells.DEFAULT_RES,
         # (dist, stem_id) argmin IS the global winner; project off the
         # dormant 'multi' column in the same fused stage
         assignment = sorted_group_map(
-            s.union(c), ["cell", "salt"], _assign_cell
+            s.union(c), ["cell", "salt"], _assign_cell, partitions=parts
         ).select_columns(["crown_id", "stem_id", "dist"])
     else:
+        parts = shuffle_partitions_for(_union_bytes(6.0, 6.0))
         s = stems.select_columns(["stem_id", "x", "y"]).map_batches(
             _stem_side, batch_format="pyarrow",
             fn_kwargs={"res": res, "hot_ref": hot_ref, "salt_all": salt_all},
@@ -528,7 +556,9 @@ def assign_stems_to_crowns(stems, crowns, res: int = cells.DEFAULT_RES,
             _crown_side, batch_format="pyarrow",
             fn_kwargs={"res": res, "hot_ref": hot_ref, "salt_all": salt_all},
         )
-        candidates = sorted_group_map(s.union(c), ["cell", "salt"], _assign_cell)
+        candidates = sorted_group_map(
+            s.union(c), ["cell", "salt"], _assign_cell, partitions=parts
+        )
 
         # single-cell crowns (the vast majority) have exactly one candidate
         # row; only cell-spanning crowns need duplicate resolution. Branching

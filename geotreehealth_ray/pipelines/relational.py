@@ -14,9 +14,10 @@ import pyarrow as pa
 __all__ = ["grouped_agg", "broadcast_join", "latest_per_key",
            "asof_join", "hourly_window_agg", "bucketed_reduce",
            "sorted_group_map", "NUM_BUCKETS", "shuffle_partitions",
-           "coalesce_for_shuffle", "running_total", "topk_per_group",
+           "shuffle_partitions_for", "coalesce_for_shuffle",
+           "running_total", "topk_per_group",
            "grouped_median", "distinct_count", "lag_delta", "set_op",
-           "rolling_sum"]
+           "rolling_sum", "grouped_quantile"]
 
 NUM_BUCKETS = 256
 
@@ -39,10 +40,32 @@ def shuffle_partitions() -> int:
     return max(8, 2 * cpus)
 
 
-def coalesce_for_shuffle(ds):
+# Swept on the 15.36M-stem assign exchange (10.3 GiB union) at 32
+# CPUs: 83 parts (128 MiB) 74 s, 160 parts (64 MiB) 53 s, 256 parts
+# 102 s, 320 parts 183 s, no-coalesce/400 141 s — per-task take+put
+# overhead falls until the #maps × #reduces object count takes over.
+TARGET_SHUFFLE_BLOCK_BYTES = 64 << 20  # ~64 MiB sorted blocks
+
+
+def shuffle_partitions_for(est_bytes: float | None) -> int:
+    """Partition count for a sort exchange whose input size is known
+    (estimated): enough partitions that a sorted block stays near
+    TARGET_SHUFFLE_BLOCK_BYTES — huge blocks (GiB-scale binary columns)
+    push pyarrow take/concat into 32-bit-offset and allocator cliffs —
+    while still bounded below by 2×CPUs (keep cores busy) and above by
+    16×CPUs (the range shuffle is #maps × #reduces objects)."""
+    base = shuffle_partitions()
+    if not est_bytes:
+        return base
+    import math
+
+    return int(min(8 * base, max(base, math.ceil(est_bytes / TARGET_SHUFFLE_BLOCK_BYTES))))
+
+
+def coalesce_for_shuffle(ds, partitions: int | None = None):
     """Coalesce (no shuffle — adjacent-block concat) to the target
     partition count before a sort-based wide op."""
-    return ds.repartition(shuffle_partitions())
+    return ds.repartition(partitions or shuffle_partitions())
 
 
 def _epoch_seconds(ts: pd.Series) -> pd.Series:
@@ -54,7 +77,8 @@ def _epoch_seconds(ts: pd.Series) -> pd.Series:
 
 
 def sorted_group_map(ds, keys: list[str], fn, batch_format: str = "pyarrow",
-                     fn_kwargs: dict | None = None):
+                     fn_kwargs: dict | None = None,
+                     partitions: int | None = None):
     """Drop-in for ``ds.groupby(keys).map_groups(fn)`` with Ray's
     per-group block machinery taken out of the hot path: ONE sort
     exchange on ``keys``, then whole-block ``map_batches`` tasks that
@@ -85,7 +109,7 @@ def sorted_group_map(ds, keys: list[str], fn, batch_format: str = "pyarrow",
         import functools
 
         fn = functools.partial(fn, **fn_kwargs)
-    sorted_ds = coalesce_for_shuffle(ds).sort(keys)
+    sorted_ds = coalesce_for_shuffle(ds, partitions).sort(keys)
 
     if batch_format == "pyarrow":
 
@@ -228,7 +252,21 @@ def hash_join(left, right, on: str, how: str = "inner",
     many-to-many match set exceeds a worker's heap, pre-salt the key
     (split one side by hash(row) % s, replicate the other side per
     salt) before calling — the same pattern assign.py uses for hot
-    cells."""
+    cells.
+
+    how: 'inner' | 'left' (pandas merge semantics), or 'semi' / 'anti'
+    — left rows with ≥1 / 0 key matches on the right, LEFT COLUMNS
+    ONLY, never duplicated by multiple right matches (SQL EXISTS /
+    NOT EXISTS). The right side is projected to its key column before
+    the shuffle, so a semi/anti probe moves one slim column."""
+
+    if how in ("semi", "anti"):
+        # the probe only needs key presence: dedup per batch (combiner)
+        # and ship the key column alone
+        def slim(df: pd.DataFrame) -> pd.DataFrame:
+            return df[[on]].drop_duplicates()
+
+        right = right.map_batches(slim, batch_format="pandas")
 
     def tag(side):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -260,6 +298,9 @@ def hash_join(left, right, on: str, how: str = "inner",
         # padding with nulls degraded dtypes to object → re-infer
         lhs = df[df["__side"] == 0][lcols].infer_objects()
         rhs = df[df["__side"] == 1][rcols].infer_objects()
+        if how in ("semi", "anti"):
+            present = lhs[on].isin(rhs[on].to_numpy())
+            return lhs[present if how == "semi" else ~present]
         return lhs.merge(rhs, on=on, how=how, suffixes=(lsuffix, rsuffix))
 
     return bucketed_reduce(u, on, merge, num_buckets)
@@ -489,6 +530,30 @@ def grouped_median(ds, key: str, val_col: str, alias: str = "median_val"):
         sizes = df.groupby(key, sort=False).size()
         starts = np.r_[0, np.cumsum(sizes.to_numpy())[:-1]]
         idx = starts + (sizes.to_numpy() - 1) // 2
+        out = df.iloc[idx][[key, val_col]].rename(columns={val_col: alias})
+        return out.reset_index(drop=True)
+
+    return bucketed_reduce(ds.select_columns([key, val_col]), key, per_bucket)
+
+
+def grouped_quantile(ds, key: str, val_col: str, num: int, den: int,
+                     alias: str = "quantile_val"):
+    """Exact discrete p-quantile per key for rational p = num/den: the
+    VALUE at 1-indexed rank ceil(n·num/den) of the key's sorted values
+    (quantile_disc semantics). The rank is computed with integer
+    arithmetic — ``(n·num + den − 1) // den`` — so the engine and a SQL
+    oracle using ``//`` agree bit-for-bit with no float ceil() hazards
+    (e.g. ceil(0.9·10) = 10.000…2 → 11 in binary float). Holistic like
+    :func:`grouped_median`: one hash-bucket co-location, one vectorized
+    sort + take per bucket."""
+    if not (0 < num <= den):
+        raise ValueError("need 0 < num <= den")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, val_col], kind="stable").reset_index(drop=True)
+        sizes = df.groupby(key, sort=False).size().to_numpy()
+        starts = np.r_[0, np.cumsum(sizes)[:-1]]
+        idx = starts + (sizes * num + den - 1) // den - 1
         out = df.iloc[idx][[key, val_col]].rename(columns={val_col: alias})
         return out.reset_index(drop=True)
 

@@ -21,7 +21,9 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-__all__ = ["hll_registers", "hll_estimate", "P_DEFAULT"]
+__all__ = ["hll_registers", "hll_estimate", "P_DEFAULT",
+           "bloom_words", "bloom_might_contain", "BLOOM_BITS_LOG2",
+           "BLOOM_K"]
 
 P_DEFAULT = 12  # 2^12 = 4096 registers → ~1.6% standard error
 
@@ -97,3 +99,71 @@ def hll_estimate(registers: pd.DataFrame, p: int = P_DEFAULT) -> float:
     if e <= 2.5 * m and zeros:
         e = m * np.log(m / zeros)
     return float(e)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — the membership-sketch sibling of the HLL above, with
+# the same exact-verifiability design: the operator's OUTPUT is the
+# nonzero 32-bit words of the bitmap, a pure integer function of the
+# input key SET, reconstructible in SQL (FNV-1a + bit slicing + bit_or).
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS_LOG2 = 18  # m = 2^18 bits (32 KiB) → FPR ~1e-3 at 10k keys
+BLOOM_K = 3  # bit positions = three disjoint 18-bit slices of the hash
+
+
+def _bloom_positions(keys: np.ndarray) -> np.ndarray:
+    """(n, BLOOM_K) bit positions: the k low disjoint BLOOM_BITS_LOG2-bit
+    slices of the FNV-1a hash (k·log2(m) = 54 ≤ 64 — one hash, k
+    independent-enough slices; integer-exact to reproduce in SQL)."""
+    h = _fnv1a_u64(keys)
+    m_mask = np.uint64((1 << BLOOM_BITS_LOG2) - 1)
+    return np.stack(
+        [
+            ((h >> np.uint64(BLOOM_BITS_LOG2 * i)) & m_mask).astype(np.int64)
+            for i in range(BLOOM_K)
+        ],
+        axis=1,
+    )
+
+
+def bloom_words(ds, col: str):
+    """(word, bits) — the nonzero 32-bit words of the Bloom bitmap of
+    ``col`` (int64 keys): word = bit_position >> 5, bits = OR of
+    1 << (bit_position & 31). 32-bit words keep ``bits`` in int64 range
+    for loss-free Arrow/SQL comparison. Combiner: per-batch OR per word
+    (≤ 3n slim rows collapse to ≤ 8192), then one grouped OR — raw keys
+    never shuffle."""
+    from .relational import bucketed_reduce
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pos = _bloom_positions(df[col].to_numpy()).ravel()
+        out = pd.DataFrame(
+            {"word": pos >> 5, "bits": np.int64(1) << (pos & 31)}
+        )
+        return out.groupby("word", sort=False, as_index=False)["bits"].agg(
+            np.bitwise_or.reduce
+        )
+
+    partials = ds.select_columns([col]).map_batches(partial, batch_format="pandas")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("word", sort=False, as_index=False)["bits"].agg(
+            np.bitwise_or.reduce
+        )
+
+    return bucketed_reduce(partials, "word", per_bucket)
+
+
+def bloom_might_contain(words: pd.DataFrame, keys: np.ndarray) -> np.ndarray:
+    """Membership probe against a collected (word, bits) table: True ⇔
+    all k bits set (no false negatives; false positives at the designed
+    rate). Driver-side fold of the ≤ 8192-row sketch, never of data."""
+    table = np.zeros(1 << (BLOOM_BITS_LOG2 - 5), np.int64)
+    table[words["word"].to_numpy()] = words["bits"].to_numpy()
+    pos = _bloom_positions(np.asarray(keys))
+    hit = np.ones(len(pos), bool)
+    for i in range(BLOOM_K):
+        p = pos[:, i]
+        hit &= (table[p >> 5] & (np.int64(1) << (p & 31))) != 0
+    return hit

@@ -18,7 +18,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["token_counts", "bpe_token_counts", "quality_scores", "LangId",
-           "lang_id", "json_extract_int", "fingerprints", "content_hashes"]
+           "lang_id", "json_extract_int", "fingerprints", "content_hashes",
+           "term_stats", "tfidf_topk"]
 
 _WS = re.compile(r"\s+")
 
@@ -231,3 +232,88 @@ def content_hashes(docs):
         )
 
     return docs.map_batches(fn, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Term-level operators (TF-IDF, inverted-index stats). One tokenizer,
+# shared by engine and oracle: lowercase, split on non-[a-z0-9] runs,
+# drop empty tokens == DuckDB
+# unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) with t <> ''
+# (corpus is ASCII; the regex makes any non-ASCII byte a separator on
+# both sides, so lower()-casing differences can't leak in).
+# ---------------------------------------------------------------------------
+
+_TERM_SPLIT = re.compile(r"[^a-z0-9]+")
+
+
+def _doc_term_tf(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch (doc_id, term, tf) — exact per doc because each doc's
+    text lives in exactly one row (tf is a within-row count, not a
+    cross-batch aggregate)."""
+    toks = df["text"].fillna("").str.lower().str.split(_TERM_SPLIT)
+    pairs = pd.DataFrame({"doc_id": df["doc_id"], "term": toks}).explode("term")
+    pairs = pairs[pairs["term"].astype(str).str.len() > 0]
+    out = pairs.groupby(["doc_id", "term"], sort=False).size().rename("tf")
+    return out.reset_index()
+
+
+def term_stats(docs, min_df: int = 3):
+    """(term, df, cf) inverted-index statistics: document frequency and
+    collection frequency per term, for terms appearing in ≥ ``min_df``
+    docs — the vocabulary/posting-size pass of an index build.
+
+    Shuffle shape: per-batch (doc_id, term, tf) partials collapse to one
+    (term, df_part, cf_part) row per term per batch (combiner — each doc
+    is in exactly one batch, so partial doc-counts sum exactly), then one
+    small grouped sum on term."""
+    from .relational import bucketed_reduce
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        tf = _doc_term_tf(df)
+        g = tf.groupby("term", sort=False)
+        out = pd.DataFrame(
+            {"df": g.size().astype("int64"), "cf": g["tf"].sum().astype("int64")}
+        )
+        return out.reset_index()
+
+    partials = docs.select_columns(["doc_id", "text"]).map_batches(
+        partial, batch_format="pandas"
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("term", sort=False, as_index=False)[["df", "cf"]].sum()
+        return out[out["df"] >= min_df]
+
+    return bucketed_reduce(partials, "term", per_bucket)
+
+
+def tfidf_topk(docs, k: int = 5):
+    """(doc_id, term, tf, df) — the top-``k`` most distinctive terms per
+    document, ranked by (tf desc, df asc, term asc). Integer-only
+    TF-IDF: the rank order equals descending tf/idf with ties broken by
+    rarity then lexicographically, with no floating-point score to
+    hash-mismatch against the SQL oracle.
+
+    Plan: per-batch exact (doc_id, term, tf) map → document-frequency
+    aggregate on term (combiner + one small shuffle) → df joined back by
+    hash co-partition on term (both sides large at corpus scale — the
+    vocabulary is NOT assumed broadcastable) → one bucketed top-k per
+    doc_id."""
+    from .relational import bucketed_reduce, hash_join
+
+    tf_pairs = docs.select_columns(["doc_id", "text"]).map_batches(
+        _doc_term_tf, batch_format="pandas"
+    )
+    dfreq = term_stats(docs, min_df=1).select_columns(["term", "df"])
+    joined = hash_join(tf_pairs, dfreq, on="term")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["doc_id", "tf", "df", "term"],
+            ascending=[True, False, True, True],
+            kind="stable",
+        )
+        rank = g.groupby("doc_id", sort=False).cumcount()
+        return g[rank < k][["doc_id", "term", "tf", "df"]]
+
+    return bucketed_reduce(joined, "doc_id", per_bucket)

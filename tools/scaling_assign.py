@@ -79,8 +79,16 @@ def child(num_cpus: int) -> None:
     import ray
     import ray.data as rd
 
+    # Explicit object store: the owner-mode union at 15.36M stems holds
+    # ~62M rows (~15 GB with packed rings) across the Repartition+Sort
+    # barriers; Ray's default 30%-of-RAM store plus the reservation
+    # backpressure policy throttled the upstream maps to one task at a
+    # time (measured: 8-CPU run stalled >20 min at 94% driver CPU). On a
+    # real cluster the store scales with nodes; single-node evidence
+    # needs the same headroom.
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             object_store_memory=64 * 1024**3)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
