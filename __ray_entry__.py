@@ -571,6 +571,38 @@ def _q_doc_tfidf(sf_dir: str):
     return tfidf_topk(_read(sf_dir, "documents"), k=5)
 
 
+def _q_cust_semi_bloom(sf_dir: str):
+    """Bloom-pushdown semi join: bit-identical output to
+    cust_semi_join, but the customer side is prefiltered against a
+    broadcast Bloom sketch of the urgent-order keys BEFORE the join
+    shuffle (runtime join-filter pushdown — the 100 TB path)."""
+    from geotreehealth_ray.pipelines.sketch import bloom_semi_join
+
+    cust = _read(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_name", "c_nationkey"]
+    )
+    urgent = (
+        _read(sf_dir, "orders")
+        .filter(expr="o_orderpriority == '1-URGENT'")
+        .map_batches(
+            lambda df: df[["o_custkey"]].rename(columns={"o_custkey": "c_custkey"}),
+            batch_format="pandas",
+        )
+    )
+    return bloom_semi_join(cust, urgent, on="c_custkey")
+
+
+def _q_lineitem_ranks(sf_dir: str):
+    """RANK / DENSE_RANK / NTILE(4) of line quantities per supplier —
+    the SQL ranking-window family, one hash shuffle, ties exact."""
+    from geotreehealth_ray.pipelines.relational import group_ranks
+
+    return group_ranks(
+        _read(sf_dir, "lineitem"), "l_suppkey", "l_quantity",
+        ["l_orderkey", "l_linenumber"], n_tiles=4,
+    )
+
+
 def _q_kmeans_clusters(sf_dir: str):
     """Iterative distributed k-means (Lloyd's): broadcast centroids,
     streaming exact-integer partials, driver reduces k slim rows per
@@ -977,6 +1009,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_custkeys": _q_bloom_custkeys,
         "cust_semi_join": _q_cust_semi_join,
         "cust_anti_join": _q_cust_anti_join,
+        "cust_semi_bloom": _q_cust_semi_bloom,
+        "lineitem_ranks": _q_lineitem_ranks,
         "price_p90": _q_price_p90,
         "doc_term_stats": _q_doc_term_stats,
         "doc_tfidf": _q_doc_tfidf,
@@ -1316,6 +1350,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderpriority = '1-URGENT')
+        """,
+        "cust_semi_bloom": """
+            -- the Bloom prefilter is output-invisible (false positives
+            -- die in the exact join, false negatives impossible): the
+            -- oracle is the plain EXISTS
+            SELECT c_custkey, c_name, c_nationkey FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        """,
+        "lineitem_ranks": """
+            SELECT l_suppkey, l_quantity, l_orderkey, l_linenumber,
+                   rank() OVER (PARTITION BY l_suppkey
+                                ORDER BY l_quantity) AS rnk,
+                   dense_rank() OVER (PARTITION BY l_suppkey
+                                      ORDER BY l_quantity) AS drnk,
+                   ntile(4) OVER (PARTITION BY l_suppkey
+                                  ORDER BY l_quantity, l_orderkey,
+                                           l_linenumber) AS tile
+            FROM lineitem
         """,
         "bloom_custkeys": """
             -- exact SQL reconstruction of the Bloom bitmap's nonzero

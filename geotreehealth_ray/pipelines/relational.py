@@ -17,7 +17,7 @@ __all__ = ["grouped_agg", "broadcast_join", "latest_per_key",
            "shuffle_partitions_for", "coalesce_for_shuffle",
            "running_total", "topk_per_group",
            "grouped_median", "distinct_count", "lag_delta", "set_op",
-           "rolling_sum", "grouped_quantile"]
+           "rolling_sum", "grouped_quantile", "group_ranks"]
 
 NUM_BUCKETS = 256
 
@@ -558,6 +558,47 @@ def grouped_quantile(ds, key: str, val_col: str, num: int, den: int,
         return out.reset_index(drop=True)
 
     return bucketed_reduce(ds.select_columns([key, val_col]), key, per_bucket)
+
+
+def group_ranks(ds, key: str, val_col: str, tiebreak_cols: list[str],
+                n_tiles: int = 4):
+    """SQL ranking-window family per key, one hash shuffle: for each
+    row, RANK() and DENSE_RANK() over (PARTITION BY key ORDER BY
+    val_col ASC) — ties share a rank, so the output is engine-
+    independent without a tiebreak — plus NTILE(n_tiles) over the
+    DETERMINISTIC total order (val_col, *tiebreak_cols), which SQL's
+    NTILE needs to be reproducible at all. Output: input columns +
+    (rnk, drnk, tile) int64.
+
+    Vectorized per bucket: pandas rank('min'/'dense') + the exact
+    NTILE fill rule (first n%k tiles get one extra row) computed from
+    cumcount/size arrays — no per-group loop. Same key-co-residence
+    contract as the other bucketed ops; skewed keys make skewed
+    buckets (salt upstream if one key dominates)."""
+
+    order = [val_col] + list(tiebreak_cols)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key] + order, kind="stable").reset_index(drop=True)
+        g = df.groupby(key, sort=False)
+        df["rnk"] = g[val_col].rank(method="min").astype("int64")
+        df["drnk"] = g[val_col].rank(method="dense").astype("int64")
+        rn = g.cumcount().to_numpy()  # 0-based row_number
+        cnt = g[val_col].transform("size").to_numpy()
+        q, r = cnt // n_tiles, cnt % n_tiles
+        big = np.maximum(q + 1, 1)  # guard q=0: first r tiles get 1 row
+        head = r * big
+        df["tile"] = np.where(
+            rn < head,
+            rn // big,
+            # rows past the r oversized tiles fall into size-q tiles;
+            # q can only be 0 when ALL rows are in the head, so the
+            # maximum() divisor never changes a taken branch
+            r + (rn - head) // np.maximum(q, 1),
+        ).astype("int64") + 1
+        return df
+
+    return bucketed_reduce(ds.select_columns([key] + order), key, per_bucket)
 
 
 def distinct_count(ds, key: str, val_col: str, alias: str = "n_distinct"):
