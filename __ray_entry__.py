@@ -603,6 +603,39 @@ def _q_lineitem_ranks(sf_dir: str):
     )
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q_user_event_pivot(sf_dir: str):
+    """Long→wide pivot: per-user count column per event type (explicit
+    category contract — the pivot schema is known up front)."""
+    from geotreehealth_ray.pipelines.relational import pivot_counts
+
+    return pivot_counts(_read(sf_dir, "events"), "user_id", "event_type",
+                        categories=EVENT_TYPES)
+
+
+def _q_lineitem_unpivot(sf_dir: str):
+    """Wide→long melt of the four lineitem measures — SQL UNPIVOT;
+    pure streaming per-batch transform, zero shuffle."""
+    from geotreehealth_ray.pipelines.relational import unpivot
+
+    return unpivot(
+        _read(sf_dir, "lineitem"),
+        id_cols=["l_orderkey", "l_linenumber"],
+        value_cols=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
+def _q_user_top_event(sf_dir: str):
+    """Grouped MODE: each user's most frequent event type, ties to the
+    lexicographically smallest — deterministic at any parallelism."""
+    from geotreehealth_ray.pipelines.relational import grouped_mode
+
+    return grouped_mode(_read(sf_dir, "events"), "user_id", "event_type",
+                        alias="top_event")
+
+
 def _q_kmeans_clusters(sf_dir: str):
     """Iterative distributed k-means (Lloyd's): broadcast centroids,
     streaming exact-integer partials, driver reduces k slim rows per
@@ -1011,6 +1044,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cust_anti_join": _q_cust_anti_join,
         "cust_semi_bloom": _q_cust_semi_bloom,
         "lineitem_ranks": _q_lineitem_ranks,
+        "user_event_pivot": _q_user_event_pivot,
+        "lineitem_unpivot": _q_lineitem_unpivot,
+        "user_top_event": _q_user_top_event,
         "price_p90": _q_price_p90,
         "doc_term_stats": _q_doc_term_stats,
         "doc_tfidf": _q_doc_tfidf,
@@ -1359,6 +1395,36 @@ def oracle_sql() -> dict[str, str]:
             WHERE EXISTS (SELECT 1 FROM orders o
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_orderpriority = '1-URGENT')
+        """,
+        "user_event_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click')    AS n_click,
+                   count(*) FILTER (event_type = 'error')    AS n_error,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'signup')   AS n_signup,
+                   count(*) FILTER (event_type = 'view')     AS n_view
+            FROM events GROUP BY user_id
+        """,
+        "lineitem_unpivot": """
+            SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+                   l_quantity AS value FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+                   l_extendedprice FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+        """,
+        "user_top_event": """
+            SELECT user_id, top_event FROM (
+              SELECT user_id, event_type AS top_event,
+                     row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY count(*) DESC, event_type ASC) AS rn
+              FROM events GROUP BY user_id, event_type) t
+            WHERE rn = 1
         """,
         "lineitem_ranks": """
             SELECT l_suppkey, l_quantity, l_orderkey, l_linenumber,

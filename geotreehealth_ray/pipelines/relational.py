@@ -17,7 +17,8 @@ __all__ = ["grouped_agg", "broadcast_join", "latest_per_key",
            "shuffle_partitions_for", "coalesce_for_shuffle",
            "running_total", "topk_per_group",
            "grouped_median", "distinct_count", "lag_delta", "set_op",
-           "rolling_sum", "grouped_quantile", "group_ranks"]
+           "rolling_sum", "grouped_quantile", "group_ranks",
+           "pivot_counts", "unpivot", "grouped_mode"]
 
 NUM_BUCKETS = 256
 
@@ -558,6 +559,102 @@ def grouped_quantile(ds, key: str, val_col: str, num: int, den: int,
         return out.reset_index(drop=True)
 
     return bucketed_reduce(ds.select_columns([key, val_col]), key, per_bucket)
+
+
+def pivot_counts(ds, key: str, pivot_col: str, categories: list[str],
+                 prefix: str = "n_"):
+    """Long→wide pivot: one row per key, one int64 count column per
+    category of ``pivot_col`` (SQL ``count(*) FILTER (WHERE col =
+    'cat')``). ``categories`` is EXPLICIT — a pivot's output schema
+    must be known up front to be a schema at all; at 100 TB the
+    category set is a contract, not a discovery (run a `unique()`
+    pass separately if you genuinely don't know it). Unlisted
+    categories are ignored; absent ones produce 0 columns.
+
+    Combiner shape: per-batch (key, cat) counts → slim partials →
+    one hash shuffle on key → per-bucket unstack. The wide row set
+    (one per key) is the only thing that leaves the reduce."""
+    cats = list(categories)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[pivot_col].isin(cats)]
+        out = (
+            df.groupby([key, pivot_col], sort=False)
+            .size().rename("__n").reset_index()
+        )
+        return out
+
+    partials = ds.select_columns([key, pivot_col]).map_batches(
+        partial, batch_format="pandas"
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        wide = (
+            df.groupby([key, pivot_col], sort=False)["__n"].sum()
+            .unstack(pivot_col, fill_value=0)
+            .reindex(columns=cats, fill_value=0)
+            .astype("int64")
+        )
+        wide.columns = [f"{prefix}{c}" for c in wide.columns]
+        return wide.reset_index()
+
+    return bucketed_reduce(partials, key, per_bucket)
+
+
+def unpivot(ds, id_cols: list[str], value_cols: list[str],
+            var_name: str = "measure", value_name: str = "value"):
+    """Wide→long melt: each input row becomes len(value_cols) rows of
+    (id_cols…, measure, value) — SQL UNPIVOT / stacked UNION ALL.
+    Pure per-batch transform: NO shuffle, fully streaming, output
+    size is a fixed multiple of input."""
+
+    # pandas melt refuses a value_name that matches ANY input column —
+    # alias the measure columns to placeholders and map the labels back
+    alias = {c: f"__v{i}" for i, c in enumerate(value_cols)}
+    unalias = {v: k for k, v in alias.items()}
+
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.rename(columns=alias).melt(
+            id_vars=id_cols, value_vars=list(alias.values()),
+            var_name=var_name, value_name=value_name,
+        )
+        out[var_name] = out[var_name].map(unalias)
+        return out
+
+    return ds.select_columns(id_cols + value_cols).map_batches(
+        melt, batch_format="pandas"
+    )
+
+
+def grouped_mode(ds, key: str, val_col: str, alias: str = "mode_val"):
+    """Most frequent value per key, ties broken by smallest value —
+    deterministic at any parallelism. Combiner: per-batch (key, val)
+    counts so the shuffle moves one slim row per distinct pair per
+    batch, never raw rows; per-bucket reduce sums the partial counts
+    and takes the (count desc, val asc) head per key, vectorized."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby([key, val_col], sort=False)
+            .size().rename("__n").reset_index()
+        )
+
+    partials = ds.select_columns([key, val_col]).map_batches(
+        partial, batch_format="pandas"
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby([key, val_col], sort=False)["__n"].sum().reset_index()
+        g = g.sort_values(
+            [key, "__n", val_col], ascending=[True, False, True],
+            kind="stable",
+        )
+        out = g.drop_duplicates(key)[[key, val_col]].rename(
+            columns={val_col: alias}
+        )
+        return out.reset_index(drop=True)
+
+    return bucketed_reduce(partials, key, per_bucket)
 
 
 def group_ranks(ds, key: str, val_col: str, tiebreak_cols: list[str],
