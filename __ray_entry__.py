@@ -606,6 +606,28 @@ def _q_lineitem_ranks(sf_dir: str):
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
+def _q_order_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(priority, status): finest level + per-priority
+    subtotal + grand total, NULL-keyed, one data pass — coarser levels
+    re-aggregate the finest aggregate, never the data."""
+    from geotreehealth_ray.pipelines.relational import rollup_sum
+
+    return rollup_sum(
+        _read(sf_dir, "orders"), ["o_orderpriority", "o_orderstatus"],
+        "o_totalprice", scale=100, sum_alias="sum_cents",
+    )
+
+
+def _q_cms_custkeys(sf_dir: str):
+    """Count-Min frequency sketch over orders.o_custkey: output = the
+    nonzero (row, col, cnt) cells — a pure integer function of the key
+    multiset → exact SQL reconstruction; estimation accuracy gated in
+    tests."""
+    from geotreehealth_ray.pipelines.sketch import cms_cells
+
+    return cms_cells(_read(sf_dir, "orders"), "o_custkey")
+
+
 def _q_user_event_pivot(sf_dir: str):
     """Long→wide pivot: per-user count column per event type (explicit
     category contract — the pivot schema is known up front)."""
@@ -1044,6 +1066,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cust_anti_join": _q_cust_anti_join,
         "cust_semi_bloom": _q_cust_semi_bloom,
         "lineitem_ranks": _q_lineitem_ranks,
+        "order_rollup": _q_order_rollup,
+        "cms_custkeys": _q_cms_custkeys,
         "user_event_pivot": _q_user_event_pivot,
         "lineitem_unpivot": _q_lineitem_unpivot,
         "user_top_event": _q_user_top_event,
@@ -1395,6 +1419,35 @@ def oracle_sql() -> dict[str, str]:
             WHERE EXISTS (SELECT 1 FROM orders o
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_orderpriority = '1-URGENT')
+        """,
+        "order_rollup": """
+            SELECT o_orderpriority, o_orderstatus,
+                   CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_cents,
+                   count(*) AS n
+            FROM orders
+            GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        """,
+        "cms_custkeys": """
+            -- exact SQL reconstruction of the Count-Min table's nonzero
+            -- cells (sketch.py cms_cells, w=2^12, d=4 disjoint 12-bit
+            -- hash slices): FNV-1a over the key's 8 LE bytes, then a
+            -- per-slice counter count.
+            WITH h AS (
+              SELECT list_reduce(
+                       list_prepend(14695981039346656037::UBIGINT,
+                         list_transform(range(0, 8),
+                           i -> ((o_custkey >> (8*i)) & 255)::UBIGINT)),
+                       (acc, b) -> ((xor(acc, b)::UHUGEINT
+                                     * 1099511628211::UHUGEINT)
+                                    % 18446744073709551616::UHUGEINT)::UBIGINT
+                     ) AS hv
+              FROM orders)
+            SELECT i::BIGINT AS row,
+                   CAST((hv >> (12 * i)) & 4095 AS BIGINT) AS col,
+                   count(*)::BIGINT AS cnt
+            FROM h, range(0, 4) AS r(i)
+            GROUP BY 1, 2
         """,
         "user_event_pivot": """
             SELECT user_id,

@@ -18,7 +18,7 @@ __all__ = ["grouped_agg", "broadcast_join", "latest_per_key",
            "running_total", "topk_per_group",
            "grouped_median", "distinct_count", "lag_delta", "set_op",
            "rolling_sum", "grouped_quantile", "group_ranks",
-           "pivot_counts", "unpivot", "grouped_mode"]
+           "pivot_counts", "unpivot", "grouped_mode", "rollup_sum"]
 
 NUM_BUCKETS = 256
 
@@ -559,6 +559,90 @@ def grouped_quantile(ds, key: str, val_col: str, num: int, den: int,
         return out.reset_index(drop=True)
 
     return bucketed_reduce(ds.select_columns([key, val_col]), key, per_bucket)
+
+
+def rollup_sum(ds, keys: list[str], val_col: str, scale: int = 100,
+               sum_alias: str = "sum_scaled", count_alias: str = "n"):
+    """GROUP BY ROLLUP(keys…): the finest aggregate plus every
+    prefix-subtotal level up to the grand total, subtotal key columns
+    NULL — one dataset, union of levels.
+
+    Cost model: ONE pass over the data (per-batch integer-scaled
+    partials), one hash exchange for the finest level; every coarser
+    level re-aggregates the FINEST AGGREGATE (size = #distinct key
+    combos, not #rows), so subtotals are near-free. Values are
+    ``floor(v·scale + 0.5)`` int64 — exact, SQL-reproducible sums."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        scaled = np.floor(df[val_col].to_numpy() * scale + 0.5).astype(np.int64)
+        t = pd.DataFrame({k: df[k] for k in keys})
+        t["__s"] = scaled
+        g = t.groupby(keys, sort=False)["__s"].agg(["sum", "size"]).reset_index()
+        g.columns = keys + [sum_alias, count_alias]
+        return g
+
+    partials = ds.select_columns(keys + [val_col]).map_batches(
+        partial, batch_format="pandas"
+    )
+
+    def reducer(cols):
+        def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            return (
+                df.groupby(cols, sort=False)[[sum_alias, count_alias]]
+                .sum().reset_index()
+            )
+
+        return per_bucket
+
+    def widen(level_cols):
+        # pad the missing (rolled-up) key columns with NULL so every
+        # level shares one schema for the union
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            for k in keys:
+                if k not in df.columns:
+                    df[k] = None
+            return df[keys + [sum_alias, count_alias]]
+
+        return fn
+
+    finest = bucketed_reduce(partials, keys[0], reducer(keys))
+    levels = [finest.map_batches(widen(keys), batch_format="pandas")]
+    prev = finest
+    for i in range(len(keys) - 1, 0, -1):
+        cols = keys[:i]
+        # each subtotal re-aggregates the PREVIOUS (already tiny) level
+        lvl = bucketed_reduce(
+            prev.select_columns(cols + [sum_alias, count_alias]),
+            cols[0], reducer(cols),
+        )
+        levels.append(lvl.map_batches(widen(cols), batch_format="pandas"))
+        prev = lvl
+
+    # grand total: block partials of the coarsest level → driver fold
+    # of ≤ #blocks slim rows (never of data)
+    def block_total(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {sum_alias: [df[sum_alias].sum()], count_alias: [df[count_alias].sum()]}
+        )
+
+    tot = (
+        prev.select_columns([sum_alias, count_alias])
+        .map_batches(block_total, batch_format="pandas").to_pandas()
+    )
+    grand = pd.DataFrame(
+        {
+            **{k: [None] for k in keys},
+            sum_alias: [int(tot[sum_alias].sum())],
+            count_alias: [int(tot[count_alias].sum())],
+        }
+    )
+    import ray.data as rd
+
+    levels.append(rd.from_pandas(grand))
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out
 
 
 def pivot_counts(ds, key: str, pivot_col: str, categories: list[str],

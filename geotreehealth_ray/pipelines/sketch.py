@@ -23,7 +23,8 @@ import pandas as pd
 
 __all__ = ["hll_registers", "hll_estimate", "P_DEFAULT",
            "bloom_words", "bloom_might_contain", "BLOOM_BITS_LOG2",
-           "BLOOM_K", "bloom_semi_join"]
+           "BLOOM_K", "bloom_semi_join", "cms_cells", "cms_estimate",
+           "CMS_W_LOG2", "CMS_D"]
 
 P_DEFAULT = 12  # 2^12 = 4096 registers → ~1.6% standard error
 
@@ -153,6 +154,72 @@ def bloom_words(ds, col: str):
         )
 
     return bucketed_reduce(partials, "word", per_bucket)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — frequency estimation (heavy hitters) with the same
+# exact-verifiability design as the HLL/Bloom above: the operator's
+# OUTPUT is the sketch's nonzero cells, a pure integer function of the
+# input key MULTISET, reconstructible in SQL (FNV-1a + slice + count).
+# ---------------------------------------------------------------------------
+
+CMS_W_LOG2 = 12  # width = 2^12 = 4096 counters per row
+CMS_D = 4  # depth: four disjoint 12-bit slices of the 64-bit hash
+
+
+def _cms_positions(keys: np.ndarray) -> np.ndarray:
+    """(n, CMS_D) counter columns: disjoint low CMS_W_LOG2-bit slices
+    of the FNV-1a hash (d·log2(w) = 48 ≤ 64)."""
+    h = _fnv1a_u64(keys)
+    mask = np.uint64((1 << CMS_W_LOG2) - 1)
+    return np.stack(
+        [
+            ((h >> np.uint64(CMS_W_LOG2 * i)) & mask).astype(np.int64)
+            for i in range(CMS_D)
+        ],
+        axis=1,
+    )
+
+
+def cms_cells(ds, col: str):
+    """(row, col, cnt) — the nonzero cells of the Count-Min table of
+    ``col`` (int64 keys): for each depth row i, counter col is hash
+    slice i, cnt the number of input rows landing there. Combiner:
+    per-batch cell counts (≤ d·w slim rows per batch), one grouped sum
+    — raw keys never shuffle. Estimation is driver-side over the
+    ≤ 16384-cell table (:func:`cms_estimate`); estimates are exact
+    upper bounds (min over rows ≥ true count, equality whp for heavy
+    keys)."""
+    from .relational import bucketed_reduce
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pos = _cms_positions(df[col].to_numpy())
+        rows = np.tile(np.arange(CMS_D, dtype=np.int64), len(df))
+        out = pd.DataFrame({"row": rows, "col": pos.ravel()})
+        g = out.groupby(["row", "col"], sort=False).size().rename("cnt")
+        return g.reset_index()
+
+    partials = ds.select_columns([col]).map_batches(partial, batch_format="pandas")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["row", "col"], sort=False, as_index=False)["cnt"].sum()
+
+    return bucketed_reduce(partials, "col", per_bucket)
+
+
+def cms_estimate(cells: pd.DataFrame, keys: np.ndarray) -> np.ndarray:
+    """Frequency estimate per key: min over the d rows of the looked-up
+    counters. Driver-side fold of the SKETCH (≤ d·w cells), never of
+    data."""
+    table = np.zeros((CMS_D, 1 << CMS_W_LOG2), np.int64)
+    table[cells["row"].to_numpy(), cells["col"].to_numpy()] = (
+        cells["cnt"].to_numpy()
+    )
+    pos = _cms_positions(np.asarray(keys))
+    est = table[0, pos[:, 0]]
+    for i in range(1, CMS_D):
+        est = np.minimum(est, table[i, pos[:, i]])
+    return est
 
 
 def bloom_semi_join(left, right, on: str, how: str = "semi"):

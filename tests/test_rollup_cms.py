@@ -1,0 +1,74 @@
+"""ROLLUP grouping sets and the Count-Min frequency sketch."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from geotreehealth_ray.pipelines.relational import rollup_sum
+from geotreehealth_ray.pipelines.sketch import cms_cells, cms_estimate
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_rollup_levels_and_totals(ray_session):
+    import ray.data as rd
+
+    got = rollup_sum(
+        rd.read_parquet(f"{SF}/orders.parquet"),
+        ["o_orderpriority", "o_orderstatus"], "o_totalprice",
+        scale=100, sum_alias="sum_cents",
+    ).to_pandas()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{SF}/orders.parquet')"
+    )
+    exp = con.sql(
+        """SELECT o_orderpriority, o_orderstatus,
+                  CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS sum_cents,
+                  count(*) AS n
+           FROM orders
+           GROUP BY ROLLUP(o_orderpriority, o_orderstatus)"""
+    ).df()
+    key = ["o_orderpriority", "o_orderstatus"]
+    got = got.sort_values(key, na_position="last").reset_index(drop=True)
+    exp = exp.sort_values(key, na_position="last").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp[got.columns])
+    # structural invariants: grand total row present, level sums agree
+    grand = got[got["o_orderpriority"].isna()]
+    assert len(grand) == 1
+    finest = got[got["o_orderstatus"].notna()]
+    assert finest["n"].sum() == grand["n"].iloc[0]
+    assert finest["sum_cents"].sum() == grand["sum_cents"].iloc[0]
+
+
+def test_cms_never_underestimates_and_is_tight(ray_session):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{SF}/orders.parquet")
+    cells = cms_cells(ds, "o_custkey").to_pandas()
+    true = (
+        ds.select_columns(["o_custkey"]).to_pandas()["o_custkey"]
+        .value_counts()
+    )
+    keys = true.index.to_numpy()
+    est = cms_estimate(cells, keys)
+    # CMS is a one-sided estimator: never below the true count
+    assert (est >= true.to_numpy()).all()
+    # at 1.5k keys vs 4096-wide x depth-4 table, collisions are rare:
+    # the heavy keys should be exact
+    exact_frac = float(np.mean(est == true.to_numpy()))
+    assert exact_frac > 0.95
+    # total mass in any row equals the input row count
+    assert cells.groupby("row")["cnt"].sum().nunique() == 1
+    assert int(cells[cells["row"] == 0]["cnt"].sum()) == ds.count()
+
+
+def test_cms_absent_key_estimates_near_zero(ray_session):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{SF}/orders.parquet")
+    cells = cms_cells(ds, "o_custkey").to_pandas()
+    est = cms_estimate(cells, np.arange(10_000_000, 10_000_100))
+    # absent keys can only collide; with this load factor most read 0
+    assert float(np.mean(est == 0)) > 0.9
