@@ -230,7 +230,11 @@ def _q_top_orders(sf_dir: str):
         ),
         batch_format="pandas",
     )
-    return rev.sort(["revenue", "o_orderkey"], descending=[True, False]).limit(10)
+    # per-block partial top-k + one slim final reduce — no global sort
+    # exchange for a LIMIT-k result (relational.global_topk)
+    from geotreehealth_ray.pipelines.relational import global_topk
+
+    return global_topk(rev, "revenue", "o_orderkey", k=10)
 
 
 def _q_revenue_by_nation(sf_dir: str):

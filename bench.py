@@ -192,7 +192,8 @@ def run_queries(sf_dir: str) -> dict:
     picks = ["pip_join", "crown_assign", "knn_join", "cell_counts",
              "q1_pricing", "revenue_by_nation", "events_hourly",
              "doc_exact_dedup", "minhash_pairs", "jaccard_pairs",
-             "phash_pairs", "ann_topk", "running_total", "label_centroids"]
+             "phash_pairs", "ann_topk", "running_total", "label_centroids",
+             "lineitem_ranks", "cust_semi_bloom"]
     out = {}
     for name in picks:
         t0 = time.perf_counter()

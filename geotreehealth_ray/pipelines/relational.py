@@ -18,7 +18,8 @@ __all__ = ["grouped_agg", "broadcast_join", "latest_per_key",
            "running_total", "topk_per_group",
            "grouped_median", "distinct_count", "lag_delta", "set_op",
            "rolling_sum", "grouped_quantile", "group_ranks",
-           "pivot_counts", "unpivot", "grouped_mode", "rollup_sum"]
+           "pivot_counts", "unpivot", "grouped_mode", "rollup_sum",
+           "global_topk"]
 
 NUM_BUCKETS = 256
 
@@ -559,6 +560,31 @@ def grouped_quantile(ds, key: str, val_col: str, num: int, den: int,
         return out.reset_index(drop=True)
 
     return bucketed_reduce(ds.select_columns([key, val_col]), key, per_bucket)
+
+
+def global_topk(ds, order_col: str, id_col: str, k: int,
+                descending: bool = True):
+    """Global ORDER BY + LIMIT k without the global sort: each block
+    keeps its local top-k (a map task — nothing shuffles), then ONE
+    final task sorts the ≤ k·#blocks survivors. At 100 TB a
+    ``sort().limit(k)`` pays a full all-to-all range exchange to then
+    discard everything but k rows; this moves k rows per block,
+    period. Ties on ``order_col`` break by ``id_col`` asc, so the
+    result is deterministic at any parallelism and matches SQL
+    ``ORDER BY val DESC, id ASC LIMIT k``."""
+    asc = [not descending, True]
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            [order_col, id_col], ascending=asc, kind="stable"
+        ).head(k)
+
+    survivors = ds.map_batches(local_topk, batch_format="pandas")
+    # final reduce: one task over the slim survivor set
+    return (
+        survivors.repartition(1)
+        .map_batches(local_topk, batch_size=None, batch_format="pandas")
+    )
 
 
 def rollup_sum(ds, keys: list[str], val_col: str, scale: int = 100,

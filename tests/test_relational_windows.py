@@ -309,3 +309,23 @@ def test_lag_delta_first_rows_dropped(ray_session):
     np.testing.assert_array_equal(out["prev_id"], exp["prev_id"].astype("int64"))
     np.testing.assert_array_equal(out["delta_us"], exp["delta_us"].astype("int64"))
     assert (out["delta_us"] >= 0).all()
+
+
+def test_global_topk_matches_full_sort(ray_session):
+    import ray.data as rd
+
+    from geotreehealth_ray.pipelines.relational import global_topk
+
+    rng = np.random.default_rng(7)
+    # duplicate order values force the id tie-break to matter
+    df = pd.DataFrame(
+        {
+            "id": np.arange(500, dtype=np.int64),
+            "val": rng.integers(0, 50, 500).astype(np.float64),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(8)
+    out = global_topk(ds, "val", "id", k=10).to_pandas()
+    exp = df.sort_values(["val", "id"], ascending=[False, True]).head(10)
+    np.testing.assert_array_equal(out["id"].to_numpy(), exp["id"].to_numpy())
+    np.testing.assert_array_equal(out["val"].to_numpy(), exp["val"].to_numpy())
