@@ -1032,6 +1032,53 @@ def _q_median_box(sf_dir: str):
     return picked.map_batches(to_keys, batch_format="pandas")
 
 
+def _q_doc_split(sf_dir: str):
+    """Deterministic stratified 70/15/15 train/val/test split of the
+    documents table, stratified by lang (reference main.py:185-194's
+    sklearn stratified split, made RNG-free). md5-hex rank keys make
+    the SQL oracle an exact reconstruction."""
+    from geotreehealth_ray.pipelines.crown_ops import md5_hex_hash
+    from geotreehealth_ray.pipelines.split import stratified_split
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "lang"])
+    return stratified_split(
+        docs, "doc_id", ["lang"], hash_fn=md5_hex_hash
+    ).select_columns(["doc_id", "lang", "split"])
+
+
+def _q_stem_rebalance(sf_dir: str):
+    """Composed pipeline: latest/max-DBH dedup per stem, then per-site
+    class rebalance (drop classes ≤10 rows, downsample the rest to the
+    site's min class size; reference main.py:162-176) — deterministic
+    hash sampling instead of the reference's RNG."""
+    from geotreehealth_ray.pipelines.crown_ops import (
+        dedup_stems,
+        md5_hex_hash,
+        rebalance_by_class,
+    )
+
+    p = _synth_paths()
+    stems = dedup_stems(_rd().read_parquet(p["stems"]))
+    out = rebalance_by_class(stems, min_count=10, hash_fn=md5_hex_hash)
+    return out.select_columns(
+        ["stem_id", "site_id", "status", "dbh", "year"]
+    )
+
+
+def _q_minhash_clusters(sf_dir: str):
+    """MinHash-LSH pairs resolved into connected components: every doc
+    mapped to its cluster representative (min doc_id) — the actual
+    keep-one-per-cluster dedup decision over the pair list."""
+    from geotreehealth_ray.pipelines.dedup import (
+        connected_components_dedup,
+        minhash_lsh_pairs,
+    )
+
+    docs = _read(sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    return connected_components_dedup(docs, pairs)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # spatial operators (derived coordinates — SQL-oracled)
@@ -1088,6 +1135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_confusion": _q_lang_confusion,
         "doc_fingerprints": _q_doc_fingerprints,
         "minhash_pairs": _q_minhash_pairs,
+        "minhash_clusters": _q_minhash_clusters,
+        "doc_split": _q_doc_split,
         "jaccard_pairs": _q_jaccard_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "emb_near_dup": _q_emb_near_dup,
@@ -1105,6 +1154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "synth_knn_cardinal": _q_synth_knn_cardinal,
         "synth_median_polygon": _q_synth_median_polygon,
         "synth_stem_dedup": _q_synth_stem_dedup,
+        "stem_rebalance": _q_stem_rebalance,
         "synth_image_stats": _q_synth_image_stats,
     }
 
@@ -1170,6 +1220,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM read_parquet('{_SYNTH_CACHE}/stems/*.parquet')
             QUALIFY row_number() OVER (
               PARTITION BY stem_id ORDER BY dbh DESC, year DESC) = 1
+        """,
+        "stem_rebalance": f"""
+            -- exact reconstruction of dedup_stems → rebalance_by_class
+            -- (md5-hex sampling rank, classes >10 kept, downsample to
+            -- the site's min kept-class size)
+            WITH dedup AS (
+              SELECT * FROM read_parquet('{_SYNTH_CACHE}/stems/*.parquet')
+              QUALIFY row_number() OVER (
+                PARTITION BY stem_id ORDER BY dbh DESC, year DESC) = 1),
+            c AS (
+              SELECT site_id, status, count(*) AS cnt
+              FROM dedup GROUP BY 1, 2 HAVING count(*) > 10),
+            m AS (SELECT site_id, min(cnt) AS n FROM c GROUP BY 1),
+            r AS (
+              SELECT d.stem_id, d.site_id, d.status, d.dbh, d.year,
+                     row_number() OVER (
+                       PARTITION BY d.site_id, d.status
+                       ORDER BY md5(d.stem_id), d.stem_id) AS rk
+              FROM dedup d JOIN c ON d.site_id = c.site_id
+                                 AND d.status = c.status)
+            SELECT stem_id, r.site_id AS site_id, status, dbh, year
+            FROM r JOIN m ON r.site_id = m.site_id WHERE rk <= m.n
         """,
         "synth_median_polygon": f"""
             -- engine: crown_ops.select_median_polygon (area closest to
@@ -1783,6 +1855,56 @@ def oracle_sql() -> dict[str, str]:
               FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
             SELECT doc_id_a, doc_id_b, round(j, 9) AS jaccard
             FROM pairs WHERE j >= 0.5
+        """,
+        "minhash_clusters": """
+            -- the exhaustive pair set (see minhash_pairs oracle) closed
+            -- into connected components by recursive min-propagation;
+            -- rep_id = min doc_id reachable (singletons → themselves)
+            WITH RECURSIVE norm AS (
+              SELECT doc_id,
+                     trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(
+                       [substring(t, i, 5) FOR i IN range(1, len(t) - 3)]
+                     ) AS s
+              FROM norm),
+            p AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                    / (len(a.s) + len(b.s)
+                       - len(list_intersect(a.s, b.s))) >= 0.5),
+            e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+            reach(src, dst) AS (
+              SELECT a, b FROM e
+              UNION
+              SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+            comp AS (
+              SELECT src AS doc_id, least(src, min(dst)) AS rep
+              FROM reach GROUP BY src)
+            SELECT d.doc_id, coalesce(c.rep, d.doc_id) AS rep_id
+            FROM documents d LEFT JOIN comp c USING (doc_id)
+        """,
+        "doc_split": """
+            -- exact reconstruction: same md5-hex rank key, same integer
+            -- cut points n*pct//100 per stratum (split.py)
+            WITH u AS (
+              SELECT doc_id, lang,
+                     md5(CAST(doc_id AS VARCHAR)) AS h
+              FROM documents),
+            r AS (
+              SELECT doc_id, lang,
+                     row_number() OVER (
+                       PARTITION BY lang ORDER BY h, doc_id) - 1 AS rk,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM u)
+            SELECT doc_id, lang,
+                   CASE WHEN rk < (n * 70) // 100 THEN 'train'
+                        WHEN rk < (n * 85) // 100 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM r
         """,
         "jaccard_pairs": """
             -- EXACT oracle (no recall argument needed): the engine's

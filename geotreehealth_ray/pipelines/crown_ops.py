@@ -30,7 +30,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["dedup_stems", "select_median_polygon", "best_box_per_stem",
-           "filter_stems", "rebalance_by_class", "stable_hash_u64"]
+           "filter_stems", "rebalance_by_class", "stable_hash_u64",
+           "md5_hex_hash"]
 
 
 def dedup_stems(stems):
@@ -114,7 +115,19 @@ def stable_hash_u64(values: np.ndarray) -> np.ndarray:
     return out
 
 
-def rebalance_by_class(stems, min_count: int = 10):
+def md5_hex_hash(values: np.ndarray) -> np.ndarray:
+    """md5 hex digest per id — rank-equivalent to DuckDB ``md5(id)``
+    (fixed-width lowercase hex sorts identically as string and as the
+    128-bit value), so deterministic sampling keyed on it can be
+    reconstructed exactly by a SQL oracle."""
+    return np.array(
+        [hashlib.md5(str(v).encode()).hexdigest() for v in values],
+        dtype=object,
+    )
+
+
+def rebalance_by_class(stems, min_count: int = 10,
+                       hash_fn=stable_hash_u64):
     """Per site: drop (site, status) classes with ≤ min_count rows, then
     downsample every remaining class to the site's min class size.
     Sampling = lowest hash-of-stem_id first → identical rows at any
@@ -129,7 +142,7 @@ def rebalance_by_class(stems, min_count: int = 10):
         parts = []
         for status in sorted(keep_classes.index):
             sub = g[g["status"] == status].copy()
-            sub["_h"] = stable_hash_u64(sub["stem_id"].to_numpy())
+            sub["_h"] = hash_fn(sub["stem_id"].to_numpy())
             sub = sub.sort_values(["_h", "stem_id"], kind="stable").head(n)
             parts.append(sub.drop(columns="_h"))
         return pd.concat(parts, ignore_index=True)

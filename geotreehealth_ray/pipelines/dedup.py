@@ -31,7 +31,7 @@ from .relational import sorted_group_map
 
 __all__ = ["exact_dedup", "minhash_lsh_pairs", "simhash_pairs",
            "ngram_jaccard_pairs", "jaccard_of_texts", "embedding_near_dup",
-           "phash_near_dup"]
+           "phash_near_dup", "connected_components_dedup"]
 
 
 # ------------------------------------------------------------- exact
@@ -682,3 +682,68 @@ def embedding_near_dup(embeddings, threshold: float = 0.95, n_planes: int = 12,
         )
 
     return bucketed_reduce(with_b_input, "key", stage_b_verify)
+
+
+# ----------------------------------------- connected-components dedup
+def connected_components_dedup(docs, pairs, id_col: str = "doc_id",
+                               pair_cols: tuple[str, str] = ("doc_id_a",
+                                                             "doc_id_b")):
+    """Resolve near-dup PAIRS into clusters and assign every document
+    its cluster representative ``rep_id`` = min id of its connected
+    component (singletons map to themselves). This is the step that
+    turns a pair list (minhash/simhash/jaccard) into the actual
+    keep-one-per-cluster dedup decision.
+
+    Scale shape: the edge list is O(#duplicates) — orders of magnitude
+    smaller than the corpus — so edges stream to the driver in batches
+    feeding an in-memory union-find keyed only on ids that appear in
+    some edge (memory O(nodes-in-edges), never O(corpus)). The root
+    map then broadcasts once via ``ray.put`` and the corpus-wide
+    assignment is an embarrassingly-parallel ``map_batches`` lookup.
+    (If edges themselves outgrew one node, swap the driver fold for
+    log-rounds of pointer-doubling joins over the edge Dataset — the
+    corpus-side contract below is unchanged.)
+
+    Reference semantics: the union-merge of >50%-overlap polygon pairs
+    builds a networkx graph + connected_components
+    (from_mask_to_polygons.py:9-42); here the same closure runs over
+    text/embedding near-dup pairs."""
+    import ray
+
+    parent: dict = {}
+
+    def find(a):
+        root = a
+        while parent[root] != root:
+            root = parent[root]
+        while parent[a] != root:  # path compression
+            parent[a], a = root, parent[a]
+        return root
+
+    # stream the (small) edge list; never materialize the corpus
+    for batch in pairs.select_columns(list(pair_cols)).iter_batches(
+        batch_format="pandas"
+    ):
+        for a, b in zip(batch[pair_cols[0]], batch[pair_cols[1]]):
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:  # union by min → rep is the component min
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+
+    roots = {k: find(k) for k in parent}
+    roots_ref = ray.put(roots)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(roots_ref)
+        ids = df[id_col]
+        return pd.DataFrame(
+            {id_col: ids,
+             "rep_id": ids.map(lambda i: lut.get(i, i))}
+        )
+
+    return docs.select_columns([id_col]).map_batches(
+        assign, batch_format="pandas"
+    )

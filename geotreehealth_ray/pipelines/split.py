@@ -22,16 +22,22 @@ __all__ = ["stratified_split", "stratified_sample_n"]
 
 def stratified_split(ds, id_col: str, strata_cols: list[str],
                      fractions=(0.70, 0.15, 0.15),
-                     names=("train", "val", "test")):
+                     names=("train", "val", "test"),
+                     hash_fn=stable_hash_u64):
     """Adds a ``split`` column. Within each stratum, rows ranked by
     hash(id) are cut at the cumulative fractions — exact per-stratum
-    proportions up to integer rounding, stable across runs."""
-    cum = np.cumsum(fractions)
-    assert abs(cum[-1] - 1.0) < 1e-9
+    proportions up to integer rounding, stable across runs.
+
+    Cut points use integer percent arithmetic (``n·pct // 100``) so an
+    external SQL oracle computes the identical boundary with no float
+    rounding hazard; ``hash_fn`` is injectable for the same reason
+    (md5-hex ranks are reconstructible in DuckDB)."""
+    cum_pct = np.cumsum([int(round(f * 100)) for f in fractions])
+    assert cum_pct[-1] == 100
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["__u"] = stable_hash_u64(df[id_col].to_numpy())
+        df["__u"] = hash_fn(df[id_col].to_numpy())
         df["__stratum"] = df[strata_cols].astype(str).agg("_".join, axis=1)
         out = []
         for _, g in df.groupby("__stratum", sort=False):
@@ -41,7 +47,7 @@ def stratified_split(ds, id_col: str, strata_cols: list[str],
             uids = g[[id_col, "__u"]].drop_duplicates(id_col)
             uids = uids.sort_values(["__u", id_col], kind="stable")
             n = len(uids)
-            bounds = (cum * n).astype(int)
+            bounds = [(n * int(p)) // 100 for p in cum_pct]
             labels = np.empty(n, dtype=object)
             prev = 0
             for b, name in zip(bounds, names):

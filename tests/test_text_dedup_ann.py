@@ -342,3 +342,22 @@ def test_phash_near_dup_real_images(ray_session):
     for i in range(6):
         assert (f"img-{i:03d}", f"img-{i:03d}-dup") in pairs
     assert (got["hamming"] <= 7).all()
+
+
+def test_connected_components_dedup_transitive(ray_session):
+    import ray.data as rd
+
+    from geotreehealth_ray.pipelines.dedup import connected_components_dedup
+
+    # chain 1-2, 2-3 plus an isolated pair 7-5 and singletons 4, 6
+    docs = rd.from_pandas(pd.DataFrame({"doc_id": [1, 2, 3, 4, 5, 6, 7]}))
+    pairs = rd.from_pandas(
+        pd.DataFrame({"doc_id_a": [1, 2, 5], "doc_id_b": [2, 3, 7]})
+    ).repartition(3)
+    out = (
+        connected_components_dedup(docs, pairs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["rep_id"].tolist() == [1, 1, 1, 4, 5, 6, 5]
