@@ -31,6 +31,7 @@ def _read(sf_dir: str, table: str):
     return _rd().read_parquet(f"{sf_dir}/{table}.parquet")
 
 
+
 # ------------------------------------------------------------ queries
 
 def _q_pip_join(sf_dir: str):

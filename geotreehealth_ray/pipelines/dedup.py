@@ -27,8 +27,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .relational import sorted_group_map
-
 __all__ = ["exact_dedup", "minhash_lsh_pairs", "simhash_pairs",
            "ngram_jaccard_pairs", "jaccard_of_texts", "embedding_near_dup",
            "phash_near_dup", "connected_components_dedup"]
@@ -36,7 +34,7 @@ __all__ = ["exact_dedup", "minhash_lsh_pairs", "simhash_pairs",
 
 # ------------------------------------------------------------- exact
 
-def exact_dedup(docs):
+def exact_dedup(docs, partitions: int | None = None):
     """(doc_id, n_dups) — one row per distinct text: the minimum doc_id
     plus the duplicate count. Equivalent SQL:
     SELECT min(doc_id) AS doc_id, count(*) AS n_dups GROUP BY text."""
@@ -59,7 +57,8 @@ def exact_dedup(docs):
     from .relational import bucketed_reduce
 
     return bucketed_reduce(
-        docs.map_batches(hash_stage, batch_format="pandas"), "h", pick_bucket
+        docs.map_batches(hash_stage, batch_format="pandas"), "h", pick_bucket,
+        partitions=partitions,
     )
 
 
@@ -89,6 +88,41 @@ def _char_shingles(text: str, k: int) -> np.ndarray:
         p = p * _POLY_BASE  # uint64 wraparound is the modulus
     h = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
     return np.unique(h)
+
+
+def _pairs_in_groups(keys: np.ndarray, ids: np.ndarray):
+    """All unordered id pairs within equal-key groups, vectorized.
+
+    Replaces the per-group ``df.groupby`` loop in candidate generation:
+    a bucket holds ~10^5 distinct (band/gram/table) keys of which
+    almost all have one member, and pandas group extraction costs
+    ~50 µs each — the loop, not the shuffle, was the near-dup wall at
+    sf0.1. Here one lexsort finds group boundaries, size-1 groups are
+    skipped wholesale, and only true collision groups (rare) reach
+    Python. Returns (a, b) int64 arrays with a < b per pair; (key, id)
+    duplicates are dropped first."""
+    order = np.lexsort((ids, keys))
+    k = keys[order]
+    v = ids[order]
+    if len(k) >= 1:
+        keep = np.r_[True, (k[1:] != k[:-1]) | (v[1:] != v[:-1])]
+        k = k[keep]
+        v = v[keep]
+    n = len(k)
+    empty = np.empty(0, dtype=np.int64)
+    if n < 2:
+        return empty, empty
+    starts = np.r_[0, np.flatnonzero(k[1:] != k[:-1]) + 1, n]
+    sizes = np.diff(starts)
+    out_a, out_b = [], []
+    for s, size in zip(starts[:-1][sizes >= 2], sizes[sizes >= 2]):
+        ii, jj = np.triu_indices(int(size), k=1)
+        out_a.append(v[s + ii])
+        out_b.append(v[s + jj])
+    if not out_a:
+        return empty, empty
+    return (np.concatenate(out_a).astype(np.int64),
+            np.concatenate(out_b).astype(np.int64))
 
 
 def _jaccard_arrays(sa: np.ndarray, sb: np.ndarray) -> float:
@@ -121,7 +155,8 @@ def _word_ngrams(text: str, n: int = 3) -> np.ndarray:
     return np.unique(g)
 
 
-def ngram_jaccard_pairs(docs, n: int = 3, threshold: float = 0.5):
+def ngram_jaccard_pairs(docs, n: int = 3, threshold: float = 0.5,
+                        partitions: int | None = None):
     """(doc_id_a, doc_id_b, jaccard) — EXACT word-n-gram Jaccard
     near-dup pairs at ``jaccard ≥ threshold`` (a < b). Unlike MinHash
     this has recall 1.0 by construction: candidate generation uses
@@ -163,22 +198,13 @@ def ngram_jaccard_pairs(docs, n: int = 3, threshold: float = 0.5):
         )
 
     def candidates_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
-        for _, g in df.groupby("gram", sort=False):
-            ids = np.unique(g["doc_id"].to_numpy())
-            if len(ids) < 2:
-                continue
-            ii, jj = np.triu_indices(len(ids), k=1)
-            out_a.append(ids[ii])
-            out_b.append(ids[jj])
-        if not out_a:
-            return pd.DataFrame(
-                {"doc_id_a": pd.array([], "int64"),
-                 "doc_id_b": pd.array([], "int64")}
-            )
+        a, b = _pairs_in_groups(
+            df["gram"].to_numpy(np.uint64),
+            df["doc_id"].to_numpy(np.int64),
+        )
         return pd.DataFrame(
-            {"doc_id_a": pd.array(np.concatenate(out_a), "int64"),
-             "doc_id_b": pd.array(np.concatenate(out_b), "int64")}
+            {"doc_id_a": pd.array(a, "int64"),
+             "doc_id_b": pd.array(b, "int64")}
         ).drop_duplicates(["doc_id_a", "doc_id_b"])
 
     from .relational import bucketed_reduce
@@ -186,8 +212,10 @@ def ngram_jaccard_pairs(docs, n: int = 3, threshold: float = 0.5):
     prefix_rows = docs.select_columns(["doc_id", "text"]).map_batches(
         prefix_stage, batch_format="pandas"
     )
-    pairs = bucketed_reduce(prefix_rows, "gram", candidates_bucket)
-    return _verify_pairs(docs, pairs, lambda t: _word_ngrams(t, n), threshold)
+    pairs = bucketed_reduce(prefix_rows, "gram", candidates_bucket,
+                            partitions=partitions)
+    return _verify_pairs(docs, pairs, lambda t: _word_ngrams(t, n), threshold,
+                         partitions=partitions)
 
 
 # ------------------------------------------------------------ minhash
@@ -219,7 +247,7 @@ def _signatures(texts, k: int, num_perm: int) -> np.ndarray:
 
 
 def minhash_lsh_pairs(docs, k: int = 5, num_perm: int = 128, bands: int = 32,
-                      threshold: float = 0.5):
+                      threshold: float = 0.5, partitions: int | None = None):
     """(doc_id_a, doc_id_b, jaccard) — near-duplicate pairs with exact
     shingle-Jaccard ≥ threshold among LSH candidates (a < b; precision
     1.0 by construction; recall set by (bands, rows-per-band)).
@@ -253,25 +281,19 @@ def minhash_lsh_pairs(docs, k: int = 5, num_perm: int = 128, bands: int = 32,
         )
 
     def candidates_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        """All in-bucket pairs, vectorized across the many
-        (band_id, band_hash) groups of one hash bucket (bucketed
-        pattern — per-key map_groups would pay ~ms × 10^5 groups)."""
-        out_a, out_b = [], []
-        for _, g in df.groupby(["band_id", "band_hash"], sort=False):
-            ids = np.unique(g["doc_id"].to_numpy())
-            if len(ids) < 2:
-                continue
-            ii, jj = np.triu_indices(len(ids), k=1)
-            out_a.append(ids[ii])
-            out_b.append(ids[jj])
-        if not out_a:
-            return pd.DataFrame(
-                {"doc_id_a": pd.array([], "int64"),
-                 "doc_id_b": pd.array([], "int64")}
-            )
+        """All in-bucket pairs across the many (band_id, band_hash)
+        groups of one hash bucket, via _pairs_in_groups. The composite
+        key folds band_id into band_hash with an odd-constant multiply
+        (a uint64 bijection); a cross-group fold collision could only
+        ADD a candidate pair, which the exact-Jaccard verify then
+        filters — precision is unaffected."""
+        k = (df["band_hash"].to_numpy(np.int64).view(np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15)
+             + df["band_id"].to_numpy(np.int64).view(np.uint64))
+        a, b = _pairs_in_groups(k, df["doc_id"].to_numpy(np.int64))
         return pd.DataFrame(
-            {"doc_id_a": pd.array(np.concatenate(out_a), "int64"),
-             "doc_id_b": pd.array(np.concatenate(out_b), "int64")}
+            {"doc_id_a": pd.array(a, "int64"),
+             "doc_id_b": pd.array(b, "int64")}
         ).drop_duplicates(["doc_id_a", "doc_id_b"])
 
     from .relational import bucketed_reduce
@@ -280,11 +302,14 @@ def minhash_lsh_pairs(docs, k: int = 5, num_perm: int = 128, bands: int = 32,
         band_stage, batch_format="pandas"
     )
     # shuffle 1: band buckets → candidate pairs
-    pairs = bucketed_reduce(band_rows, "band_hash", candidates_bucket)
-    return _verify_pairs(docs, pairs, lambda t: _char_shingles(t, k), threshold)
+    pairs = bucketed_reduce(band_rows, "band_hash", candidates_bucket,
+                            partitions=partitions)
+    return _verify_pairs(docs, pairs, lambda t: _char_shingles(t, k), threshold,
+                         partitions=partitions)
 
 
-def _verify_pairs(docs, pairs, shingle_fn, threshold: float):
+def _verify_pairs(docs, pairs, shingle_fn, threshold: float,
+                  partitions: int | None = None):
     """Shared tail of the near-dup pipelines: given slim candidate id
     pairs, attach both texts with two bucketed joins (each text crosses
     the wire once per pair-membership) and keep pairs whose exact
@@ -322,7 +347,7 @@ def _verify_pairs(docs, pairs, shingle_fn, threshold: float):
 
     pairs_a = bucketed_reduce(
         pairs.map_batches(pairs_keyed_a, batch_format="pandas").union(texts),
-        "key", stage_a,
+        "key", stage_a, partitions=partitions,
     )
 
     _COLS_B = ["key", "kind", "doc_id_a", "doc_id_b", "text_a", "text_x"]
@@ -378,7 +403,56 @@ def _verify_pairs(docs, pairs, shingle_fn, threshold: float):
              "jaccard": pd.array(rj, "float64")}
         )
 
-    return bucketed_reduce(with_b_input, "key", stage_b_verify)
+    return bucketed_reduce(with_b_input, "key", stage_b_verify,
+                           partitions=partitions)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (any shape)."""
+    b = np.unpackbits(x.reshape(-1).view(np.uint8))
+    return b.reshape(x.size, 8 * x.dtype.itemsize).sum(axis=1).reshape(x.shape)
+
+
+_FOLD64 = np.uint64(0x9E3779B97F4A7C15)  # odd => uint64 bijection
+
+
+def _hamming_pairs_in_groups(keys: np.ndarray, ids: np.ndarray,
+                             sigs: np.ndarray, max_h: int):
+    """All (a, b, hamming) pairs with hamming <= max_h within equal-key
+    groups, vectorized with the same boundary trick as
+    :func:`_pairs_in_groups` (size-1 groups — the vast majority —
+    never reach Python). ``ids`` may be any dtype; pairs are ordered
+    a < b by id VALUE via np.unique codes. Because membership is decided
+    by the exact in-group Hamming test, a folded-key collision merging
+    two unrelated groups only adds comparisons — the emitted pair set
+    is unchanged."""
+    uniq, codes = np.unique(ids, return_inverse=True)
+    order = np.lexsort((codes, keys))
+    k, c, sg = keys[order], codes[order], sigs[order]
+    if len(k):
+        keep = np.r_[True, (k[1:] != k[:-1]) | (c[1:] != c[:-1])]
+        k, c, sg = k[keep], c[keep], sg[keep]
+    n = len(k)
+    out_a, out_b, out_h = [], [], []
+    if n >= 2:
+        starts = np.r_[0, np.flatnonzero(k[1:] != k[:-1]) + 1, n]
+        sizes = np.diff(starts)
+        chunk = 2048  # bound the XOR matrix (heavy-group guard)
+        for s0, size in zip(starts[:-1][sizes >= 2], sizes[sizes >= 2]):
+            gc = c[s0 : s0 + size]
+            gs = sg[s0 : s0 + size]
+            for off in range(0, int(size), chunk):
+                rows = gs[off : off + chunk]
+                ham = _popcount64(rows[:, None] ^ gs[None, :])
+                ia, ib = np.nonzero(ham <= max_h)
+                keep2 = (ia + off) < ib  # upper triangle (i < j in-group)
+                out_a.append(gc[ia[keep2] + off])
+                out_b.append(gc[ib[keep2]])
+                out_h.append(ham[ia[keep2], ib[keep2]].astype(np.int64))
+    if not out_a:
+        return uniq[:0], uniq[:0], np.empty(0, np.int64)
+    return (uniq[np.concatenate(out_a)], uniq[np.concatenate(out_b)],
+            np.concatenate(out_h))
 
 
 # ------------------------------------------------------------ simhash
@@ -403,67 +477,59 @@ def _simhash64(tokens: list[str]) -> int:
     return v
 
 
-def simhash_pairs(docs, max_hamming: int = 3):
+def simhash_pairs(docs, max_hamming: int = 3, partitions: int | None = None):
     """(doc_id_a, doc_id_b, hamming) — SimHash near-dups. Pigeonhole:
     Hamming ≤ 3 over 4 16-bit segments ⇒ ≥1 segment identical, so
     bucket by each segment and verify in-bucket."""
 
     def sig_stage(df: pd.DataFrame) -> pd.DataFrame:
-        out = {"doc_id": [], "seg_id": [], "seg_val": [], "sig": []}
-        for did, text in zip(df["doc_id"], df["text"].fillna("")):
-            sig = _simhash64(text.split())
-            for s in range(4):
-                out["doc_id"].append(did)
-                out["seg_id"].append(s)
-                out["seg_val"].append((sig >> (16 * s)) & 0xFFFF)
-                out["sig"].append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+        sigs = np.array(
+            [_simhash64((t or "").split()) for t in df["text"].fillna("")],
+            dtype=np.uint64,
+        ).reshape(-1)
+        seg = np.arange(4, dtype=np.uint64)
+        seg_val = (sigs[:, None] >> (np.uint64(16) * seg[None, :])) \
+            & np.uint64(0xFFFF)
+        gkey = seg_val * _FOLD64 + seg[None, :]
         return pd.DataFrame(
             {
-                "doc_id": out["doc_id"],
-                "seg_id": np.array(out["seg_id"], np.int32),
-                "seg_val": np.array(out["seg_val"], np.int64),
-                "sig": pd.array(out["sig"], "int64"),
+                "doc_id": np.repeat(df["doc_id"].to_numpy(np.int64), 4),
+                "gkey": gkey.reshape(-1).view(np.int64),
+                "sig": np.repeat(sigs.view(np.int64), 4),
             }
         )
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].tolist()
-        sigs = g["sig"].astype(np.int64).to_numpy().astype(np.uint64)
-        ra, rb, rh = [], [], []
-        for i in range(len(ids)):
-            x = sigs[i] ^ sigs[i + 1 :]
-            ham = np.array([bin(int(v)).count("1") for v in x])
-            for off in np.where(ham <= max_hamming)[0]:
-                ra.append(ids[i]); rb.append(ids[i + 1 + off]); rh.append(int(ham[off]))
+    def verify_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        a, b, h = _hamming_pairs_in_groups(
+            df["gkey"].to_numpy(np.int64).view(np.uint64),
+            df["doc_id"].to_numpy(np.int64),
+            df["sig"].to_numpy(np.int64).view(np.uint64),
+            max_hamming,
+        )
         return pd.DataFrame(
-            {"doc_id_a": pd.array(ra, "int64"),
-             "doc_id_b": pd.array(rb, "int64"),
-             "hamming": pd.array(rh, "int64")}
+            {"doc_id_a": pd.array(a, "int64"),
+             "doc_id_b": pd.array(b, "int64"),
+             "hamming": pd.array(h, "int64")}
         )
 
     from .relational import bucketed_reduce
 
-    found = sorted_group_map(
+    found = bucketed_reduce(
         docs.map_batches(sig_stage, batch_format="pandas"),
-        ["seg_id", "seg_val"], verify, batch_format="pandas",
+        "gkey", verify_bucket, partitions=partitions,
     )
     return bucketed_reduce(
         found, "doc_id_a",
         lambda df: df.drop_duplicates(["doc_id_a", "doc_id_b"]),
+        partitions=partitions,
     )
 
 
 # ------------------------------------------------------- phash neardup
 
-def _popcount64(x: np.ndarray) -> np.ndarray:
-    """Vectorized popcount of a uint64 array (any shape)."""
-    b = np.unpackbits(x.reshape(-1).view(np.uint8))
-    return b.reshape(x.size, 8 * x.dtype.itemsize).sum(axis=1).reshape(x.shape)
-
-
 def phash_near_dup(images, max_hamming: int = 7,
-                   id_col: str = "image_id", hash_col: str = "phash"):
+                   id_col: str = "image_id", hash_col: str = "phash",
+                   partitions: int | None = None):
     """(image_id_a, image_id_b, hamming) — near-duplicate images by
     perceptual-hash Hamming distance over the image+caption table's
     ``phash`` int64 column (sources/synth.py gen_images;
@@ -489,56 +555,49 @@ def phash_near_dup(images, max_hamming: int = 7,
     def sig_stage(df: pd.DataFrame) -> pd.DataFrame:
         ph = df[hash_col].to_numpy(np.int64).view(np.uint64)
         ids = df[id_col].to_numpy()
-        segs = [((ph >> np.uint64(lo)) & np.uint64((1 << (hi - lo)) - 1))
-                .astype(np.int64) for lo, hi in bounds]
+        gkeys = [
+            (((ph >> np.uint64(lo)) & np.uint64((1 << (hi - lo)) - 1))
+             * _FOLD64 + np.uint64(i))
+            for i, (lo, hi) in enumerate(bounds)
+        ]
         return pd.DataFrame(
             {
                 id_col: np.tile(ids, n_seg),
-                "seg_id": np.repeat(np.arange(n_seg, dtype=np.int32), len(ids)),
-                "seg_val": np.concatenate(segs) if segs else np.array([], np.int64),
+                "gkey": np.concatenate(gkeys).view(np.int64),
                 "sig": np.tile(ph.view(np.int64), n_seg),
             }
         )
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(id_col).sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        sigs = g["sig"].to_numpy(np.int64).view(np.uint64)
-        m = len(ids)
-        out_a, out_b, out_h = [], [], []
-        chunk = 2048  # bound the XOR matrix at chunk×m (heavy-bucket guard)
-        for s in range(0, m, chunk):
-            rows = sigs[s : s + chunk]
-            ham = _popcount64(rows[:, None] ^ sigs[None, :])
-            ia, ib = np.nonzero(ham <= max_hamming)
-            keep = (ia + s) < ib  # upper triangle only (i < j globally)
-            out_a.append(ids[ia[keep] + s])
-            out_b.append(ids[ib[keep]])
-            out_h.append(ham[ia[keep], ib[keep]].astype(np.int64))
+    def verify_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        a, b, h = _hamming_pairs_in_groups(
+            df["gkey"].to_numpy(np.int64).view(np.uint64),
+            df[id_col].to_numpy(),
+            df["sig"].to_numpy(np.int64).view(np.uint64),
+            max_hamming,
+        )
         return pd.DataFrame(
-            {
-                "image_id_a": np.concatenate(out_a) if out_a else np.array([]),
-                "image_id_b": np.concatenate(out_b) if out_b else np.array([]),
-                "hamming": np.concatenate(out_h) if out_h else np.array([], np.int64),
-            }
+            {"image_id_a": a, "image_id_b": b,
+             "hamming": pd.array(h, "int64")}
         )
 
     from .relational import bucketed_reduce
 
-    found = sorted_group_map(
+    found = bucketed_reduce(
         images.map_batches(sig_stage, batch_format="pandas"),
-        ["seg_id", "seg_val"], verify, batch_format="pandas",
+        "gkey", verify_bucket, partitions=partitions,
     )
     return bucketed_reduce(
         found, "image_id_a",
         lambda df: df.drop_duplicates(["image_id_a", "image_id_b"]),
+        partitions=partitions,
     )
 
 
 # --------------------------------------------------- embedding neardup
 
 def embedding_near_dup(embeddings, threshold: float = 0.95, n_planes: int = 12,
-                       n_tables: int = 8, seed: int = 7):
+                       n_tables: int = 8, seed: int = 7,
+                       partitions: int | None = None):
     """(vec_id_a, vec_id_b, cosine) — pairs with cosine ≥ threshold.
 
     Multi-table random-hyperplane LSH: a pair at angle θ collides in at
@@ -575,22 +634,13 @@ def embedding_near_dup(embeddings, threshold: float = 0.95, n_planes: int = 12,
         )
 
     def candidates_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
-        for _, g in df.groupby("tkey", sort=False):
-            ids = np.unique(g["vec_id"].to_numpy())
-            if len(ids) < 2:
-                continue
-            ii, jj = np.triu_indices(len(ids), k=1)
-            out_a.append(ids[ii])
-            out_b.append(ids[jj])
-        if not out_a:
-            return pd.DataFrame(
-                {"vec_id_a": pd.array([], "int64"),
-                 "vec_id_b": pd.array([], "int64")}
-            )
+        a, b = _pairs_in_groups(
+            df["tkey"].to_numpy(np.int64).view(np.uint64),
+            df["vec_id"].to_numpy(np.int64),
+        )
         return pd.DataFrame(
-            {"vec_id_a": pd.array(np.concatenate(out_a), "int64"),
-             "vec_id_b": pd.array(np.concatenate(out_b), "int64")}
+            {"vec_id_a": pd.array(a, "int64"),
+             "vec_id_b": pd.array(b, "int64")}
         ).drop_duplicates(["vec_id_a", "vec_id_b"])
 
     from .relational import bucketed_reduce
@@ -599,7 +649,8 @@ def embedding_near_dup(embeddings, threshold: float = 0.95, n_planes: int = 12,
         bucket_stage, batch_format="pandas"
     )
     # shuffle 1: LSH buckets → candidate pairs (ids only)
-    pairs = bucketed_reduce(slim, "tkey", candidates_bucket)
+    pairs = bucketed_reduce(slim, "tkey", candidates_bucket,
+                            partitions=partitions)
 
     _COLS = ["key", "kind", "vec_id_a", "vec_id_b", "vec_x"]
 
@@ -636,7 +687,7 @@ def embedding_near_dup(embeddings, threshold: float = 0.95, n_planes: int = 12,
 
     pairs_a = bucketed_reduce(
         pairs.map_batches(pairs_keyed_a, batch_format="pandas").union(units),
-        "key", stage_a,
+        "key", stage_a, partitions=partitions,
     )
 
     _COLS_B = ["key", "kind", "vec_id_a", "vec_id_b", "vec_a", "vec_x"]
@@ -681,7 +732,8 @@ def embedding_near_dup(embeddings, threshold: float = 0.95, n_planes: int = 12,
              "cosine": np.round(cos[keep], 9)}
         )
 
-    return bucketed_reduce(with_b_input, "key", stage_b_verify)
+    return bucketed_reduce(with_b_input, "key", stage_b_verify,
+                           partitions=partitions)
 
 
 # ----------------------------------------- connected-components dedup

@@ -61,7 +61,16 @@ def shuffle_partitions_for(est_bytes: float | None) -> int:
         return base
     import math
 
-    return int(min(8 * base, max(base, math.ceil(est_bytes / TARGET_SHUFFLE_BLOCK_BYTES))))
+    need = math.ceil(est_bytes / TARGET_SHUFFLE_BLOCK_BYTES)
+    if need >= base:
+        return int(min(8 * base, need))
+    # Small input: a base×base range exchange over a few MiB is pure
+    # barrier overhead — the #maps × #reduces object count, not the
+    # data, dominates the wall (measured: the sf0.1 near-dup queries
+    # spend >80% of their time in 64-partition sorts of <5 MiB).
+    # Shrink so sorted blocks stay ≥ ~2 MiB, floor 4 so the reduce
+    # side still overlaps with upstream compute.
+    return int(max(4, min(base, math.ceil(est_bytes / (2 << 20)))))
 
 
 def coalesce_for_shuffle(ds, partitions: int | None = None):
@@ -158,7 +167,8 @@ def sorted_group_map(ds, keys: list[str], fn, batch_format: str = "pyarrow",
     )
 
 
-def bucketed_reduce(ds, key: str | list[str], fn, num_buckets: int = NUM_BUCKETS):
+def bucketed_reduce(ds, key: str | list[str], fn, num_buckets: int = NUM_BUCKETS,
+                    partitions: int | None = None):
     """Hash-partitioned grouped reduce with VECTORIZED per-bucket
     kernels: rows are bucketed by a deterministic hash of ``key``,
     shuffled once (groupby on the bucket), and ``fn`` — a pandas
@@ -185,12 +195,14 @@ def bucketed_reduce(ds, key: str | list[str], fn, num_buckets: int = NUM_BUCKETS
     return sorted_group_map(
         ds.map_batches(add_bucket, batch_format="pandas"),
         ["__bucket"], per_bucket, batch_format="pandas",
+        partitions=partitions,
     )
 
 
 def grouped_agg(ds, keys: list[str], sum_cols: dict[str, str],
                 mean_cols: dict[str, str] | None = None,
-                count_alias: str | None = None):
+                count_alias: str | None = None,
+                partitions: int | None = None):
     """groupby(keys) with sums/means/count, pre-aggregated per batch
     inside map_batches before the shuffle (combiner pattern — the
     shuffle moves one row per key per batch, not every input row).
@@ -224,7 +236,7 @@ def grouped_agg(ds, keys: list[str], sum_cols: dict[str, str],
             out[count_alias] = n.astype("int64")
         return out.reset_index()
 
-    return bucketed_reduce(partials, keys, final_bucket)
+    return bucketed_reduce(partials, keys, final_bucket, partitions=partitions)
 
 
 def broadcast_join(ds, small_df: pd.DataFrame, on: str | list[str],
@@ -243,7 +255,8 @@ def broadcast_join(ds, small_df: pd.DataFrame, on: str | list[str],
 
 def hash_join(left, right, on: str, how: str = "inner",
               num_buckets: int = NUM_BUCKETS,
-              lsuffix: str = "", rsuffix: str = "_r"):
+              lsuffix: str = "", rsuffix: str = "_r",
+              partitions: int | None = None):
     """Co-partitioned hash join for two LARGE sides: both datasets are
     bucketed on a deterministic hash of the key and merged per bucket
     with pandas — one shuffle each side, no broadcast (ray_guide
@@ -305,7 +318,7 @@ def hash_join(left, right, on: str, how: str = "inner",
             return lhs[present if how == "semi" else ~present]
         return lhs.merge(rhs, on=on, how=how, suffixes=(lsuffix, rsuffix))
 
-    return bucketed_reduce(u, on, merge, num_buckets)
+    return bucketed_reduce(u, on, merge, num_buckets, partitions=partitions)
 
 
 def sessionize(events, key: str = "user_id", ts_col: str = "ts",

@@ -85,7 +85,7 @@ def hll_registers(ds, col: str, p: int = P_DEFAULT):
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("bucket", sort=False, as_index=False)["reg"].max()
 
-    return bucketed_reduce(partials, "bucket", per_bucket)
+    return bucketed_reduce(partials, "bucket", per_bucket, partitions=4)
 
 
 def hll_estimate(registers: pd.DataFrame, p: int = P_DEFAULT) -> float:
@@ -153,7 +153,7 @@ def bloom_words(ds, col: str):
             np.bitwise_or.reduce
         )
 
-    return bucketed_reduce(partials, "word", per_bucket)
+    return bucketed_reduce(partials, "word", per_bucket, partitions=4)
 
 
 # ---------------------------------------------------------------------------
@@ -204,7 +204,7 @@ def cms_cells(ds, col: str):
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby(["row", "col"], sort=False, as_index=False)["cnt"].sum()
 
-    return bucketed_reduce(partials, "col", per_bucket)
+    return bucketed_reduce(partials, "col", per_bucket, partitions=4)
 
 
 def cms_estimate(cells: pd.DataFrame, keys: np.ndarray) -> np.ndarray:
@@ -222,7 +222,8 @@ def cms_estimate(cells: pd.DataFrame, keys: np.ndarray) -> np.ndarray:
     return est
 
 
-def bloom_semi_join(left, right, on: str, how: str = "semi"):
+def bloom_semi_join(left, right, on: str, how: str = "semi",
+                    partitions: int | None = None):
     """Join-filter pushdown (the classic runtime Bloom filter of
     distributed SQL engines): build a Bloom sketch of the RIGHT side's
     keys (sketch exchange only — raw keys never shuffle), broadcast
@@ -261,7 +262,7 @@ def bloom_semi_join(left, right, on: str, how: str = "semi"):
         return df[hit]
 
     survivors = left.map_batches(prefilter, batch_format="pandas")
-    return hash_join(survivors, right, on=on, how="semi")
+    return hash_join(survivors, right, on=on, how="semi", partitions=partitions)
 
 
 def bloom_might_contain(words: pd.DataFrame, keys: np.ndarray) -> np.ndarray:
