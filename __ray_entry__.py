@@ -623,6 +623,44 @@ def _q_order_rollup(sf_dir: str):
     )
 
 
+def _q_order_cube(sf_dir: str):
+    """GROUP BY CUBE(priority, status): every grouping subset incl.
+    both single-key subtotals and the grand total — coarser sets
+    re-aggregate the (materialized, tiny) finest aggregate."""
+    from geotreehealth_ray.pipelines.relational import cube_sum
+
+    return cube_sum(
+        _read(sf_dir, "orders"), ["o_orderpriority", "o_orderstatus"],
+        "o_totalprice", scale=100, sum_alias="sum_cents",
+    )
+
+
+def _q_user_outer_join(sf_dir: str):
+    """FULL OUTER join of two per-user aggregates (click counts ×
+    purchase counts): both sides co-bucket on user_id, per-bucket
+    outer merges compose to the global outer join; unmatched sides
+    coalesce to 0."""
+    from geotreehealth_ray.pipelines.relational import grouped_agg, hash_join
+
+    ev = _read(sf_dir, "events")
+    clicks = grouped_agg(
+        ev.filter(expr="event_type == 'click'"), ["user_id"], {},
+        count_alias="n_click",
+    )
+    purchases = grouped_agg(
+        ev.filter(expr="event_type == 'purchase'"), ["user_id"], {},
+        count_alias="n_purchase",
+    )
+    out = hash_join(clicks, purchases, on="user_id", how="outer")
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_click"] = df["n_click"].fillna(0).astype("int64")
+        df["n_purchase"] = df["n_purchase"].fillna(0).astype("int64")
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
 def _q_cms_custkeys(sf_dir: str):
     """Count-Min frequency sketch over orders.o_custkey: output = the
     nonzero (row, col, cnt) cells — a pure integer function of the key
@@ -1119,6 +1157,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cust_semi_bloom": _q_cust_semi_bloom,
         "lineitem_ranks": _q_lineitem_ranks,
         "order_rollup": _q_order_rollup,
+        "order_cube": _q_order_cube,
+        "user_outer_join": _q_user_outer_join,
         "cms_custkeys": _q_cms_custkeys,
         "user_event_pivot": _q_user_event_pivot,
         "lineitem_unpivot": _q_lineitem_unpivot,
@@ -1504,6 +1544,24 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM orders
             GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        """,
+        "order_cube": """
+            SELECT o_orderpriority, o_orderstatus,
+                   CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_cents,
+                   count(*) AS n
+            FROM orders
+            GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        """,
+        "user_outer_join": """
+            WITH c AS (SELECT user_id, count(*) AS n_click FROM events
+                       WHERE event_type = 'click' GROUP BY user_id),
+                 p AS (SELECT user_id, count(*) AS n_purchase FROM events
+                       WHERE event_type = 'purchase' GROUP BY user_id)
+            SELECT coalesce(c.user_id, p.user_id) AS user_id,
+                   coalesce(n_click, 0) AS n_click,
+                   coalesce(n_purchase, 0) AS n_purchase
+            FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
         """,
         "cms_custkeys": """
             -- exact SQL reconstruction of the Count-Min table's nonzero

@@ -18,7 +18,7 @@ __all__ = ["grouped_agg", "broadcast_join", "latest_per_key",
            "running_total", "topk_per_group",
            "grouped_median", "distinct_count", "lag_delta", "set_op",
            "rolling_sum", "grouped_quantile", "group_ranks",
-           "pivot_counts", "unpivot", "grouped_mode", "rollup_sum",
+           "pivot_counts", "unpivot", "grouped_mode", "rollup_sum", "cube_sum",
            "global_topk"]
 
 NUM_BUCKETS = 256
@@ -269,7 +269,9 @@ def hash_join(left, right, on: str, how: str = "inner",
     salt) before calling — the same pattern assign.py uses for hot
     cells.
 
-    how: 'inner' | 'left' (pandas merge semantics), or 'semi' / 'anti'
+    how: 'inner' | 'left' | 'outer' (pandas merge semantics — 'outer'
+    is a FULL OUTER join: both sides co-bucket on the key, so per-bucket
+    outer merges compose to the global one), or 'semi' / 'anti'
     — left rows with ≥1 / 0 key matches on the right, LEFT COLUMNS
     ONLY, never duplicated by multiple right matches (SQL EXISTS /
     NOT EXISTS). The right side is projected to its key column before
@@ -644,7 +646,10 @@ def rollup_sum(ds, keys: list[str], val_col: str, scale: int = 100,
 
         return fn
 
-    finest = bucketed_reduce(partials, keys[0], reducer(keys))
+    # finest feeds both its own output level and the subtotal chain;
+    # materialize (bounded: #distinct key combos) so the data pass and
+    # each subtotal level run once, not once per consumer branch
+    finest = bucketed_reduce(partials, keys[0], reducer(keys)).materialize()
     levels = [finest.map_batches(widen(keys), batch_format="pandas")]
     prev = finest
     for i in range(len(keys) - 1, 0, -1):
@@ -666,6 +671,91 @@ def rollup_sum(ds, keys: list[str], val_col: str, scale: int = 100,
 
     tot = (
         prev.select_columns([sum_alias, count_alias])
+        .map_batches(block_total, batch_format="pandas").to_pandas()
+    )
+    grand = pd.DataFrame(
+        {
+            **{k: [None] for k in keys},
+            sum_alias: [int(tot[sum_alias].sum())],
+            count_alias: [int(tot[count_alias].sum())],
+        }
+    )
+    import ray.data as rd
+
+    levels.append(rd.from_pandas(grand))
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out
+
+
+def cube_sum(ds, keys: list[str], val_col: str, scale: int = 100,
+             sum_alias: str = "sum_scaled", count_alias: str = "n"):
+    """GROUP BY CUBE(keys…): the aggregate at EVERY subset of the key
+    columns (2^k grouping sets incl. the grand total), rolled-up key
+    columns NULL — one dataset, union of levels.
+
+    Same cost model as :func:`rollup_sum`: ONE pass over the data for
+    the finest level (per-batch integer-scaled partials → one hash
+    exchange); every other grouping set re-aggregates the FINEST
+    AGGREGATE (size = #distinct key combos, not #rows). k is a schema
+    contract (2^k sets), so this is for the 2-4 dashboard-dimension
+    case, not arbitrary-width keys."""
+    from itertools import combinations
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        scaled = np.floor(df[val_col].to_numpy() * scale + 0.5).astype(np.int64)
+        t = pd.DataFrame({k: df[k] for k in keys})
+        t["__s"] = scaled
+        g = t.groupby(keys, sort=False)["__s"].agg(["sum", "size"]).reset_index()
+        g.columns = keys + [sum_alias, count_alias]
+        return g
+
+    partials = ds.select_columns(keys + [val_col]).map_batches(
+        partial, batch_format="pandas"
+    )
+
+    def reducer(cols):
+        def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            return (
+                df.groupby(cols, sort=False)[[sum_alias, count_alias]]
+                .sum().reset_index()
+            )
+
+        return per_bucket
+
+    def widen(level_cols):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            for k in keys:
+                if k not in df.columns:
+                    df[k] = None
+            return df[keys + [sum_alias, count_alias]]
+
+        return fn
+
+    # finest is reused by every other grouping set and the grand total;
+    # materialize it (bounded: #distinct key combos, never #rows) so the
+    # data pass runs once instead of once per branch
+    finest = bucketed_reduce(partials, keys[0], reducer(keys)).materialize()
+    levels = [finest.map_batches(widen(keys), batch_format="pandas")]
+    for r in range(len(keys) - 1, 0, -1):
+        for cols in combinations(keys, r):
+            cols = list(cols)
+            lvl = bucketed_reduce(
+                finest.select_columns(cols + [sum_alias, count_alias]),
+                cols[0], reducer(cols),
+            )
+            levels.append(lvl.map_batches(widen(cols), batch_format="pandas"))
+
+    # grand total: block partials of the finest level → driver fold of
+    # ≤ #blocks slim rows (never of data)
+    def block_total(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {sum_alias: [df[sum_alias].sum()], count_alias: [df[count_alias].sum()]}
+        )
+
+    tot = (
+        finest.select_columns([sum_alias, count_alias])
         .map_batches(block_total, batch_format="pandas").to_pandas()
     )
     grand = pd.DataFrame(
