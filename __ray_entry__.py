@@ -661,6 +661,97 @@ def _q_user_outer_join(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def _q_qty_variance(sf_dir: str):
+    """Per-returnflag sample variance of quantity via exact int64
+    (n, Σx, Σx²) partials — bit-reproducible at any parallelism; the
+    variance itself is derived by pure integer arithmetic (micro
+    units)."""
+    from geotreehealth_ray.pipelines.relational import grouped_variance
+
+    return grouped_variance(
+        _read(sf_dir, "lineitem"), ["l_returnflag"], "l_quantity", scale=100,
+    )
+
+
+def _q_qty_disc_cov(sf_dir: str):
+    """Per-returnflag covariance sufficient statistics of
+    (quantity, discount): exact int64 (n, Σx, Σy, Σxy) partials +
+    cov_num = n·Σxy − Σx·Σy. Division left to the consumer (the
+    numerator can be negative and SQL/Python integer division disagree
+    on negatives)."""
+    from geotreehealth_ray.pipelines.relational import grouped_cov_stats
+
+    return grouped_cov_stats(
+        _read(sf_dir, "lineitem"), ["l_returnflag"], "l_quantity",
+        "l_discount", x_scale=100, y_scale=100,
+    )
+
+
+def _q_user_event_seq(sf_dir: str):
+    """string_agg(event_type ORDER BY event_id) per user — ordered
+    holistic concat: values co-bucket with their key in ONE exchange,
+    each bucket sorts once and joins per key vectorized."""
+    from geotreehealth_ray.pipelines.relational import grouped_concat
+
+    return grouped_concat(
+        _read(sf_dir, "events"), ["user_id"], "event_type", "event_id",
+        alias="event_seq",
+    )
+
+
+# blocklist exercised corpus-wide; the email/phone PII patterns no-op on
+# this synthetic corpus and are exercised by crafted texts in tests
+_SCRUB_BLOCKLIST = (r"\b(key|hash|value)\b", "<TERM>")
+
+
+def _q_doc_scrub(sf_dir: str):
+    """PII + blocklist scrubbing: sequential vectorized RE2 redaction
+    (pyarrow kernels), redaction counts measured per pattern on the
+    input text. RE2 on both sides → the oracle reconstructs the scrub
+    verbatim."""
+    from geotreehealth_ray.pipelines.text import PII_PATTERNS, scrub_patterns
+
+    return scrub_patterns(
+        _read(sf_dir, "documents"), [*PII_PATTERNS, _SCRUB_BLOCKLIST],
+    )
+
+
+def _q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition signals per doc: word/distinct-word
+    counts + bigram total and top-bigram count (duplicate-fraction
+    filter inputs). Zero shuffle — pure per-batch exploded counts."""
+    from geotreehealth_ray.pipelines.text import repetition_stats
+
+    return repetition_stats(_read(sf_dir, "documents"))
+
+
+_SAMPLE_WEIGHTS = {f"src{i}": 0.25 for i in range(5)}
+
+
+def _q_doc_sample_weighted(sf_dir: str):
+    """Domain-weighted deterministic downsample: keep iff the first 32
+    bits of md5(doc_id) < the source's keep fraction (src0-4 at 25%,
+    rest at 80%) — zero-shuffle filter, exact md5-hex SQL
+    reconstruction."""
+    from geotreehealth_ray.pipelines.split import weighted_sample
+
+    return weighted_sample(
+        _read(sf_dir, "documents"), "doc_id", "source",
+        weights=_SAMPLE_WEIGHTS, default=0.80,
+        keep_cols=["doc_id", "source"],
+    )
+
+
+def _q_doc_packing(sf_dir: str):
+    """Greedy next-fit sequence packing into 128-token budgets across 8
+    independent bucket streams (LLM training-batch prep); dense seq_id
+    per bucket. Sequential only within a bucket — buckets scale out."""
+    from geotreehealth_ray.pipelines.text import pack_sequences
+
+    return pack_sequences(_read(sf_dir, "documents"), budget=128,
+                          num_buckets=8)
+
+
 def _q_cms_custkeys(sf_dir: str):
     """Count-Min frequency sketch over orders.o_custkey: output = the
     nonzero (row, col, cnt) cells — a pure integer function of the key
@@ -1159,6 +1250,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_rollup": _q_order_rollup,
         "order_cube": _q_order_cube,
         "user_outer_join": _q_user_outer_join,
+        "qty_variance": _q_qty_variance,
+        "qty_disc_cov": _q_qty_disc_cov,
+        "user_event_seq": _q_user_event_seq,
+        "doc_scrub": _q_doc_scrub,
+        "doc_repetition": _q_doc_repetition,
+        "doc_sample_weighted": _q_doc_sample_weighted,
+        "doc_packing": _q_doc_packing,
         "cms_custkeys": _q_cms_custkeys,
         "user_event_pivot": _q_user_event_pivot,
         "lineitem_unpivot": _q_lineitem_unpivot,
@@ -1562,6 +1660,126 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(n_click, 0) AS n_click,
                    coalesce(n_purchase, 0) AS n_purchase
             FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+        """,
+        "qty_variance": """
+            -- exact integer reconstruction: int64 scaled partials, the
+            -- variance numerator is >= 0 so SQL // and Python // agree
+            WITH p AS (
+              SELECT l_returnflag,
+                     CAST(floor(l_quantity*100 + 0.5) AS BIGINT) AS q
+              FROM lineitem),
+            a AS (
+              SELECT l_returnflag, count(*) AS n, sum(q) AS s,
+                     sum(CAST(q AS HUGEINT) * q) AS ss
+              FROM p GROUP BY 1)
+            SELECT l_returnflag, n,
+                   CAST(s AS BIGINT) AS sum_scaled,
+                   CAST(ss AS BIGINT) AS sumsq_scaled,
+                   CAST(CASE WHEN n < 2 THEN 0 ELSE
+                     (CAST(1000000 AS HUGEINT)
+                      * (n*ss - CAST(s AS HUGEINT)*s))
+                     // (CAST(n AS HUGEINT)*(n-1)) END AS BIGINT)
+                     AS var_micro
+            FROM a
+        """,
+        "qty_disc_cov": """
+            WITH p AS (
+              SELECT l_returnflag,
+                     CAST(floor(l_quantity*100 + 0.5) AS BIGINT) AS x,
+                     CAST(floor(l_discount*100 + 0.5) AS BIGINT) AS y
+              FROM lineitem),
+            a AS (
+              SELECT l_returnflag, count(*) AS n,
+                     CAST(sum(x) AS BIGINT) AS sum_x,
+                     CAST(sum(y) AS BIGINT) AS sum_y,
+                     CAST(sum(x*y) AS BIGINT) AS sum_xy
+              FROM p GROUP BY 1)
+            SELECT l_returnflag, n, sum_x, sum_y, sum_xy,
+                   CAST(n*sum_xy - CAST(sum_x AS HUGEINT)*sum_y AS BIGINT)
+                     AS cov_num
+            FROM a
+        """,
+        "user_event_seq": """
+            SELECT user_id,
+                   string_agg(event_type, ',' ORDER BY event_id)
+                     AS event_seq,
+                   count(*) AS n
+            FROM events GROUP BY user_id
+        """,
+        "doc_scrub": """
+            -- same RE2 patterns the engine runs (pyarrow kernels are
+            -- RE2 too): sequential replace, counts on the input text
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                     '\\+?[0-9][0-9()\\-\\s]{6,}[0-9]', '<PHONE>', 'g'),
+                     '\\b(key|hash|value)\\b', '<TERM>', 'g')
+                     AS clean_text,
+                   len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                   + len(regexp_extract_all(text,
+                     '\\+?[0-9][0-9()\\-\\s]{6,}[0-9]'))
+                   + len(regexp_extract_all(text,
+                     '\\b(key|hash|value)\\b')) AS n_redactions
+            FROM documents
+        """,
+        "doc_repetition": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+            w AS (
+              SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i
+              FROM t),
+            uni AS (
+              SELECT doc_id, count(*) AS n_words,
+                     count(DISTINCT w) AS n_distinct_words
+              FROM w GROUP BY doc_id),
+            bg AS (
+              SELECT doc_id, w AS w1,
+                     lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+              FROM w),
+            bgc AS (
+              SELECT doc_id, w1, w2, count(*) AS c
+              FROM bg WHERE w2 IS NOT NULL GROUP BY ALL),
+            topb AS (
+              SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram_n
+              FROM bgc GROUP BY doc_id)
+            SELECT u.doc_id, u.n_words, u.n_distinct_words,
+                   CAST(coalesce(t.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   CAST(coalesce(t.top_bigram_n, 0) AS BIGINT)
+                     AS top_bigram_n
+            FROM uni u LEFT JOIN topb t USING (doc_id)
+        """,
+        "doc_sample_weighted": """
+            -- thresholds: floor(w * 2^32) as 8-hex-digit strings
+            -- (0.25 -> 40000000, 0.80 -> cccccccc)
+            SELECT doc_id, source FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+              CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                   THEN '40000000' ELSE 'cccccccc' END
+        """,
+        "doc_packing": """
+            -- next-fit recurrence reconstructed exactly per bucket
+            WITH RECURSIVE d AS (
+              SELECT doc_id, doc_id % 8 AS bucket,
+                     CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                          AS BIGINT) AS n_tokens
+              FROM documents),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY bucket ORDER BY doc_id) AS rn FROM d),
+            p AS (
+              SELECT doc_id, bucket, n_tokens, rn,
+                     CAST(0 AS BIGINT) AS seq_id, n_tokens AS fill
+              FROM r WHERE rn = 1
+              UNION ALL
+              SELECT r.doc_id, r.bucket, r.n_tokens, r.rn,
+                     CASE WHEN p.fill + r.n_tokens > 128
+                          THEN p.seq_id + 1 ELSE p.seq_id END,
+                     CASE WHEN p.fill + r.n_tokens > 128
+                          THEN r.n_tokens ELSE p.fill + r.n_tokens END
+              FROM p JOIN r ON r.bucket = p.bucket AND r.rn = p.rn + 1)
+            SELECT doc_id, bucket, n_tokens, seq_id FROM p
         """,
         "cms_custkeys": """
             -- exact SQL reconstruction of the Count-Min table's nonzero

@@ -19,7 +19,8 @@ __all__ = ["grouped_agg", "broadcast_join", "latest_per_key",
            "grouped_median", "distinct_count", "lag_delta", "set_op",
            "rolling_sum", "grouped_quantile", "group_ranks",
            "pivot_counts", "unpivot", "grouped_mode", "rollup_sum", "cube_sum",
-           "global_topk"]
+           "global_topk", "grouped_variance", "grouped_cov_stats",
+           "grouped_concat"]
 
 NUM_BUCKETS = 256
 
@@ -772,6 +773,115 @@ def cube_sum(ds, keys: list[str], val_col: str, scale: int = 100,
     for lvl in levels[1:]:
         out = out.union(lvl)
     return out
+
+
+def grouped_variance(ds, keys: list[str], val_col: str, scale: int = 100,
+                     var_alias: str = "var_micro"):
+    """Per-key sample VARIANCE with the distributive-partials pattern:
+    each batch emits exact int64 (n, Σx, Σx²) in integer-scaled units,
+    one slim hash exchange reduces them, and the variance is derived
+    per key by pure integer arithmetic — bit-reproducible at any
+    parallelism (float Welford partials would not be).
+
+    Output: keys, n, sum_scaled, sumsq_scaled (exact sufficient
+    statistics) + ``var_alias`` = floor(10^6 · (n·Σx² − (Σx)²) /
+    (n·(n−1))) — the sample variance in scaled² micro-units (NULL-free:
+    0 when n == 1). The numerator is ≥ 0, so Python ``//`` and SQL
+    integer division agree (they differ on negatives — DuckDB
+    truncates, Python floors). Caller sizes ``scale`` so n·Σx² fits a
+    128-bit product; the derivation uses Python ints (never wraps).
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = np.floor(df[val_col].to_numpy() * scale + 0.5).astype(np.int64)
+        t = pd.DataFrame({k: df[k] for k in keys})
+        t["__x"] = x
+        t["__xx"] = x * x
+        g = t.groupby(keys, sort=False)
+        out = g.agg(n=("__x", "size"), sum_scaled=("__x", "sum"),
+                    sumsq_scaled=("__xx", "sum")).reset_index()
+        return out
+
+    partials = ds.select_columns(keys + [val_col]).map_batches(
+        partial, batch_format="pandas"
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False)[["n", "sum_scaled", "sumsq_scaled"]]
+        out = g.sum().reset_index()
+        # python-int arithmetic: n·Σx² overflows int64 long before the
+        # inputs do
+        var = []
+        for n, s, ss in zip(out["n"], out["sum_scaled"], out["sumsq_scaled"]):
+            n, s, ss = int(n), int(s), int(ss)
+            var.append(0 if n < 2 else (10**6 * (n * ss - s * s)) // (n * (n - 1)))
+        out[var_alias] = pd.array(var, dtype="int64")
+        return out
+
+    return bucketed_reduce(partials, keys[0] if len(keys) == 1 else keys,
+                           finalize)
+
+
+def grouped_cov_stats(ds, keys: list[str], x_col: str, y_col: str,
+                      x_scale: int = 1, y_scale: int = 100):
+    """Per-key COVARIANCE sufficient statistics: exact int64
+    (n, Σx, Σy, Σxy) partials per batch → one slim exchange →
+    ``cov_num`` = n·Σxy − Σx·Σy (the covariance numerator; divide by n²
+    for population covariance). The division is left to the consumer
+    because the numerator can be NEGATIVE and SQL/Python integer
+    division disagree on negatives — the integers themselves are
+    engine-independent and exactly comparable.
+
+    Caller contract: size scales so n·Σxy and Σx·Σy fit int64
+    (n · max|x| · max|y| · n < 2^63)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = np.floor(df[x_col].to_numpy() * x_scale + 0.5).astype(np.int64)
+        y = np.floor(df[y_col].to_numpy() * y_scale + 0.5).astype(np.int64)
+        t = pd.DataFrame({k: df[k] for k in keys})
+        t["__x"] = x
+        t["__y"] = y
+        t["__xy"] = x * y
+        g = t.groupby(keys, sort=False)
+        return g.agg(n=("__x", "size"), sum_x=("__x", "sum"),
+                     sum_y=("__y", "sum"), sum_xy=("__xy", "sum")).reset_index()
+
+    partials = ds.select_columns(keys + [x_col, y_col]).map_batches(
+        partial, batch_format="pandas"
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby(keys, sort=False)[["n", "sum_x", "sum_y", "sum_xy"]]
+            .sum().reset_index()
+        )
+        out["cov_num"] = out["n"] * out["sum_xy"] - out["sum_x"] * out["sum_y"]
+        return out
+
+    return bucketed_reduce(partials, keys[0] if len(keys) == 1 else keys,
+                           finalize)
+
+
+def grouped_concat(ds, keys: list[str], val_col: str, order_col: str,
+                   alias: str = "concat", sep: str = ",",
+                   count_alias: str = "n"):
+    """SQL ``string_agg(val, sep ORDER BY order_col)`` per key: the
+    value column co-buckets with its key (ONE hash exchange — ordered
+    concat is holistic, there is no lossless combiner), each bucket
+    sorts once and joins per key vectorized. ``order_col`` must be a
+    unique total order within each key (e.g. an event id) or the
+    result is nondeterministic."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([*keys, order_col], kind="stable")
+        g = df.groupby(keys, sort=False)
+        return g.agg(**{alias: (val_col, sep.join),
+                        count_alias: (val_col, "size")}).reset_index()
+
+    return bucketed_reduce(
+        ds.select_columns(keys + [val_col, order_col]),
+        keys[0] if len(keys) == 1 else keys, per_bucket,
+    )
 
 
 def pivot_counts(ds, key: str, pivot_col: str, categories: list[str],

@@ -17,7 +17,7 @@ import pandas as pd
 from .crown_ops import stable_hash_u64
 from .relational import bucketed_reduce
 
-__all__ = ["stratified_split", "stratified_sample_n"]
+__all__ = ["stratified_split", "stratified_sample_n", "weighted_sample"]
 
 
 def stratified_split(ds, id_col: str, strata_cols: list[str],
@@ -90,3 +90,35 @@ def stratified_sample_n(ds, id_col: str, strata_cols: list[str], n_per: int):
 
     with_key = ds.map_batches(add_stratum, batch_format="pandas")
     return bucketed_reduce(with_key, "__sk", pick)
+
+
+def weighted_sample(ds, id_col: str, domain_col: str,
+                    weights: dict[str, float], default: float = 1.0,
+                    keep_cols: list[str] | None = None):
+    """Domain-weighted deterministic downsampling (training-data mixture
+    control): a row survives iff the first 32 bits of md5(id) fall below
+    its domain's keep-fraction threshold. Pure per-batch filter — zero
+    shuffle, zero state, identical keep-set at any parallelism, and the
+    md5-hex comparison is reconstructible verbatim by a SQL oracle
+    (``substr(md5(id),1,8) < '<thr_hex>'``).
+
+    Weights must be in [0, 1): thresholds are 8-hex-digit strings and
+    lowercase-hex string order equals numeric order only at fixed
+    width."""
+    from .crown_ops import md5_hex_hash
+
+    for w in [*weights.values(), default]:
+        if not (0.0 <= w < 1.0):
+            raise ValueError("weights must be in [0, 1)")
+    thr = {d: format(int(w * 2**32), "08x") for d, w in weights.items()}
+    thr_default = format(int(default * 2**32), "08x")
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        hexes = md5_hex_hash(df[id_col].to_numpy())
+        pre = np.array([h[:8] for h in hexes], dtype=object)
+        cut = df[domain_col].map(thr).fillna(thr_default).to_numpy(dtype=object)
+        keep = pre < cut
+        out = df[keep]
+        return out[keep_cols] if keep_cols else out
+
+    return ds.map_batches(fn, batch_format="pandas")

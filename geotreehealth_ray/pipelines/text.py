@@ -19,7 +19,8 @@ import pyarrow.compute as pc
 
 __all__ = ["token_counts", "bpe_token_counts", "quality_scores", "LangId",
            "lang_id", "json_extract_int", "fingerprints", "content_hashes",
-           "term_stats", "tfidf_topk"]
+           "term_stats", "tfidf_topk", "scrub_patterns", "PII_PATTERNS",
+           "repetition_stats", "pack_sequences"]
 
 _WS = re.compile(r"\s+")
 
@@ -317,3 +318,151 @@ def tfidf_topk(docs, k: int = 5):
         return g[rank < k][["doc_id", "term", "tf", "df"]]
 
     return bucketed_reduce(joined, "doc_id", per_bucket)
+
+
+# PII redaction patterns, RE2-safe (pyarrow's compute regex kernels and
+# DuckDB's regexp_* are both RE2 — the engine and the SQL oracle run the
+# LITERAL same automaton, so scrub output is exactly reconstructible).
+# The synthetic corpus contains no PII; these are exercised by crafted
+# texts in tests, while the blocklist pattern passed by the query is
+# exercised corpus-wide.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9][0-9()\-\s]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def scrub_patterns(docs, patterns: list[tuple[str, str]],
+                   text_col: str = "text", id_col: str = "doc_id",
+                   out_col: str = "clean_text",
+                   count_alias: str = "n_redactions"):
+    """PII / blocklist scrubbing: every pattern is applied to every
+    document with vectorized RE2 kernels (``pc.replace_substring_regex``
+    on zero-copy Arrow batches — no Python-level row loop, no shuffle,
+    pure streaming map).
+
+    Semantics contract (mirrored by the SQL oracle): replacements are
+    applied SEQUENTIALLY in list order; ``count_alias`` counts each
+    pattern's matches on the ORIGINAL text (replacement tokens must not
+    themselves match later patterns — true for <EMAIL>-style tokens).
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        txt = pc.cast(t[text_col], pa.string())
+        clean = txt
+        counts = None
+        for pat, repl in patterns:
+            c = pc.count_substring_regex(txt, pattern=pat)
+            counts = c if counts is None else pc.add(counts, c)
+            clean = pc.replace_substring_regex(clean, pattern=pat,
+                                               replacement=repl)
+        return pa.table({
+            id_col: t[id_col],
+            out_col: clean,
+            count_alias: pc.cast(counts, pa.int64()),
+        })
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def repetition_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher-style repetition quality signals per document:
+    (n_words, n_distinct_words, n_bigrams, top_bigram_n) — the inputs
+    to duplicate-word-fraction and top-2-gram-fraction filters. Pure
+    per-batch map (zero shuffle): tokens explode into one flat array
+    per batch, bigram counts come from a vectorized shifted-pair
+    groupby, never a per-row Python loop.
+
+    Tokenization contract (matched by the SQL oracle): split on a
+    single space — the corpus is single-space delimited; a
+    whitespace-regex variant only changes the split call."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].fillna("").str.split(" ")
+        lens = toks.map(len).to_numpy()
+        doc_idx = np.repeat(np.arange(len(df)), lens)
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        words = pd.DataFrame({"d": doc_idx, "w": flat})
+        uni = words.groupby("d", sort=True)["w"].agg(["size", "nunique"])
+        # adjacent pairs within a doc: positions i, i+1 with equal doc idx
+        same = doc_idx[:-1] == doc_idx[1:]
+        bg = pd.DataFrame({
+            "d": doc_idx[:-1][same],
+            "w1": flat[:-1][same],
+            "w2": flat[1:][same],
+        })
+        out = pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "n_words": 0, "n_distinct_words": 0,
+            "n_bigrams": 0, "top_bigram_n": 0,
+        })
+        out.loc[uni.index, "n_words"] = uni["size"].to_numpy()
+        out.loc[uni.index, "n_distinct_words"] = uni["nunique"].to_numpy()
+        if len(bg):
+            cnt = bg.groupby(["d", "w1", "w2"], sort=False).size()
+            per_doc = cnt.groupby(level=0)
+            tops = per_doc.max()
+            tot = per_doc.sum()
+            out.loc[tops.index, "top_bigram_n"] = tops.to_numpy()
+            out.loc[tot.index, "n_bigrams"] = tot.to_numpy()
+        for c in ["n_words", "n_distinct_words", "n_bigrams", "top_bigram_n"]:
+            out[c] = out[c].astype("int64")
+        return out
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
+def pack_sequences(docs, budget: int = 128, num_buckets: int = 8,
+                   id_col: str = "doc_id", text_col: str = "text"):
+    """Greedy NEXT-FIT sequence packing (LLM training-batch prep): docs
+    are hashed to ``num_buckets`` independent streams (bucket =
+    id % num_buckets), and within each bucket, in ascending id order,
+    consecutive docs share a sequence until adding one would exceed the
+    ``budget`` whitespace-token count (a doc longer than the budget
+    gets a sequence of its own). Output: (doc_id, bucket, n_tokens,
+    seq_id) with seq_id dense per bucket.
+
+    Partitioning assumption (documented per the custom-operator rule):
+    packing is sequential WITHIN a bucket — one exchange co-locates a
+    bucket, then a single O(n) scan packs it. Buckets scale out;
+    at cluster scale num_buckets is sized to ~CPU count. Cross-bucket
+    packing quality is unaffected: next-fit quality depends only on
+    the per-stream doc-length mix."""
+    from .relational import sorted_group_map
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        n = (
+            df[text_col].fillna("").str.strip().str.split(_WS).map(len)
+            .astype("int64")
+        )
+        return pd.DataFrame({
+            id_col: df[id_col],
+            "bucket": (df[id_col] % num_buckets).astype("int64"),
+            "n_tokens": n,
+        })
+
+    prepped = docs.select_columns([id_col, text_col]).map_batches(
+        prep, batch_format="pandas"
+    )
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(id_col, kind="stable").reset_index(drop=True)
+        toks = df["n_tokens"].to_numpy()
+        seq = np.empty(len(df), dtype=np.int64)
+        sid, fill = 0, 0
+        first = True
+        for i, tk in enumerate(toks):
+            if not first and fill + tk > budget:
+                sid += 1
+                fill = 0
+            seq[i] = sid
+            fill += int(tk)
+            first = False
+        df["seq_id"] = seq
+        return df
+
+    return sorted_group_map(prepped, ["bucket"], pack, batch_format="pandas")
