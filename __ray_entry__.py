@@ -752,6 +752,73 @@ def _q_doc_packing(sf_dir: str):
                           num_buckets=8)
 
 
+def _q_set_union(sf_dir: str):
+    """Table UNION (distinct-row set semantics): customers with an
+    urgent or a high-priority order."""
+    from geotreehealth_ray.pipelines.relational import set_op
+
+    orders = _read(sf_dir, "orders")
+    a = orders.filter(expr="o_orderpriority == '1-URGENT'").select_columns(
+        ["o_custkey"]
+    )
+    b = orders.filter(expr="o_orderpriority == '2-HIGH'").select_columns(
+        ["o_custkey"]
+    )
+    return set_op(a, b, "union")
+
+
+def _q_nation_region_cross(sf_dir: str):
+    """CROSS JOIN with a broadcast small side — the small table ships
+    once via ray.put, each batch takes a cartesian merge, no shuffle."""
+    from geotreehealth_ray.pipelines.relational import cross_join
+
+    nations = _read(sf_dir, "nation").select_columns(["n_name"])
+    regions = (
+        _read(sf_dir, "region").select_columns(["r_name"]).to_pandas()
+    )
+    return cross_join(nations, regions)
+
+
+def _q_emb_explode(sf_dir: str):
+    """UNNEST WITH ORDINALITY of the embedding list column: (vec_id,
+    1-based pos, micro-scaled value) — zero-copy Arrow flatten, values
+    exact via float32→float64 promotion on both sides."""
+    from geotreehealth_ray.pipelines.relational import explode_list
+
+    return explode_list(_read(sf_dir, "embeddings"), "vec_id", "embedding")
+
+
+def _q_user_value_1h(sf_dir: str):
+    """Per-event sliding 1-hour event-time window sum of value (cents)
+    per user — SUM OVER RANGE INTERVAL: one co-key exchange, prefix-sum
+    + two searchsorted probes per key."""
+    from geotreehealth_ray.pipelines.relational import time_window_sum
+
+    return time_window_sum(
+        _read(sf_dir, "events"), "user_id", "ts", "value", "event_id",
+        window_s=3600, scale=100, alias="w_sum_cents",
+    )
+
+
+def _q_phash_clusters(sf_dir: str):
+    """Image near-dup pairs (perceptual-hash pigeonhole) resolved into
+    connected components: every image mapped to its cluster
+    representative — the keep-one-per-cluster decision for the image
+    table."""
+    from geotreehealth_ray.pipelines.dedup import (
+        connected_components_dedup,
+        phash_near_dup,
+    )
+    from geotreehealth_ray.pipelines.derive import derive_phashes
+
+    images = derive_phashes(_read(sf_dir, "orders"))
+    pairs = phash_near_dup(images, max_hamming=7)
+    return connected_components_dedup(
+        images, pairs, id_col="image_id",
+        pair_cols=("image_id_a", "image_id_b"),
+    )
+
+
 def _q_cms_custkeys(sf_dir: str):
     """Count-Min frequency sketch over orders.o_custkey: output = the
     nonzero (row, col, cnt) cells — a pure integer function of the key
@@ -1257,6 +1324,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": _q_doc_repetition,
         "doc_sample_weighted": _q_doc_sample_weighted,
         "doc_packing": _q_doc_packing,
+        "set_union": _q_set_union,
+        "nation_region_cross": _q_nation_region_cross,
+        "emb_explode": _q_emb_explode,
+        "user_value_1h": _q_user_value_1h,
+        "phash_clusters": _q_phash_clusters,
         "cms_custkeys": _q_cms_custkeys,
         "user_event_pivot": _q_user_event_pivot,
         "lineitem_unpivot": _q_lineitem_unpivot,
@@ -1660,6 +1732,67 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(n_click, 0) AS n_click,
                    coalesce(n_purchase, 0) AS n_purchase
             FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+        """,
+        "set_union": """
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            UNION
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+        """,
+        "nation_region_cross": """
+            SELECT n_name, r_name FROM nation CROSS JOIN region
+        """,
+        "emb_explode": """
+            WITH w AS (
+              SELECT vec_id,
+                     unnest(embedding) AS v,
+                     generate_subscripts(embedding, 1) AS pos
+              FROM embeddings)
+            SELECT vec_id, CAST(pos AS BIGINT) AS pos,
+                   CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+                     AS val_micro
+            FROM w
+        """,
+        "user_value_1h": """
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS w_sum_cents
+            FROM events
+        """,
+        "phash_clusters": """
+            -- the exact phash pair set (see phash_pairs oracle) closed
+            -- into connected components by recursive min-propagation
+            WITH RECURSIVE ph AS (
+              SELECT o_orderkey AS image_id,
+                xor(xor(xor(
+                  md5_number_upper(CAST(o_orderkey // 4 AS VARCHAR)),
+                  CASE WHEN o_orderkey % 4 >= 1 THEN 1::UBIGINT << CAST(
+                    md5_number_upper(CAST(o_orderkey // 4 AS VARCHAR) || ':1')
+                    % 64 AS INTEGER) ELSE 0::UBIGINT END),
+                  CASE WHEN o_orderkey % 4 >= 2 THEN 1::UBIGINT << CAST(
+                    md5_number_upper(CAST(o_orderkey // 4 AS VARCHAR) || ':2')
+                    % 64 AS INTEGER) ELSE 0::UBIGINT END),
+                  CASE WHEN o_orderkey % 4 >= 3 THEN 1::UBIGINT << CAST(
+                    md5_number_upper(CAST(o_orderkey // 4 AS VARCHAR) || ':3')
+                    % 64 AS INTEGER) ELSE 0::UBIGINT END
+                ) AS phash
+              FROM orders),
+            p AS (
+              SELECT a.image_id AS a, b.image_id AS b
+              FROM ph a JOIN ph b ON a.image_id < b.image_id
+              WHERE bit_count(xor(a.phash, b.phash)) <= 7),
+            e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+            reach(src, dst) AS (
+              SELECT a, b FROM e
+              UNION
+              SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+            comp AS (
+              SELECT src AS image_id, least(src, min(dst)) AS rep
+              FROM reach GROUP BY src)
+            SELECT i.image_id, coalesce(c.rep, i.image_id) AS rep_id
+            FROM (SELECT o_orderkey AS image_id FROM orders) i
+            LEFT JOIN comp c USING (image_id)
         """,
         "qty_variance": """
             -- exact integer reconstruction: int64 scaled partials, the

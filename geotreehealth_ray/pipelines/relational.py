@@ -10,6 +10,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 __all__ = ["grouped_agg", "broadcast_join", "latest_per_key",
            "asof_join", "hourly_window_agg", "bucketed_reduce",
@@ -20,7 +21,8 @@ __all__ = ["grouped_agg", "broadcast_join", "latest_per_key",
            "rolling_sum", "grouped_quantile", "group_ranks",
            "pivot_counts", "unpivot", "grouped_mode", "rollup_sum", "cube_sum",
            "global_topk", "grouped_variance", "grouped_cov_stats",
-           "grouped_concat"]
+           "grouped_concat", "cross_join", "explode_list",
+           "time_window_sum"]
 
 NUM_BUCKETS = 256
 
@@ -1076,19 +1078,20 @@ def lag_delta(ds, key: str = "user_id", ts_col: str = "ts",
 def set_op(left, right, op: str = "intersect"):
     """SQL set operators with set (distinct-row) semantics over two
     datasets of identical schema: ``intersect`` → distinct rows present
-    in both; ``except`` → distinct left rows absent from the right
+    in both; ``except`` → distinct left rows absent from the right;
+    ``union`` → distinct rows of either side (SQL UNION, not UNION ALL)
     (the reference has no table set ops — SURVEY §2.7 gap row). Both
     sides are tagged, unioned, and hash-bucketed on the first column
     (equal rows always co-bucket), then one vectorized pandas
     merge/anti-merge runs per bucket — a single shuffle total."""
-    if op not in ("intersect", "except"):
+    if op not in ("intersect", "except", "union"):
         raise ValueError(op)
     cols = [c for c in left.columns()]
 
     def tag(side):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
             # per-batch distinct first: the shuffle moves unique rows
-            df = df.drop_duplicates()
+            df = df.drop_duplicates().copy()
             df["__side"] = np.int8(side)
             return df
 
@@ -1099,6 +1102,8 @@ def set_op(left, right, op: str = "intersect"):
     )
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if op == "union":
+            return df[cols].drop_duplicates().reset_index(drop=True)
         l = df[df["__side"] == 0][cols].drop_duplicates()
         r = df[df["__side"] == 1][cols].drop_duplicates()
         if op == "intersect":
@@ -1109,6 +1114,95 @@ def set_op(left, right, op: str = "intersect"):
         )
 
     return bucketed_reduce(u, cols[0], per_bucket)
+
+
+def cross_join(ds, small_df: pd.DataFrame):
+    """CROSS JOIN against a SMALL broadcast side: the small table ships
+    once via ``ray.put`` and each batch takes a vectorized cartesian
+    merge — no shuffle, output streams at |batch| × |small| rows. The
+    small side must fit in one worker's heap times the batch fan-out;
+    a large-large cross join is a deliberate non-feature (at 100 TB it
+    is always a modeling error)."""
+    import ray
+
+    ref = ray.put(small_df)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return df.merge(ray.get(ref), how="cross")
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def explode_list(ds, id_col: str, list_col: str, scale: int = 1_000_000,
+                 pos_alias: str = "pos", val_alias: str = "val_micro"):
+    """Flatten a ``list<float>`` column to (id, pos, val) rows — SQL
+    UNNEST WITH ORDINALITY. Pure per-batch zero-copy Arrow kernel:
+    ``list_flatten`` + ``list_parent_indices`` + an offsets subtraction
+    for the 1-based position; values are emitted as integer
+    ``scale``-units (float32 → float64 is exact and the scaled floor is
+    engine-independent, so the SQL oracle reproduces them bit-for-bit).
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = t[list_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col)
+        parents = pc.list_parent_indices(col).to_numpy()
+        offs = col.offsets.to_numpy()
+        pos = (np.arange(len(flat), dtype=np.int64) + offs[0]) - offs[parents]
+        vals = flat.to_numpy(zero_copy_only=False).astype(np.float64)
+        micro = np.floor(vals * scale + 0.5).astype(np.int64)
+        return pa.table({
+            id_col: t[id_col].take(pa.array(parents)),
+            pos_alias: pa.array(pos + 1, pa.int64()),
+            val_alias: pa.array(micro, pa.int64()),
+        })
+
+    return ds.select_columns([id_col, list_col]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def time_window_sum(ds, key: str, ts_col: str, val_col: str, id_col: str,
+                    window_s: int = 3600, scale: int = 100,
+                    alias: str = "w_sum_scaled"):
+    """Sliding EVENT-TIME window aggregate: for every row, the sum of
+    ``val_col`` over the same key's rows with ts in
+    [ts − window, ts] — SQL ``SUM(val) OVER (PARTITION BY key ORDER BY
+    ts RANGE BETWEEN <window> PRECEDING AND CURRENT ROW)``. One hash
+    exchange co-locates each key; per key the window is two vectorized
+    ``searchsorted`` probes into a prefix-sum (O(n log n) total, no
+    per-row rescan). Values are integer-scaled so the result is exact
+    and tie-order independent (RANGE windows sum all ts-peers — a sum
+    over a value range, invariant to intra-tie ordering)."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col], kind="stable")
+        ts = (
+            pd.to_datetime(df[ts_col]).astype("datetime64[us]")
+            .astype("int64").to_numpy()
+        )
+        v = np.floor(df[val_col].to_numpy() * scale + 0.5).astype(np.int64)
+        k = df[key].to_numpy()
+        out = np.empty(len(df), dtype=np.int64)
+        w_us = np.int64(window_s) * 1_000_000
+        starts = np.r_[0, np.flatnonzero(k[1:] != k[:-1]) + 1, len(df)]
+        for a, b in zip(starts[:-1], starts[1:]):
+            seg = ts[a:b]
+            cum = np.r_[0, np.cumsum(v[a:b])]
+            hi = np.searchsorted(seg, seg, side="right")
+            lo = np.searchsorted(seg, seg - w_us, side="left")
+            out[a:b] = cum[hi] - cum[lo]
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            key: k,
+            alias: out,
+        })
+
+    return bucketed_reduce(
+        ds.select_columns([id_col, key, ts_col, val_col]), key, per_bucket
+    )
 
 
 def hourly_window_agg(events, ts_col: str = "ts", key: str = "user_id",
