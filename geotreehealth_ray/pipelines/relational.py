@@ -45,35 +45,38 @@ def shuffle_partitions() -> int:
     return max(8, 2 * cpus)
 
 
-# Swept on the 15.36M-stem assign exchange (10.3 GiB union) at 32
-# CPUs: 83 parts (128 MiB) 74 s, 160 parts (64 MiB) 53 s, 256 parts
-# 102 s, 320 parts 183 s, no-coalesce/400 141 s — per-task take+put
-# overhead falls until the #maps × #reduces object count takes over.
-TARGET_SHUFFLE_BLOCK_BYTES = 64 << 20  # ~64 MiB sorted blocks
+# Sort-exchange cost is two-sided: per-partition barrier overhead
+# (sample + #maps × #reduces intermediate objects) grows with the
+# partition count, while per-block take/concat/kernel cost grows with
+# block SIZE — the measured optimum tracks sqrt(bytes). Swept at 32
+# CPUs on the assign exchange: 174 MiB → best 16 parts (3.88 s; 8:
+# 5.22, 64: 4.27, 128: 5.52), 690 MiB → best 32 (5.35 s; 16: 5.97,
+# 64: 5.78, 96: 6.59), 10.3 GiB → best 160 (53 s; 83: 74, 256: 102,
+# 320: 183), sub-5 MiB near-dup sorts → 4 parts (>80 % of their wall
+# was 64-part barrier overhead). sqrt(est / 400 KiB) reproduces every
+# optimum within noise (21 / 41 / 162 / 4).
+SQRT_SHUFFLE_UNIT = 400 << 10  # sqrt rule denominator (~400 KiB)
+MAX_SHUFFLE_BLOCK_BYTES = 128 << 20  # GiB blocks hit 32-bit-offset cliffs
 
 
 def shuffle_partitions_for(est_bytes: float | None) -> int:
     """Partition count for a sort exchange whose input size is known
-    (estimated): enough partitions that a sorted block stays near
-    TARGET_SHUFFLE_BLOCK_BYTES — huge blocks (GiB-scale binary columns)
-    push pyarrow take/concat into 32-bit-offset and allocator cliffs —
-    while still bounded below by 2×CPUs (keep cores busy) and above by
-    16×CPUs (the range shuffle is #maps × #reduces objects)."""
-    base = shuffle_partitions()
+    (estimated): sqrt(bytes / 400 KiB) — the empirical optimum of the
+    barrier-overhead vs block-size tradeoff (sweep table above) — with
+    a linear floor that keeps sorted blocks ≤ 128 MiB once the input
+    is large enough that block size, not the single-node object-count
+    quadratic, is the binding constraint (multi-node: the cap on
+    partitions scales with cluster CPUs via ``shuffle_partitions``).
+    Only block SIZING depends on the estimate — correctness never
+    does."""
     if not est_bytes:
-        return base
+        return shuffle_partitions()
     import math
 
-    need = math.ceil(est_bytes / TARGET_SHUFFLE_BLOCK_BYTES)
-    if need >= base:
-        return int(min(8 * base, need))
-    # Small input: a base×base range exchange over a few MiB is pure
-    # barrier overhead — the #maps × #reduces object count, not the
-    # data, dominates the wall (measured: the sf0.1 near-dup queries
-    # spend >80% of their time in 64-partition sorts of <5 MiB).
-    # Shrink so sorted blocks stay ≥ ~2 MiB, floor 4 so the reduce
-    # side still overlaps with upstream compute.
-    return int(max(4, min(base, math.ceil(est_bytes / (2 << 20)))))
+    sqrt_rule = round(math.sqrt(est_bytes / SQRT_SHUFFLE_UNIT))
+    size_floor = math.ceil(est_bytes / MAX_SHUFFLE_BLOCK_BYTES)
+    return int(max(4, min(8 * shuffle_partitions(),
+                          max(sqrt_rule, size_floor))))
 
 
 def coalesce_for_shuffle(ds, partitions: int | None = None):
