@@ -458,33 +458,32 @@ def raster_mask(ring: np.ndarray, wx: np.ndarray, wy: np.ndarray) -> np.ndarray:
     x1, y1 = ring[:, 0], ring[:, 1]
     x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
     h, w = len(wy), len(wx)
-    # (E, R): which edges straddle each scanline
+    # (E, R): which edges straddle each scanline — a straddling edge is
+    # never horizontal, so the crossing-x division below is always safe
     yr = wy[None, :]
     cond = (y1[:, None] <= yr) != (y2[:, None] <= yr)
-    denom = (y2 - y1)[:, None]
-    with np.errstate(divide="ignore", invalid="ignore"):
-        xint = x1[:, None] + (yr - y1[:, None]) * (x2 - x1)[:, None] / np.where(
-            denom == 0, 1.0, denom
-        )
-    n_edges = len(x1)
-    if n_edges * h * w <= 48_000_000:
-        # fully broadcast parity count — crown-sized chips (E ≲ 10²,
-        # h,w ≲ 10²·px) fit comfortably; ~4× faster than the scanline
-        # loop below
-        xe = np.where(cond, xint, np.inf)  # (E, h)
-        cnt = (xe[:, :, None] < wx[None, None, :]).sum(axis=0)
-        return (cnt % 2).astype(bool)
-    out = np.zeros((h, w), dtype=bool)
-    for i in range(h):
-        xs = xint[cond[:, i], i]
-        if len(xs) == 0:
-            continue
-        xs.sort()
-        # crossings strictly right of the pixel center: count of xs > x
-        # is len - upper_bound(x); parity of crossings to the LEFT:
-        crossings_left = np.searchsorted(xs, wx, side="left")
-        out[i] = (crossings_left % 2) == 1
-    return out
+    eidx, ridx = np.nonzero(cond)
+    if len(eidx) == 0:
+        return np.zeros((h, w), dtype=bool)
+    xs = x1[eidx] + (wy[ridx] - y1[eidx]) * (x2 - x1)[eidx] / (y2 - y1)[eidx]
+    # Parity via ONE global searchsorted instead of the E×h×w broadcast
+    # compare (the former hot spot of the chip kernel): crossings get a
+    # composite key row*span + x with per-row x clipped into
+    # [wx[0]-1, wx[-1]+1] (clipping preserves every "< pixel center"
+    # comparison — wx is ascending), so rows occupy disjoint key bands
+    # and count-of-smaller-keys minus the row's start offset is exactly
+    # the per-row strict-left crossing count. O((C + h·w) log C) with
+    # C ≈ 2 crossings per scanline.
+    lo, hi = wx[0] - 1.0, wx[-1] + 1.0
+    span = hi - lo + 1.0
+    key = ridx * span + (np.clip(xs, lo, hi) - lo)
+    key.sort(kind="stable")
+    row_start = np.cumsum(np.bincount(ridx, minlength=h)) - np.bincount(
+        ridx, minlength=h
+    )
+    q = (np.arange(h)[:, None] * span + (wx[None, :] - lo)).ravel()
+    cnt = np.searchsorted(key, q, side="left").reshape(h, w) - row_start[:, None]
+    return (cnt % 2).astype(bool)
 
 
 def bbox_intersects(

@@ -185,11 +185,11 @@ def _chip_kernel(group: pa.Table) -> pa.Table:
         cols["w"].append(ww)
         cols["h"].append(hh)
         cols["bytes"].append(codec.encode(masked, fmt))
-        cols["mask"].append(codec.encode_png((inside * 255).astype(np.uint8)))
+        cols["mask"].append(codec.encode_png((inside.astype(np.uint8) * 255)))
         cols["fmt"].append(fmt)
         cols["caption"].append(caption)
         cols["mask_px_count"].append(int(inside.sum()))
-        cols["pixel_checksum"].append(int(masked.astype(np.int64).sum()))
+        cols["pixel_checksum"].append(int(masked.sum(dtype=np.int64)))
         cols["cell"].append(int(cells_[i]))
     return pa.table(
         {f.name: pa.array(cols[f.name], f.type) for f in _CHIP_SCHEMA},
@@ -323,11 +323,11 @@ class ChipExtractor:
             cols["w"].append(ww)
             cols["h"].append(hh)
             cols["bytes"].append(codec.encode(masked, fmt))
-            cols["mask"].append(codec.encode_png((inside * 255).astype(np.uint8)))
+            cols["mask"].append(codec.encode_png((inside.astype(np.uint8) * 255)))
             cols["fmt"].append(fmt)
             cols["caption"].append(self.captions.get(tids[i], ""))
             cols["mask_px_count"].append(int(inside.sum()))
-            cols["pixel_checksum"].append(int(masked.astype(np.int64).sum()))
+            cols["pixel_checksum"].append(int(masked.sum(dtype=np.int64)))
             cols["cell"].append(int(cells_[i]))
         return pa.table(
             {f.name: pa.array(cols[f.name], f.type) for f in _CHIP_SCHEMA},
