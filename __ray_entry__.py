@@ -819,6 +819,34 @@ def _q_phash_clusters(sf_dir: str):
     )
 
 
+def _q_funnel(sf_dir: str):
+    """Ordered-sequence funnel over events: users who did
+    view → click → purchase in strict ts order, with the greedy
+    per-step completion times (exact for existence)."""
+    from geotreehealth_ray.pipelines.relational import funnel_match
+
+    return funnel_match(_read(sf_dir, "events"),
+                        ["view", "click", "purchase"])
+
+
+def _q_order_rank_fracs(sf_dir: str):
+    """PERCENT_RANK / CUME_DIST of o_totalprice per customer, as exact
+    integer numerators (rnk−1, ≤-count, partition size)."""
+    from geotreehealth_ray.pipelines.relational import rank_fractions
+
+    return rank_fractions(_read(sf_dir, "orders"), "o_custkey",
+                          "o_totalprice", "o_orderkey")
+
+
+def _q_name_editdist(sf_dir: str):
+    """Fuzzy self-join: customer-name pairs within Levenshtein
+    distance 1 (SymSpell deletion blocking + vectorized exact verify)."""
+    from geotreehealth_ray.pipelines.dedup import edit_distance_pairs
+
+    return edit_distance_pairs(_read(sf_dir, "customer"),
+                               "c_custkey", "c_name")
+
+
 def _q_cms_custkeys(sf_dir: str):
     """Count-Min frequency sketch over orders.o_custkey: output = the
     nonzero (row, col, cnt) cells — a pure integer function of the key
@@ -1329,6 +1357,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_explode": _q_emb_explode,
         "user_value_1h": _q_user_value_1h,
         "phash_clusters": _q_phash_clusters,
+        "funnel_vcp": _q_funnel,
+        "order_rank_fracs": _q_order_rank_fracs,
+        "name_editdist": _q_name_editdist,
         "cms_custkeys": _q_cms_custkeys,
         "user_event_pivot": _q_user_event_pivot,
         "lineitem_unpivot": _q_lineitem_unpivot,
@@ -1913,6 +1944,42 @@ def oracle_sql() -> dict[str, str]:
                           THEN r.n_tokens ELSE p.fill + r.n_tokens END
               FROM p JOIN r ON r.bucket = p.bucket AND r.rn = p.rn + 1)
             SELECT doc_id, bucket, n_tokens, seq_id FROM p
+        """,
+        "funnel_vcp": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (
+              SELECT e.user_id, min(e.ts) AS t2 FROM events e
+              JOIN s1 USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > s1.t1
+              GROUP BY e.user_id),
+            s3 AS (
+              SELECT e.user_id, min(e.ts) AS t3 FROM events e
+              JOIN s2 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+              GROUP BY e.user_id)
+            SELECT s1.user_id, epoch_us(t1) AS t1_us,
+                   epoch_us(t2) AS t2_us, epoch_us(t3) AS t3_us
+            FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
+        """,
+        "order_rank_fracs": """
+            SELECT o_orderkey, o_custkey,
+                   rank() OVER w AS rnk,
+                   rank() OVER w - 1 AS pr_num,
+                   count(*) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice
+                                  RANGE BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cd_cnt,
+                   count(*) OVER (PARTITION BY o_custkey) AS n_rows
+            FROM orders WINDOW w AS (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice)
+        """,
+        "name_editdist": """
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+            FROM customer a JOIN customer b
+              ON a.c_custkey < b.c_custkey
+            WHERE levenshtein(a.c_name, b.c_name) <= 1
         """,
         "cms_custkeys": """
             -- exact SQL reconstruction of the Count-Min table's nonzero

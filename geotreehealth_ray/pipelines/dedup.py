@@ -29,7 +29,8 @@ import pyarrow as pa
 
 __all__ = ["exact_dedup", "minhash_lsh_pairs", "simhash_pairs",
            "ngram_jaccard_pairs", "jaccard_of_texts", "embedding_near_dup",
-           "phash_near_dup", "connected_components_dedup"]
+           "phash_near_dup", "connected_components_dedup",
+           "edit_distance_pairs"]
 
 
 # ------------------------------------------------------------- exact
@@ -799,3 +800,124 @@ def connected_components_dedup(docs, pairs, id_col: str = "doc_id",
     return docs.select_columns([id_col]).map_batches(
         assign, batch_format="pandas"
     )
+
+
+# --------------------------------------------------- edit distance <= 1
+
+def _lev_le1_eq(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Equal-length cohort: Levenshtein <= 1 iff <= 1 substitution.
+    a, b: (n, L) uint32 codepoint matrices."""
+    return (a != b).sum(axis=1) <= 1
+
+
+def _lev_le1_del(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """len(a) == len(b)+1 cohort: distance <= 1 iff b equals a with one
+    char deleted — exists j with a[:j]==b[:j] and a[j+1:]==b[j:].
+    Vectorized via prefix/suffix all-equal cumulations (no per-row
+    scan): P[j] = prefix match up to j, S[j] = shifted suffix match
+    from j."""
+    n, la = a.shape
+    eq1 = a[:, : la - 1] == b          # a[k] == b[k]
+    eq2 = a[:, 1:] == b                # a[k+1] == b[k]
+    # P[:, j] = all(eq1[:, :j]); S[:, j] = all(eq2[:, j:])
+    p = np.ones((n, la), dtype=bool)
+    p[:, 1:] = np.logical_and.accumulate(eq1, axis=1)
+    s = np.ones((n, la), dtype=bool)
+    s[:, :-1] = np.logical_and.accumulate(eq2[:, ::-1], axis=1)[:, ::-1]
+    return (p & s).any(axis=1)
+
+
+def _str_matrix(vals: np.ndarray, width: int) -> np.ndarray:
+    """Strings (all length <= width) → (n, width) uint32 codepoints,
+    NUL-padded — one numpy cast, no per-char python."""
+    arr = np.asarray(vals, dtype=f"<U{width}")
+    return arr.view(np.uint32).reshape(len(arr), width)
+
+
+def edit_distance_pairs(ds, id_col: str = "c_custkey",
+                        text_col: str = "c_name",
+                        partitions: int | None = None):
+    """All pairs (id_a < id_b) with Levenshtein distance <= 1 — the
+    SymSpell deletion-neighborhood join (fuzzy key matching /
+    record-linkage; the reference joins only on exact StemTag equality,
+    SURVEY §2.4). Recall is exact: dist<=1 implies the two strings
+    share a blocking key (substitution at i → both i-th deletion
+    variants equal; insert/delete → the longer one's variant equals the
+    shorter string itself; equality → the identity key). Hash
+    collisions and shared-variant distance-2 pairs only ADD candidates,
+    and the exact verifier kills them.
+
+    Two slim hash exchanges: (key, id, text) rows — one row per
+    deletion variant, same cost class as shingling — co-group by key;
+    per bucket a self-merge emits candidate pairs verified by the
+    vectorized prefix/suffix kernels above (never a per-row python
+    edit-distance loop); a second exchange on id_a dedups pairs found
+    under several keys."""
+    from .relational import bucketed_reduce
+
+    def keys_stage(df: pd.DataFrame) -> pd.DataFrame:
+        ids, texts, variants = [], [], []
+        for i, t in zip(df[id_col].to_numpy(), df[text_col].to_numpy()):
+            t = t or ""
+            ids.extend([i] * (len(t) + 1))
+            texts.extend([t] * (len(t) + 1))
+            variants.append(t)
+            variants.extend(t[:j] + t[j + 1:] for j in range(len(t)))
+        out = pd.DataFrame({id_col: ids, "__t": texts})
+        out["__k"] = pd.util.hash_pandas_object(
+            pd.Series(variants), index=False
+        ).astype(np.int64)
+        return out
+
+    keyed = ds.select_columns([id_col, text_col]).map_batches(
+        keys_stage, batch_format="pandas"
+    )
+
+    def candidates_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates([id_col, "__k"])
+        m = df.merge(df, on="__k", suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]].drop_duplicates(
+            [f"{id_col}_a", f"{id_col}_b"]
+        )
+        if not len(m):
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64)})
+        ta, tb = m["__t_a"].to_numpy(), m["__t_b"].to_numpy()
+        la = np.array([len(x) for x in ta])
+        lb = np.array([len(x) for x in tb])
+        ok = np.zeros(len(m), dtype=bool)
+        for (na, nb), idx in pd.Series(range(len(m))).groupby(
+            [pd.Series(la), pd.Series(lb)]
+        ):
+            sel = idx.to_numpy()
+            if abs(na - nb) > 1:
+                continue
+            if na == nb:
+                w = max(na, 1)
+                ok[sel] = _lev_le1_eq(
+                    _str_matrix(ta[sel], w), _str_matrix(tb[sel], w)
+                ) if na else True
+            else:
+                lng, sht = (ta, tb) if na > nb else (tb, ta)
+                w = max(na, nb)
+                if w - 1 == 0:
+                    ok[sel] = True  # "x" vs "" is one deletion
+                    continue
+                ok[sel] = _lev_le1_del(
+                    _str_matrix(lng[sel], w),
+                    _str_matrix(sht[sel], w - 1),
+                )
+        m = m[ok]
+        return pd.DataFrame({
+            "id_a": m[f"{id_col}_a"].to_numpy(),
+            "id_b": m[f"{id_col}_b"].to_numpy(),
+        })
+
+    pairs = bucketed_reduce(keyed, "__k", candidates_bucket,
+                            partitions=partitions)
+
+    def dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    return bucketed_reduce(pairs, "id_a", dedup_bucket,
+                           partitions=partitions)

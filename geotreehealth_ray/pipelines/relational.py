@@ -22,7 +22,7 @@ __all__ = ["grouped_agg", "broadcast_join", "latest_per_key",
            "pivot_counts", "unpivot", "grouped_mode", "rollup_sum", "cube_sum",
            "global_topk", "grouped_variance", "grouped_cov_stats",
            "grouped_concat", "cross_join", "explode_list",
-           "time_window_sum"]
+           "time_window_sum", "funnel_match", "rank_fractions"]
 
 NUM_BUCKETS = 256
 
@@ -1024,6 +1024,78 @@ def group_ranks(ds, key: str, val_col: str, tiebreak_cols: list[str],
         return df
 
     return bucketed_reduce(ds.select_columns([key] + order), key, per_bucket)
+
+
+def funnel_match(ds, steps: list[str], key: str = "user_id",
+                 ts_col: str = "ts", type_col: str = "event_type"):
+    """Ordered-sequence funnel: keys that performed ``steps`` in strict
+    event-time order (each step strictly after the previous one), with
+    the greedy per-step completion times. Greedy is exact for
+    existence: taking the EARLIEST valid time at every step maximizes
+    the options for all later steps, so a key completes the funnel iff
+    the greedy chain completes. The reference has no sequence analytics
+    (SURVEY §2.9 gap row); the standard engines express this as
+    MATCH_RECOGNIZE / windowFunnel.
+
+    One hash exchange total: rows are pre-filtered to the step types
+    per batch (combiner — the shuffle moves only funnel-relevant
+    rows), then each key's chain is resolved per bucket with k
+    vectorized min-reductions (k = #steps), never a per-key loop.
+    Output: (key, t1_us..tk_us int64 epoch microseconds)."""
+    steps = list(steps)
+    step_set = set(steps)
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df[type_col].isin(step_set)]
+
+    prepped = ds.select_columns([key, ts_col, type_col]).map_batches(
+        slim, batch_format="pandas"
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        ts_us = (
+            pd.to_datetime(df[ts_col]).astype("datetime64[us]").astype("int64")
+        )
+        df = pd.DataFrame({key: df[key], "__us": ts_us,
+                           type_col: df[type_col]})
+        cur = None
+        times = []
+        for s in steps:
+            m = df[df[type_col] == s]
+            if cur is not None:
+                m = m.merge(cur.rename("__prev"), left_on=key,
+                            right_index=True)
+                m = m[m["__us"] > m["__prev"]]
+            cur = m.groupby(key, sort=False)["__us"].min()
+            times.append(cur)
+        out = pd.concat(times, axis=1, join="inner")
+        out.columns = [f"t{i + 1}_us" for i in range(len(steps))]
+        return out.reset_index()
+
+    return bucketed_reduce(prepped, key, per_bucket)
+
+
+def rank_fractions(ds, key: str, val_col: str, id_col: str):
+    """PERCENT_RANK / CUME_DIST per key as exact integer numerators —
+    (rnk, pr_num = rnk−1, cd_cnt = #rows with value ≤ current, n_rows)
+    — so the result is engine-independent (no float division to
+    disagree on). One hash exchange; per bucket two vectorized pandas
+    rank passes ('min' is RANK, 'max' is the CUME_DIST count) and a
+    size transform, no per-key loop."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key, sort=False)
+        rnk = g[val_col].rank(method="min").astype("int64")
+        return pd.DataFrame({
+            id_col: df[id_col], key: df[key], "rnk": rnk,
+            "pr_num": rnk - 1,
+            "cd_cnt": g[val_col].rank(method="max").astype("int64"),
+            "n_rows": g[val_col].transform("size").astype("int64"),
+        })
+
+    return bucketed_reduce(
+        ds.select_columns([id_col, key, val_col]), key, per_bucket
+    )
 
 
 def distinct_count(ds, key: str, val_col: str, alias: str = "n_distinct"):
