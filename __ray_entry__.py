@@ -847,6 +847,233 @@ def _q_name_editdist(sf_dir: str):
                                "c_custkey", "c_name")
 
 
+def _q_q3_shipping(sf_dir: str):
+    """TPC-H Q3-style multi-stage composition: segment-filtered
+    customers semi-restrict date-filtered orders (broadcast — at 100 TB
+    swap in `sketch.bloom_semi_join`, same contract), a co-partitioned
+    hash join attaches the ship-date-filtered lineitems, a combiner
+    groupby sums revenue per order, and `global_topk` returns the top
+    10 without any global sort exchange."""
+    from geotreehealth_ray.pipelines.relational import (
+        broadcast_join,
+        global_topk,
+        grouped_agg,
+        hash_join,
+    )
+
+    cutoff_us = int(pd.Timestamp("1998-01-01").value // 1000)
+    cutoff_day = cutoff_us // 86_400_000_000
+
+    cust = (
+        _read(sf_dir, "customer")
+        .filter(expr="c_mktsegment == 'BUILDING'")
+        .select_columns(["c_custkey"])
+        .to_pandas()
+        .rename(columns={"c_custkey": "o_custkey"})
+    )
+
+    def order_prep(df):
+        day = (
+            pd.to_datetime(df["o_orderdate"]).astype("datetime64[us]")
+            .astype("int64") // 86_400_000_000
+        )
+        out = pd.DataFrame({
+            "o_orderkey": df["o_orderkey"],
+            "o_custkey": df["o_custkey"],
+            "date_day": day.astype("int64"),
+        })
+        return out[out["date_day"] < cutoff_day]
+
+    orders = broadcast_join(
+        _read(sf_dir, "orders").map_batches(order_prep, batch_format="pandas"),
+        cust, on="o_custkey",
+    ).select_columns(["o_orderkey", "date_day"])
+
+    def li_prep(df):
+        ship_day = (
+            pd.to_datetime(df["l_shipdate"]).astype("datetime64[us]")
+            .astype("int64") // 86_400_000_000
+        )
+        df = df[ship_day > cutoff_day]
+        disc = df["l_extendedprice"].to_numpy() * (
+            1.0 - df["l_discount"].to_numpy()
+        )
+        return pd.DataFrame({
+            "o_orderkey": df["l_orderkey"].astype("int64"),
+            "disc_c4": np.floor(disc * 10000 + 0.5).astype("int64"),
+        })
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"]
+    ).map_batches(li_prep, batch_format="pandas")
+
+    joined = hash_join(li, orders, on="o_orderkey")
+    per_order = grouped_agg(
+        joined, ["o_orderkey", "date_day"], {"revenue_c4": "disc_c4"}
+    )
+    return global_topk(per_order, "revenue_c4", "o_orderkey", 10)
+
+
+def _q_q17_small_qty(sf_dir: str):
+    """TPC-H Q17-style correlated-aggregate composition: per-part
+    average quantity (combiner grouped_agg) joined back to the fact
+    rows, small-quantity rows kept via the integer cross-multiplied
+    predicate 5·q·n < Σq (exact — no float-average boundary), and one
+    scalar revenue sum. Brand side broadcast; stats join co-partitioned
+    (at 100 TB the stats side is one row per part — still large)."""
+    from geotreehealth_ray.pipelines.relational import (
+        broadcast_join,
+        grouped_agg,
+        hash_join,
+    )
+
+    parts = (
+        _read(sf_dir, "part")
+        .filter(expr="p_brand == 'Brand#23'")
+        .select_columns(["p_partkey"])
+        .to_pandas()
+        .rename(columns={"p_partkey": "l_partkey"})
+    )
+
+    def li_prep(df):
+        return pd.DataFrame({
+            "l_partkey": df["l_partkey"].astype("int64"),
+            "q": df["l_quantity"].astype("int64"),
+            "ep_c": np.floor(
+                df["l_extendedprice"].to_numpy() * 100 + 0.5
+            ).astype("int64"),
+        })
+
+    li = broadcast_join(
+        _read(sf_dir, "lineitem")
+        .select_columns(["l_partkey", "l_quantity", "l_extendedprice"])
+        .map_batches(li_prep, batch_format="pandas"),
+        parts, on="l_partkey",
+    )
+    stats = grouped_agg(li, ["l_partkey"], {"sum_qty": "q"}, count_alias="n")
+    joined = hash_join(li, stats, on="l_partkey")
+
+    def keep_small(df):
+        m = 5 * df["q"].to_numpy() * df["n"].to_numpy() < df[
+            "sum_qty"
+        ].to_numpy()
+        return pd.DataFrame({"ep_c": df["ep_c"].to_numpy()[m]})
+
+    kept = joined.map_batches(keep_small, batch_format="pandas")
+    from ray.data.aggregate import Sum
+
+    total = kept.aggregate(Sum("ep_c"))["sum(ep_c)"]
+    return pd.DataFrame({"total_c": [int(total or 0)]})
+
+
+def _q_set_intersect_all(sf_dir: str):
+    """INTERSECT ALL (bag semantics): supplier keys of 'R'-returned
+    lineitems, each repeated min(multiplicity) across the 'A' side."""
+    from geotreehealth_ray.pipelines.relational import set_op_all
+
+    li = _read(sf_dir, "lineitem")
+    a = li.filter(expr="l_returnflag == 'R'").select_columns(["l_suppkey"])
+    b = li.filter(expr="l_returnflag == 'A'").select_columns(["l_suppkey"])
+    return set_op_all(a, b, "intersect_all")
+
+
+def _q_set_except_all(sf_dir: str):
+    """EXCEPT ALL (bag semantics): 'R'-side supplier keys with the
+    'A'-side multiplicities subtracted (clamped at zero)."""
+    from geotreehealth_ray.pipelines.relational import set_op_all
+
+    li = _read(sf_dir, "lineitem")
+    a = li.filter(expr="l_returnflag == 'R'").select_columns(["l_suppkey"])
+    b = li.filter(expr="l_returnflag == 'A'").select_columns(["l_suppkey"])
+    return set_op_all(a, b, "except_all")
+
+
+def _q_order_first_last(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE over the full partition frame: each
+    order carries its customer's earliest and latest order price
+    (integer cents), ordered by (o_orderdate, o_orderkey)."""
+    from geotreehealth_ray.pipelines.relational import first_last_value
+
+    return first_last_value(_read(sf_dir, "orders"), "o_custkey",
+                            "o_orderdate", "o_totalprice", "o_orderkey")
+
+
+def _q_ship_overlap(sf_dir: str):
+    """Non-equi interval-overlap self-join: pairs of same-part
+    lineitems whose [shipdate, shipdate + quantity days] windows
+    overlap (sweep-line per part, one exchange)."""
+    from geotreehealth_ray.pipelines.relational import interval_overlap_pairs
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_partkey", "l_orderkey", "l_linenumber", "l_shipdate",
+         "l_quantity"]
+    )
+
+    def derive(df):
+        import pandas as _pd
+
+        day = (
+            _pd.to_datetime(df["l_shipdate"]).astype("datetime64[us]")
+            .astype("int64") // 86_400_000_000
+        )
+        return _pd.DataFrame({
+            "l_partkey": df["l_partkey"],
+            "lid": (df["l_orderkey"] * 10 + df["l_linenumber"]).astype("int64"),
+            "s_day": day.astype("int64"),
+            "e_day": (day + df["l_quantity"].astype("int64")).astype("int64"),
+        })
+
+    prepped = li.map_batches(derive, batch_format="pandas")
+    return interval_overlap_pairs(prepped, "l_partkey", "s_day", "e_day",
+                                  "lid")
+
+
+def _q_order_skyline(sf_dir: str):
+    """Pareto skyline of orders: maximize price (cents), minimize
+    order date (epoch days) — no other order is both cheaper-dominant
+    and earlier. Local-frontier combiner, zero all-to-all shuffle."""
+    from geotreehealth_ray.pipelines.relational import skyline
+
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_totalprice", "o_orderdate"]
+    )
+
+    def derive(df):
+        import numpy as _np
+        import pandas as _pd
+
+        day = (
+            _pd.to_datetime(df["o_orderdate"]).astype("datetime64[us]")
+            .astype("int64") // 86_400_000_000
+        )
+        return _pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "price_c": _np.floor(
+                df["o_totalprice"].to_numpy() * 100 + 0.5
+            ).astype("int64"),
+            "day_d": day.astype("int64"),
+        })
+
+    return skyline(orders.map_batches(derive, batch_format="pandas"),
+                   "price_c", "day_d", "o_orderkey")
+
+
+def _q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix over events: distinct users active at
+    each (first-active-day, day-offset) cell."""
+    from geotreehealth_ray.pipelines.relational import cohort_retention
+
+    return cohort_retention(_read(sf_dir, "events"))
+
+
+def _q_dup_ngrams(sf_dir: str):
+    """Cross-document duplicate word 5-grams with document frequency
+    (exact-substring dedup signal)."""
+    from geotreehealth_ray.pipelines.text import duplicate_ngrams
+
+    return duplicate_ngrams(_read(sf_dir, "documents"), n=5)
+
+
 def _q_cms_custkeys(sf_dir: str):
     """Count-Min frequency sketch over orders.o_custkey: output = the
     nonzero (row, col, cnt) cells — a pure integer function of the key
@@ -1360,6 +1587,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_vcp": _q_funnel,
         "order_rank_fracs": _q_order_rank_fracs,
         "name_editdist": _q_name_editdist,
+        "q3_shipping": _q_q3_shipping,
+        "q17_small_qty": _q_q17_small_qty,
+        "set_intersect_all": _q_set_intersect_all,
+        "set_except_all": _q_set_except_all,
+        "order_first_last": _q_order_first_last,
+        "ship_overlap": _q_ship_overlap,
+        "order_skyline": _q_order_skyline,
+        "cohort_retention": _q_cohort_retention,
+        "dup_ngrams": _q_dup_ngrams,
         "cms_custkeys": _q_cms_custkeys,
         "user_event_pivot": _q_user_event_pivot,
         "lineitem_unpivot": _q_lineitem_unpivot,
@@ -1980,6 +2216,118 @@ def oracle_sql() -> dict[str, str]:
             FROM customer a JOIN customer b
               ON a.c_custkey < b.c_custkey
             WHERE levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "q3_shipping": """
+            WITH r AS (
+              SELECT l_orderkey AS o_orderkey,
+                     epoch_us(o_orderdate) // 86400000000 AS date_day,
+                     CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                         * 10000 + 0.5) AS BIGINT))
+                          AS BIGINT) AS revenue_c4
+              FROM customer, orders, lineitem
+              WHERE c_mktsegment = 'BUILDING'
+                AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+                AND epoch_us(o_orderdate) // 86400000000
+                    < epoch_us(TIMESTAMP '1998-01-01') // 86400000000
+                AND epoch_us(l_shipdate) // 86400000000
+                    > epoch_us(TIMESTAMP '1998-01-01') // 86400000000
+              GROUP BY 1, 2)
+            SELECT o_orderkey, date_day, revenue_c4 FROM r
+            ORDER BY revenue_c4 DESC, o_orderkey LIMIT 10
+        """,
+        "q17_small_qty": """
+            WITH li AS (
+              SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+                     CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       AS ep_c
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+              WHERE p_brand = 'Brand#23'),
+            st AS (
+              SELECT l_partkey, sum(q) AS sum_qty, count(*) AS n
+              FROM li GROUP BY 1)
+            SELECT CAST(coalesce(sum(ep_c), 0) AS BIGINT) AS total_c
+            FROM li JOIN st USING (l_partkey)
+            WHERE 5 * q * n < sum_qty
+        """,
+        "set_intersect_all": """
+            SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+            INTERSECT ALL
+            SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+        """,
+        "set_except_all": """
+            SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+            EXCEPT ALL
+            SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+        """,
+        "order_first_last": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(floor(first_value(o_totalprice) OVER wfull
+                              * 100 + 0.5) AS BIGINT) AS first_val_c,
+                   CAST(floor(last_value(o_totalprice) OVER wfull
+                              * 100 + 0.5) AS BIGINT) AS last_val_c
+            FROM orders
+            WINDOW wfull AS (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND UNBOUNDED FOLLOWING)
+        """,
+        "ship_overlap": """
+            WITH l AS (
+              SELECT l_partkey,
+                     l_orderkey * 10 + l_linenumber AS lid,
+                     epoch_us(l_shipdate) // 86400000000 AS s,
+                     epoch_us(l_shipdate) // 86400000000
+                       + CAST(l_quantity AS BIGINT) AS e
+              FROM lineitem)
+            SELECT a.l_partkey,
+                   least(a.lid, b.lid) AS id_a,
+                   greatest(a.lid, b.lid) AS id_b
+            FROM l a JOIN l b
+              ON a.l_partkey = b.l_partkey AND a.lid < b.lid
+             AND a.s <= b.e AND b.s <= a.e
+        """,
+        "order_skyline": """
+            WITH t AS (
+              SELECT o_orderkey,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS price_c,
+                     epoch_us(o_orderdate) // 86400000000 AS day_d
+              FROM orders)
+            SELECT o_orderkey, price_c, day_d FROM t o
+            WHERE NOT EXISTS (
+              SELECT 1 FROM t o2
+              WHERE o2.price_c >= o.price_c AND o2.day_d <= o.day_d
+                AND (o2.price_c > o.price_c OR o2.day_d < o.day_d))
+        """,
+        "cohort_retention": """
+            WITH d AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // 86400000000 AS day
+              FROM events),
+            c AS (
+              SELECT user_id, min(day) AS cohort_day FROM d
+              GROUP BY user_id)
+            SELECT c.cohort_day, d.day - c.cohort_day AS offset_day,
+                   count(*) AS n_users
+            FROM d JOIN c USING (user_id)
+            GROUP BY 1, 2
+        """,
+        "dup_ngrams": """
+            -- word 5-grams (single-space tokenization, same contract as
+            -- doc_repetition) present in >= 2 distinct documents
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     list_distinct(
+                       [array_to_string(w[i:i+4], ' ')
+                        FOR i IN range(1, len(w) - 3)]) AS gs
+              FROM toks WHERE len(w) >= 5),
+            ex AS (SELECT doc_id, unnest(gs) AS gram FROM g)
+            SELECT gram, count(DISTINCT doc_id) AS n_docs
+            FROM ex GROUP BY gram
+            HAVING count(DISTINCT doc_id) >= 2
         """,
         "cms_custkeys": """
             -- exact SQL reconstruction of the Count-Min table's nonzero

@@ -22,7 +22,9 @@ __all__ = ["grouped_agg", "broadcast_join", "latest_per_key",
            "pivot_counts", "unpivot", "grouped_mode", "rollup_sum", "cube_sum",
            "global_topk", "grouped_variance", "grouped_cov_stats",
            "grouped_concat", "cross_join", "explode_list",
-           "time_window_sum", "funnel_match", "rank_fractions"]
+           "time_window_sum", "funnel_match", "rank_fractions",
+           "set_op_all", "first_last_value", "interval_overlap_pairs",
+           "skyline", "cohort_retention"]
 
 NUM_BUCKETS = 256
 
@@ -1315,3 +1317,233 @@ def hourly_window_agg(events, ts_col: str = "ts", key: str = "user_id",
         return out
 
     return bucketed_reduce(partials, key, final_bucket)
+
+
+# ----------------------------------------------------- bag set ops (ALL)
+
+def set_op_all(left, right, op: str = "intersect_all"):
+    """SQL INTERSECT ALL / EXCEPT ALL — bag (multiplicity) semantics
+    over two datasets of identical schema (completes `set_op`, which is
+    distinct-row only; the reference has no table set ops, SURVEY §2.7
+    gap row). Per-batch combiner counts each row value's multiplicity,
+    so the single hash shuffle moves (row-value, side, count) partials
+    — never the rows themselves; per bucket the two sides' counts
+    merge and each row value is re-emitted min(cl, cr) times
+    (INTERSECT ALL) or max(cl − cr, 0) times (EXCEPT ALL) via one
+    np.repeat, no per-row loop."""
+    if op not in ("intersect_all", "except_all"):
+        raise ValueError(op)
+    cols = [c for c in left.columns()]
+
+    def counter(side):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.groupby(cols, sort=False).size().rename("__n")
+            out = out.reset_index()
+            out["__side"] = np.int8(side)
+            return out
+
+        return fn
+
+    u = left.map_batches(counter(0), batch_format="pandas").union(
+        right.map_batches(counter(1), batch_format="pandas")
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(cols + ["__side"], sort=False)["__n"].sum().unstack(
+            "__side", fill_value=0
+        )
+        cl = g[0].to_numpy() if 0 in g.columns else np.zeros(len(g), np.int64)
+        cr = g[1].to_numpy() if 1 in g.columns else np.zeros(len(g), np.int64)
+        reps = (
+            np.minimum(cl, cr)
+            if op == "intersect_all"
+            else np.maximum(cl - cr, 0)
+        )
+        vals = g.index.to_frame(index=False)
+        return vals.iloc[np.repeat(np.arange(len(vals)), reps)].reset_index(
+            drop=True
+        )
+
+    return bucketed_reduce(u, cols[0], per_bucket)
+
+
+# ------------------------------------------- FIRST/LAST_VALUE windows
+
+def first_last_value(ds, key: str, order_col: str, val_col: str,
+                     id_col: str, scale: int = 100):
+    """FIRST_VALUE / LAST_VALUE over the full partition frame (ROWS
+    BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), ordered by
+    (order_col, id) per key — every row gets its partition's earliest
+    and latest value. Values are exact integer units
+    (floor(v·scale + 0.5)) so the result is engine-independent. One
+    hash exchange; per bucket a single stable sort + two groupby
+    transforms ('first'/'last'), no per-key loop."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, order_col, id_col], kind="stable")
+        units = np.floor(df[val_col].to_numpy() * scale + 0.5).astype(
+            np.int64
+        )
+        g = pd.DataFrame({key: df[key], "__u": units}).groupby(
+            key, sort=False
+        )["__u"]
+        return pd.DataFrame({
+            id_col: df[id_col].astype("int64"),
+            key: df[key].astype("int64"),
+            "first_val_c": g.transform("first").to_numpy(),
+            "last_val_c": g.transform("last").to_numpy(),
+        }).reset_index(drop=True)
+
+    return bucketed_reduce(
+        ds.select_columns([id_col, key, order_col, val_col]), key, per_bucket
+    )
+
+
+# ------------------------------------------- interval overlap self-join
+
+def interval_overlap_pairs(ds, key: str, start_col: str, end_col: str,
+                           id_col: str):
+    """Per-key interval-overlap self-join: all pairs of rows with the
+    same ``key`` whose integer intervals [start, end] overlap
+    (start_a <= end_b AND start_b <= end_a), emitted once per unordered
+    pair as (key, id_a=min, id_b=max). A non-equi range join neither
+    the reference (equi-joins only, SURVEY §2.4) nor Ray Data has
+    natively; the classic plan is per-key sweep-line.
+
+    One hash exchange on ``key``; per bucket the sweep is ONE global
+    searchsorted — keys are folded into the sort dimension (dense key
+    code × offset + start, offset > max end) so intervals of different
+    keys can never capture each other, and for each row i the rows
+    j > i with start_j <= end_i form a contiguous run found in O(log n)
+    with no per-key loop. Pairs are materialized with np.repeat +
+    arange arithmetic (never a Python loop). Output size is the true
+    join cardinality — callers should bound interval length/key fanout
+    the way any range join requires."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, start_col, id_col], kind="stable")
+        n = len(df)
+        s = df[start_col].to_numpy(np.int64)
+        e = df[end_col].to_numpy(np.int64)
+        ids = df[id_col].to_numpy(np.int64)
+        codes = pd.factorize(df[key].to_numpy(), use_na_sentinel=False)[0]
+        base = s.min()
+        s2 = s - base
+        e2 = np.maximum(e - base, s2)  # degenerate end<start: only self
+        off = e2.max() + 2
+        cs = codes * off + s2
+        ce = codes * off + e2
+        hi = np.searchsorted(cs, ce, side="right")
+        counts = np.maximum(hi - np.arange(n) - 1, 0)
+        total = int(counts.sum())
+        if not total:
+            return pd.DataFrame({key: pd.Series([], dtype=df[key].dtype),
+                                 "id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64)})
+        li = np.repeat(np.arange(n), counts)
+        run_starts = np.repeat(np.cumsum(counts) - counts, counts)
+        ri = li + 1 + (np.arange(total) - run_starts)
+        ia, ib = ids[li], ids[ri]
+        return pd.DataFrame({
+            key: df[key].to_numpy()[li],
+            "id_a": np.minimum(ia, ib),
+            "id_b": np.maximum(ia, ib),
+        })
+
+    return bucketed_reduce(
+        ds.select_columns([key, start_col, end_col, id_col]), key, per_bucket
+    )
+
+
+# --------------------------------------------------- skyline (Pareto)
+
+def _pareto_kernel(df: pd.DataFrame, max_col: str, min_col: str,
+                   id_col: str) -> pd.DataFrame:
+    """Rows not dominated (dominator has >= max_col, <= min_col, and is
+    strictly better on at least one). Sort by (max desc, min asc, id
+    asc); a row is dominated iff the running min of min_col over
+    strictly-greater max_col rows is <= its own, or a same-max row has
+    a strictly smaller min_col — both vectorized prefix reductions."""
+    df = df.sort_values(
+        [max_col, min_col, id_col], ascending=[False, True, True],
+        kind="stable",
+    ).reset_index(drop=True)
+    a = df[max_col].to_numpy()
+    b = df[min_col].to_numpy()
+    n = len(df)
+    if n == 0:
+        return df
+    new_grp = np.r_[True, a[1:] != a[:-1]]
+    grp_id = np.cumsum(new_grp) - 1
+    cummin_b = np.minimum.accumulate(b)
+    grp_starts = np.flatnonzero(new_grp)
+    # min of b among all rows of strictly greater a = cummin at the
+    # previous group's last element
+    prev_last = grp_starts - 1  # index of previous group's last row
+    min_b_gt_grp = np.where(
+        grp_starts == 0, np.iinfo(np.int64).max, cummin_b[prev_last]
+    )
+    min_b_gt = min_b_gt_grp[grp_id]
+    # same-a rows are sorted b asc: the group's first row holds min b
+    min_b_same = b[grp_starts][grp_id]
+    dominated = (min_b_gt <= b) | (min_b_same < b)
+    return df[~dominated].reset_index(drop=True)
+
+
+def skyline(ds, max_col: str, min_col: str, id_col: str):
+    """Pareto frontier (skyline operator): rows for which no other row
+    is >= on ``max_col`` AND <= on ``min_col`` with at least one strict
+    inequality. SQL expresses it as NOT EXISTS anti-self-join (O(n²));
+    the distributed plan exploits that the global skyline is a subset
+    of every batch's local skyline, so a per-batch combiner prunes to
+    local frontiers (typically O(log n) rows) and one single-partition
+    pass finishes — no all-to-all shuffle at all."""
+    local = ds.select_columns([id_col, max_col, min_col]).map_batches(
+        _pareto_kernel, batch_format="pandas",
+        fn_kwargs={"max_col": max_col, "min_col": min_col,
+                   "id_col": id_col},
+    )
+    return local.repartition(1).map_batches(
+        _pareto_kernel, batch_format="pandas",
+        fn_kwargs={"max_col": max_col, "min_col": min_col,
+                   "id_col": id_col},
+    )
+
+
+# --------------------------------------------------- cohort retention
+
+def cohort_retention(events, key: str = "user_id", ts_col: str = "ts"):
+    """Cohort/retention matrix: each key's cohort is its first active
+    day; output counts distinct keys per (cohort_day, offset_day) —
+    the standard activity-retention analysis. Per-batch combiner
+    first distincts (key, day) pairs so the key exchange moves at most
+    one row per key-day; per bucket each key's full history co-resides
+    (bucketed_reduce contract), so cohort = groupby(key).min is local,
+    and the bucket emits partial (cohort, offset) counts; a final tiny
+    grouped sum merges buckets. Days are int64 epoch days (UTC)."""
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        day = (_epoch_seconds(df[ts_col]) // 86400).astype("int64")
+        return pd.DataFrame({key: df[key], "__day": day}).drop_duplicates()
+
+    pairs = events.select_columns([key, ts_col]).map_batches(
+        slim, batch_format="pandas"
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()  # cross-batch dups for the same key-day
+        cohort = df.groupby(key, sort=False)["__day"].transform("min")
+        part = pd.DataFrame({
+            "cohort_day": cohort.to_numpy(),
+            "offset_day": (df["__day"] - cohort).to_numpy(),
+        })
+        out = part.groupby(["cohort_day", "offset_day"], sort=False).size()
+        return out.rename("__n").reset_index()
+
+    partials = bucketed_reduce(pairs, key, per_bucket)
+
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["cohort_day", "offset_day"], sort=False)["__n"].sum()
+        return out.rename("n_users").astype("int64").reset_index()
+
+    return bucketed_reduce(partials, "cohort_day", merge_bucket)

@@ -20,7 +20,7 @@ import pyarrow.compute as pc
 __all__ = ["token_counts", "bpe_token_counts", "quality_scores", "LangId",
            "lang_id", "json_extract_int", "fingerprints", "content_hashes",
            "term_stats", "tfidf_topk", "scrub_patterns", "PII_PATTERNS",
-           "repetition_stats", "pack_sequences"]
+           "repetition_stats", "pack_sequences", "duplicate_ngrams"]
 
 _WS = re.compile(r"\s+")
 
@@ -466,3 +466,57 @@ def pack_sequences(docs, budget: int = 128, num_buckets: int = 8,
         return df
 
     return sorted_group_map(prepped, ["bucket"], pack, batch_format="pandas")
+
+
+def duplicate_ngrams(docs, n: int = 5, id_col: str = "doc_id",
+                     text_col: str = "text", min_docs: int = 2):
+    """Cross-document duplicate n-gram detection (the exact-substring
+    side of training-data dedup, à la "Deduplicating Training Data
+    Makes Language Models Better"): every word n-gram that appears in
+    at least ``min_docs`` distinct documents, with its document
+    frequency. Output: (gram, n_docs).
+
+    Tokenization contract matches `repetition_stats` (single-space
+    split). Per batch the corpus explodes into ONE flat token array
+    (never a per-row loop); n-grams come from n shifted views joined
+    elementwise, masked to within-document runs; a per-batch
+    drop_duplicates keeps the shuffle to distinct (gram, doc) pairs;
+    one hash exchange on gram, then a vectorized per-bucket
+    nunique + threshold. At 100 TB the gram column should be a 64-bit
+    fingerprint instead of the string — `fingerprints` provides the
+    kernel; the string form here keeps the oracle exact."""
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].fillna("").str.split(" ")
+        lens = toks.map(len).to_numpy()
+        doc_idx = np.repeat(np.arange(len(df)), lens)
+        if not len(doc_idx) or len(doc_idx) < n:
+            return pd.DataFrame({
+                "gram": pd.Series([], dtype=object),
+                id_col: pd.Series([], dtype=np.int64),
+            })
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        m = len(flat) - n + 1
+        gram = flat[:m].copy()
+        for i in range(1, n):
+            gram = gram + " "
+            gram = gram + flat[i : m + i]
+        within = doc_idx[: m] == doc_idx[n - 1 :]
+        out = pd.DataFrame({
+            "gram": gram[within],
+            id_col: df[id_col].to_numpy()[doc_idx[:m][within]],
+        })
+        return out.drop_duplicates()
+
+    pairs = docs.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pandas"
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = df.drop_duplicates().groupby("gram", sort=False)[id_col].size()
+        cnt = cnt[cnt >= min_docs]
+        return cnt.rename("n_docs").astype("int64").reset_index()
+
+    from .relational import bucketed_reduce
+
+    return bucketed_reduce(pairs, "gram", per_bucket)
