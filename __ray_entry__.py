@@ -1362,6 +1362,51 @@ def _q_synth_median_polygon(sf_dir: str):
     return select_median_polygon(crowns)
 
 
+def _q_synth_radius_pairs(sf_dir: str):
+    """Spatial radius self-join over the synthetic stems: all pairs
+    within 6 m (halo-bounded cell co-partition; each pair emitted once
+    by the lower-id owner). Distances as exact integer micrometers —
+    sqrt/\\*/+ are each correctly-rounded IEEE ops, so the DuckDB
+    oracle reproduces them bit-for-bit."""
+    from geotreehealth_ray.pipelines.knn import radius_pairs
+    from geotreehealth_ray.pipelines.relational import bucketed_reduce
+
+    p = _synth_paths()
+    stems = _rd().read_parquet(p["stems"]).select_columns(
+        ["stem_id", "x", "y"]
+    )
+    # year-duplicate rows share (stem_id, x, y) → one global distinct
+    uniq = bucketed_reduce(
+        stems, "stem_id", lambda df: df.drop_duplicates("stem_id")
+    )
+    pairs = radius_pairs(uniq, 6.0)
+
+    def to_um(df):
+        return pd.DataFrame({
+            "id_a": df["id_a"], "id_b": df["id_b"],
+            "dist_um": np.floor(
+                df["dist"].to_numpy() * 1e6 + 0.5
+            ).astype("int64"),
+        })
+
+    return pairs.map_batches(to_um, batch_format="pandas")
+
+
+def _q_synth_zonal_stats(sf_dir: str):
+    """Raster↔vector zonal statistics: per-crown masked band
+    count/sum/min/max over the tile store (one slim tile_id sort;
+    tiles decode worker-locally — golden-tested vs a single-process
+    recomputation in tests/test_zonal.py)."""
+    from geotreehealth_ray.pipelines.chips import GridSpec, zonal_stats
+    from geotreehealth_ray.sources import synth
+
+    p = _synth_paths()
+    return zonal_stats(
+        _rd().read_parquet(p["crowns"]), p["tiles"],
+        GridSpec.from_synth(synth.TINY),
+    )
+
+
 def _q_synth_stem_dedup(sf_dir: str):
     from geotreehealth_ray.pipelines.crown_ops import dedup_stems
 
@@ -1632,6 +1677,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "synth_knn_cardinal": _q_synth_knn_cardinal,
         "synth_median_polygon": _q_synth_median_polygon,
         "synth_stem_dedup": _q_synth_stem_dedup,
+        "synth_radius_pairs": _q_synth_radius_pairs,
+        "synth_zonal_stats": _q_synth_zonal_stats,
         "stem_rebalance": _q_stem_rebalance,
         "synth_image_stats": _q_synth_image_stats,
     }
@@ -1691,6 +1738,21 @@ def oracle_sql() -> dict[str, str]:
     # order the driver evaluates queries vs oracles in
     _synth_paths()
     return {
+        "synth_radius_pairs": f"""
+            -- all stem pairs within 6 m; engine emits each unordered
+            -- pair once (lower-id owner rule). dist_um is bit-exact:
+            -- (b.x-a.x)² + … and sqrt are the same correctly-rounded
+            -- IEEE ops the numpy kernel runs
+            WITH s AS (
+              SELECT DISTINCT stem_id, x, y
+              FROM read_parquet('{_SYNTH_CACHE}/stems/*.parquet'))
+            SELECT a.stem_id AS id_a, b.stem_id AS id_b,
+                   CAST(floor(sqrt((b.x-a.x)*(b.x-a.x)
+                                   + (b.y-a.y)*(b.y-a.y)) * 1000000
+                              + 0.5) AS BIGINT) AS dist_um
+            FROM s a JOIN s b ON a.stem_id < b.stem_id
+            WHERE (b.x-a.x)*(b.x-a.x) + (b.y-a.y)*(b.y-a.y) <= 36.0
+        """,
         "synth_stem_dedup": f"""
             -- engine: crown_ops.dedup_stems (max dbh, tie → latest
             -- year); tie-free on this deterministic table (verified:

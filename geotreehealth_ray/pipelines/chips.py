@@ -31,7 +31,8 @@ import pyarrow.compute as pc
 from ..functions import codec, geom
 from ..stages.spatial import pack_rings, rings_from_binary
 
-__all__ = ["extract_chips", "assign_crowns_to_tiles", "GridSpec"]
+__all__ = ["extract_chips", "assign_crowns_to_tiles", "GridSpec",
+           "zonal_stats"]
 
 
 class GridSpec:
@@ -516,3 +517,99 @@ def extract_chips(crowns, tiles, captions, grid: GridSpec, n_salt: int = 8):
     from .relational import sorted_group_map
 
     return sorted_group_map(union, ["tile_id", "salt"], _chip_kernel)
+
+
+_ZONAL_SCHEMA = pa.schema(
+    [
+        ("crown_id", pa.string()),
+        ("tile_id", pa.string()),
+        ("px_count", pa.int64()),
+        ("band_sums", pa.list_(pa.int64())),
+        ("band_mins", pa.list_(pa.int64())),
+        ("band_maxs", pa.list_(pa.int64())),
+    ]
+)
+
+
+class ZonalExtractor(ChipExtractor):
+    """Raster↔vector ZONAL STATISTICS: per crown, the masked pixels of
+    its owning tile reduce to (count, per-band sum/min/max) — the
+    classic geospatial zonal-stats operator (the aggregation half of
+    the reference's rasterio.mask crop, store_data_structures.py:15-39,
+    without materializing any chip bytes). Same storage-join layout as
+    ChipExtractor: the only shuffle is slim crown rows sorted by
+    tile_id; tiles decode worker-locally with the LRU cache."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+        rings = rings_from_binary(batch["ring_b"])
+        cids = batch["crown_id"].to_numpy(zero_copy_only=False)
+        tids = batch["tile_id"].to_numpy(zero_copy_only=False)
+        cols: dict[str, list] = {f.name: [] for f in _ZONAL_SCHEMA}
+        for i in range(len(batch)):
+            img, fmt, a, c0, e, f0 = self._tile(tids[i])
+            th, tw = img.shape[0], img.shape[1]
+            ring = rings[i]
+            minx, miny, maxx, maxy = geom.ring_bbox(ring)
+            col0 = max(0, int(np.floor((minx - c0) / a)))
+            col1 = min(tw, int(np.ceil((maxx - c0) / a)))
+            row0 = max(0, int(np.floor((maxy - f0) / e)))
+            row1 = min(th, int(np.ceil((miny - f0) / e)))
+            if col1 <= col0 or row1 <= row0:
+                continue
+            crop = img[row0:row1, col0:col1]
+            wx = c0 + (np.arange(col0, col1) + 0.5) * a
+            wy = f0 + (np.arange(row0, row1) + 0.5) * e
+            inside = geom.raster_mask(ring, wx, wy)
+            npx = int(inside.sum())
+            if npx == 0:
+                continue
+            vals = crop[inside].astype(np.int64)  # (npx, bands)
+            cols["crown_id"].append(cids[i])
+            cols["tile_id"].append(tids[i])
+            cols["px_count"].append(npx)
+            cols["band_sums"].append(vals.sum(axis=0).tolist())
+            cols["band_mins"].append(vals.min(axis=0).tolist())
+            cols["band_maxs"].append(vals.max(axis=0).tolist())
+        return pa.table(
+            {f.name: pa.array(cols[f.name], f.type) for f in _ZONAL_SCHEMA},
+            schema=_ZONAL_SCHEMA,
+        )
+
+
+def _zonal_task(batch: pa.Table, tiles_path: str) -> pa.Table:
+    key = f"zonal::{tiles_path}"
+    ext = _WORKER_EXTRACTORS.get(key)
+    if ext is None:
+        ext = ZonalExtractor(tiles_path, None, 8)
+        _WORKER_EXTRACTORS[key] = ext
+    return ext(batch)
+
+
+def zonal_stats(crowns, tiles_path: str, grid: GridSpec,
+                batch_size: int = 256, num_out_blocks: int | None = None):
+    """Zonal statistics over the tile store: one slim sort exchange on
+    tile_id, then worker-cached decode + masked per-band reductions.
+    Output: (crown_id, tile_id, px_count, band_sums/mins/maxs)."""
+    import ray
+
+    crowns_t = assign_crowns_to_tiles(
+        crowns.select_columns(
+            ["crown_id", "ring", "minx", "miny", "maxx", "maxy", "cell"]
+        ).map_batches(pack_rings, batch_format="pyarrow"),
+        grid,
+    ).map_batches(
+        lambda t: t.filter(pc.not_equal(t["tile_id"], "")),
+        batch_format="pyarrow",
+    )
+    if num_out_blocks is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_out_blocks = cpus * 8
+    from .relational import coalesce_for_shuffle
+
+    ordered = (
+        coalesce_for_shuffle(crowns_t).sort("tile_id").repartition(num_out_blocks)
+    )
+    return ordered.map_batches(
+        _zonal_task, fn_kwargs={"tiles_path": tiles_path},
+        batch_format="pyarrow", batch_size=batch_size,
+    )

@@ -30,7 +30,7 @@ from .relational import sorted_group_map
 from ..functions import cells
 from ..stages.spatial import scramble_cell
 
-__all__ = ["knn_points", "knn_cardinal"]
+__all__ = ["knn_points", "knn_cardinal", "radius_pairs"]
 
 
 def _halo_explode(batch: pa.Table, res: int, halo_m: float | None = None) -> pa.Table:
@@ -252,4 +252,73 @@ def knn_cardinal(points, min_dist: float = 3.0, res: int = cells.DEFAULT_RES,
     return sorted_group_map(
         exploded.map_batches(scramble_cell, batch_format="pyarrow"),
         ["cell"], _cardinal_cell, fn_kwargs={"min_dist": min_dist},
+    )
+
+
+_R_CHUNK = 512
+
+
+def _radius_cell(group: pa.Table, radius: float) -> pa.Table:
+    """Per-cell radius-pair kernel: owner rows probe all copies in the
+    cell with a chunked distance matrix; a pair is emitted once, from
+    the owner with the LOWER id (the ownership rule that makes halo
+    replication dupe-free). d² ≤ r² masks match the SQL oracle's
+    float comparison exactly (each IEEE op correctly rounded, same
+    order of operations)."""
+    ids = group["id"].to_numpy(zero_copy_only=False)
+    x = group["x"].to_numpy()
+    y = group["y"].to_numpy()
+    owner = group["owner"].to_numpy(zero_copy_only=False)
+    qi = np.where(owner)[0]
+    empty = pa.table({
+        "id_a": pa.array([], pa.string()),
+        "id_b": pa.array([], pa.string()),
+        "dist": pa.array([], pa.float64()),
+    })
+    if len(qi) == 0 or len(ids) <= 1:
+        return empty
+    r2 = radius * radius
+    out_a, out_b, out_d = [], [], []
+    for c0 in range(0, len(qi), _R_CHUNK):
+        q = qi[c0 : c0 + _R_CHUNK]
+        dx = x[None, :] - x[q][:, None]
+        dy = y[None, :] - y[q][:, None]
+        d2 = dx * dx + dy * dy
+        hit = (d2 <= r2) & (ids[None, :] > ids[q][:, None])
+        qq, jj = np.where(hit)
+        if len(qq):
+            out_a.append(ids[q][qq])
+            out_b.append(ids[jj])
+            out_d.append(np.sqrt(d2[qq, jj]))
+    if not out_a:
+        return empty
+    return pa.table({
+        "id_a": pa.array(np.concatenate(out_a)),
+        "id_b": pa.array(np.concatenate(out_b)),
+        "dist": pa.array(np.concatenate(out_d)),
+    })
+
+
+def radius_pairs(points, radius: float, res: int = cells.DEFAULT_RES,
+                 id_col: str = "stem_id"):
+    """Spatial radius self-join: every unordered pair of points within
+    ``radius`` of each other, as (id_a < id_b, dist). The fixed-radius
+    variant of the kNN machinery (same halo-replication exchange,
+    SURVEY §7.3): each point is copied only into neighbor cells whose
+    boundary lies within ``radius`` (halo_m=radius bounds shuffle
+    growth to ~1 + 4·r/edge), pairs resolve cell-locally, and the
+    lower-id-owner rule emits each pair exactly once — no post-join
+    dedup exchange. Exact for radius ≤ cell edge (asserted)."""
+    if radius > cells.cell_edge_m(res):
+        raise ValueError("radius must be <= cell edge for halo exactness")
+    pts = points.select_columns([id_col, "x", "y"]).map_batches(
+        lambda t: t.rename_columns(["id", "x", "y"]), batch_format="pyarrow"
+    )
+    exploded = pts.map_batches(
+        _halo_explode, batch_format="pyarrow",
+        fn_kwargs={"res": res, "halo_m": radius},
+    )
+    return sorted_group_map(
+        exploded.map_batches(scramble_cell, batch_format="pyarrow"),
+        ["cell"], _radius_cell, fn_kwargs={"radius": radius},
     )

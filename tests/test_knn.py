@@ -3,6 +3,7 @@ all-pairs reference (reference get_polygons.py:326-329 argsort of
 Euclidean norms; cardinal variant batch_sam.py:425-452)."""
 
 import numpy as np
+import pandas as pd
 import pytest
 
 import reference_impl
@@ -99,3 +100,33 @@ def test_cardinal_knn_quadrants(tiny, ray_session):
                 key = (pid, quad)
                 assert key in gm
                 assert gm[key][1] == pytest.approx(float(dd[j]), abs=1e-9)
+
+
+def test_radius_pairs_bruteforce(ray_session):
+    import ray.data as rd
+
+    from geotreehealth_ray.pipelines.knn import radius_pairs
+
+    rng = np.random.default_rng(21)
+    n = 300
+    # span several 128 m cells so halo replication is exercised
+    df = pd.DataFrame({
+        "stem_id": [f"{i:06d}" for i in range(n)],
+        "x": rng.uniform(0, 600, n),
+        "y": rng.uniform(0, 600, n),
+    })
+    r = 25.0
+    got = radius_pairs(
+        rd.from_pandas(df).repartition(4), r
+    ).to_pandas()
+    got_pairs = set(zip(got["id_a"], got["id_b"]))
+    x, y = df["x"].to_numpy(), df["y"].to_numpy()
+    d2 = (x[:, None] - x[None, :]) ** 2 + (y[:, None] - y[None, :]) ** 2
+    want = {
+        (df["stem_id"][i], df["stem_id"][j])
+        for i in range(n)
+        for j in range(i + 1, n)
+        if d2[i, j] <= r * r
+    }
+    assert got_pairs == want
+    assert len(got) == len(got_pairs)  # no halo duplicates
