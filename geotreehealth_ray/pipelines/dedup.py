@@ -33,12 +33,26 @@ __all__ = ["exact_dedup", "minhash_lsh_pairs", "simhash_pairs",
            "edit_distance_pairs"]
 
 
+def _auto_parts(partitions, ds, scale: float = 1.0):
+    """Default a dedup exchange's partition count from the input
+    table's file metadata (see relational.auto_partitions): the slim
+    rows these ops shuffle track input bytes × ``scale``. Explicit
+    ``partitions`` always wins; non-file-backed inputs keep the
+    CPU-count default."""
+    if partitions is not None:
+        return partitions
+    from .relational import auto_partitions
+
+    return auto_partitions(ds, scale=scale)
+
+
 # ------------------------------------------------------------- exact
 
 def exact_dedup(docs, partitions: int | None = None):
     """(doc_id, n_dups) — one row per distinct text: the minimum doc_id
     plus the duplicate count. Equivalent SQL:
     SELECT min(doc_id) AS doc_id, count(*) AS n_dups GROUP BY text."""
+    partitions = _auto_parts(partitions, docs)
     import hashlib as _h
 
     def hash_stage(df: pd.DataFrame) -> pd.DataFrame:
@@ -176,6 +190,7 @@ def ngram_jaccard_pairs(docs, n: int = 3, threshold: float = 0.5,
     quadratic; the prefix trick already biases emitted grams toward the
     rare end (hash-ascending ≈ frequency-agnostic uniform), and a df-cap
     salting pass can be layered if a real corpus ever hits it."""
+    partitions = _auto_parts(partitions, docs)
     import math
 
     def prefix_stage(df: pd.DataFrame) -> pd.DataFrame:
@@ -262,6 +277,8 @@ def minhash_lsh_pairs(docs, k: int = 5, num_perm: int = 128, bands: int = 32,
        the wire once per pair-membership, not once per band;
     5. exact shingle-Jaccard verify per pair, keep ≥ threshold.
     """
+    # band rows are slim but fan out ×bands — ~2× the raw text bytes
+    partitions = _auto_parts(partitions, docs, scale=2.0)
     rows_per_band = num_perm // bands
 
     def band_stage(df: pd.DataFrame) -> pd.DataFrame:
@@ -482,6 +499,7 @@ def simhash_pairs(docs, max_hamming: int = 3, partitions: int | None = None):
     """(doc_id_a, doc_id_b, hamming) — SimHash near-dups. Pigeonhole:
     Hamming ≤ 3 over 4 16-bit segments ⇒ ≥1 segment identical, so
     bucket by each segment and verify in-bucket."""
+    partitions = _auto_parts(partitions, docs)
 
     def sig_stage(df: pd.DataFrame) -> pd.DataFrame:
         sigs = np.array(
@@ -548,6 +566,9 @@ def phash_near_dup(images, max_hamming: int = 7,
     exact_dedup first in that case — same guidance as the reference's
     drop_duplicates-before-overlap-cleanup order, see
     reference src/delineation_utils.py dedup-then-merge flow)."""
+    # the image table is dominated by the bytes column the shuffle
+    # never touches; the slim (id, seg, sig) rows are a few % of it
+    partitions = _auto_parts(partitions, images, scale=0.05)
     n_seg = max_hamming + 1
     if not 1 <= n_seg <= 64:
         raise ValueError("max_hamming must be in [0, 63]")
@@ -615,6 +636,7 @@ def embedding_near_dup(embeddings, threshold: float = 0.95, n_planes: int = 12,
     4. shuffle on vec_id_b: attach unit vector b + exact cosine verify
        in the same exchange.
     """
+    partitions = _auto_parts(partitions, embeddings)
 
     def bucket_stage(df: pd.DataFrame) -> pd.DataFrame:
         vecs = np.stack(df["embedding"].to_numpy()).astype(np.float64)
@@ -853,6 +875,8 @@ def edit_distance_pairs(ds, id_col: str = "c_custkey",
     vectorized prefix/suffix kernels above (never a per-row python
     edit-distance loop); a second exchange on id_a dedups pairs found
     under several keys."""
+    # deletion variants fan out ×(len+1) slim rows per string
+    partitions = _auto_parts(partitions, ds, scale=4.0)
     from .relational import bucketed_reduce
 
     def keys_stage(df: pd.DataFrame) -> pd.DataFrame:

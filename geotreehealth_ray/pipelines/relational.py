@@ -16,6 +16,7 @@ __all__ = ["grouped_agg", "broadcast_join", "latest_per_key",
            "asof_join", "hourly_window_agg", "bucketed_reduce",
            "sorted_group_map", "NUM_BUCKETS", "shuffle_partitions",
            "shuffle_partitions_for", "coalesce_for_shuffle",
+           "input_bytes_estimate", "auto_partitions",
            "running_total", "topk_per_group",
            "grouped_median", "distinct_count", "lag_delta", "set_op",
            "rolling_sum", "grouped_quantile", "group_ranks",
@@ -85,6 +86,46 @@ def coalesce_for_shuffle(ds, partitions: int | None = None):
     """Coalesce (no shuffle — adjacent-block concat) to the target
     partition count before a sort-based wide op."""
     return ds.repartition(partitions or shuffle_partitions())
+
+
+# Parquet bytes decompress ~3× into Arrow/pandas heap on the synthetic
+# tables (text and int columns mixed); only block SIZING uses this.
+PARQUET_EXPANSION = 3.0
+
+
+def input_bytes_estimate(*dss, expansion: float = PARQUET_EXPANSION):
+    """Best-effort in-memory size estimate of datasets whose plan root
+    is still a file read: sum of source file bytes × decompression
+    expansion. Metadata-only (``input_files`` never executes the plan).
+    Returns None once transforms have erased file lineage or no file
+    exists — callers fall back to the CPU-count default."""
+    import os
+
+    total = 0
+    for ds in dss:
+        try:
+            files = ds.input_files()
+        except Exception:
+            return None
+        if not files:
+            return None
+        for f in files:
+            try:
+                total += os.path.getsize(f)
+            except OSError:
+                pass
+    return expansion * total if total else None
+
+
+def auto_partitions(*dss, scale: float = 1.0):
+    """Size a sort exchange from its input datasets' file metadata:
+    ``shuffle_partitions_for`` over the summed estimate × ``scale``
+    (the op's fan-out/slim-down factor vs raw input — e.g. a combiner
+    that ships one row per key per block passes scale << 1; a per-band
+    explode passes its slim-row fan-out). None (caller keeps the
+    default) when the inputs are not raw file reads."""
+    est = input_bytes_estimate(*dss)
+    return None if est is None else shuffle_partitions_for(scale * est)
 
 
 def _epoch_seconds(ts: pd.Series) -> pd.Series:

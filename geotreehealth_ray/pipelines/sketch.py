@@ -241,10 +241,13 @@ def bloom_semi_join(left, right, on: str, how: str = "semi",
     non-members kept, so the prefilter can't drop anything."""
     import ray
 
-    from .relational import hash_join
+    from .relational import auto_partitions, hash_join
 
     if how != "semi":
         raise ValueError("bloom pushdown only accelerates semi joins")
+    if partitions is None:
+        # the exchange carries prefilter survivors + the slim probe key
+        partitions = auto_partitions(left, right)
     # sketch table is ≤ 2^13 rows — a driver-side fold of the SKETCH,
     # never of data — then one object-store broadcast
     table = np.zeros(1 << (BLOOM_BITS_LOG2 - 5), np.int64)

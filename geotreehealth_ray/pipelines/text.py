@@ -285,7 +285,10 @@ def term_stats(docs, min_df: int = 3):
         out = g.groupby("term", sort=False, as_index=False)[["df", "cf"]].sum()
         return out[out["df"] >= min_df]
 
-    return bucketed_reduce(partials, "term", per_bucket)
+    from .relational import auto_partitions
+
+    return bucketed_reduce(partials, "term", per_bucket,
+                           partitions=auto_partitions(docs))
 
 
 def tfidf_topk(docs, k: int = 5):
@@ -305,8 +308,11 @@ def tfidf_topk(docs, k: int = 5):
     tf_pairs = docs.select_columns(["doc_id", "text"]).map_batches(
         _doc_term_tf, batch_format="pandas"
     )
+    from .relational import auto_partitions
+
     dfreq = term_stats(docs, min_df=1).select_columns(["term", "df"])
-    joined = hash_join(tf_pairs, dfreq, on="term")
+    joined = hash_join(tf_pairs, dfreq, on="term",
+                       partitions=auto_partitions(docs, scale=2.0))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(
@@ -317,7 +323,10 @@ def tfidf_topk(docs, k: int = 5):
         rank = g.groupby("doc_id", sort=False).cumcount()
         return g[rank < k][["doc_id", "term", "tf", "df"]]
 
-    return bucketed_reduce(joined, "doc_id", per_bucket)
+    from .relational import auto_partitions
+
+    return bucketed_reduce(joined, "doc_id", per_bucket,
+                           partitions=auto_partitions(docs, scale=2.0))
 
 
 # PII redaction patterns, RE2-safe (pyarrow's compute regex kernels and
@@ -517,6 +526,8 @@ def duplicate_ngrams(docs, n: int = 5, id_col: str = "doc_id",
         cnt = cnt[cnt >= min_docs]
         return cnt.rename("n_docs").astype("int64").reset_index()
 
-    from .relational import bucketed_reduce
+    from .relational import auto_partitions, bucketed_reduce
 
-    return bucketed_reduce(pairs, "gram", per_bucket)
+    # exploded gram rows are slim (16 B hash + id) but one per token
+    return bucketed_reduce(pairs, "gram", per_bucket,
+                           partitions=auto_partitions(docs, scale=2.0))
