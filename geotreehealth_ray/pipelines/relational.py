@@ -117,6 +117,16 @@ def input_bytes_estimate(*dss, expansion: float = PARQUET_EXPANSION):
     return expansion * total if total else None
 
 
+def combiner_partitions() -> int:
+    """Partition count for the FINAL exchange of a partial/combiner
+    aggregate: the stream holds at most one row per key per input
+    block — orders of magnitude smaller than the data — so an eighth
+    of the CPU-count default avoids paying 64 sort-barrier tasks on a
+    stream of a few thousand rows while still scaling with cluster
+    size (a 2048-CPU cluster gets 512 reduce partitions)."""
+    return max(4, shuffle_partitions() // 8)
+
+
 def auto_partitions(*dss, scale: float = 1.0):
     """Size a sort exchange from its input datasets' file metadata:
     ``shuffle_partitions_for`` over the summed estimate × ``scale``
@@ -285,7 +295,8 @@ def grouped_agg(ds, keys: list[str], sum_cols: dict[str, str],
             out[count_alias] = n.astype("int64")
         return out.reset_index()
 
-    return bucketed_reduce(partials, keys, final_bucket, partitions=partitions)
+    return bucketed_reduce(partials, keys, final_bucket,
+                           partitions=partitions or combiner_partitions())
 
 
 def broadcast_join(ds, small_df: pd.DataFrame, on: str | list[str],
@@ -698,7 +709,8 @@ def rollup_sum(ds, keys: list[str], val_col: str, scale: int = 100,
     # finest feeds both its own output level and the subtotal chain;
     # materialize (bounded: #distinct key combos) so the data pass and
     # each subtotal level run once, not once per consumer branch
-    finest = bucketed_reduce(partials, keys[0], reducer(keys)).materialize()
+    finest = bucketed_reduce(partials, keys[0], reducer(keys),
+                             partitions=combiner_partitions()).materialize()
     levels = [finest.map_batches(widen(keys), batch_format="pandas")]
     prev = finest
     for i in range(len(keys) - 1, 0, -1):
@@ -706,7 +718,7 @@ def rollup_sum(ds, keys: list[str], val_col: str, scale: int = 100,
         # each subtotal re-aggregates the PREVIOUS (already tiny) level
         lvl = bucketed_reduce(
             prev.select_columns(cols + [sum_alias, count_alias]),
-            cols[0], reducer(cols),
+            cols[0], reducer(cols), partitions=4,
         )
         levels.append(lvl.map_batches(widen(cols), batch_format="pandas"))
         prev = lvl
@@ -785,14 +797,15 @@ def cube_sum(ds, keys: list[str], val_col: str, scale: int = 100,
     # finest is reused by every other grouping set and the grand total;
     # materialize it (bounded: #distinct key combos, never #rows) so the
     # data pass runs once instead of once per branch
-    finest = bucketed_reduce(partials, keys[0], reducer(keys)).materialize()
+    finest = bucketed_reduce(partials, keys[0], reducer(keys),
+                             partitions=combiner_partitions()).materialize()
     levels = [finest.map_batches(widen(keys), batch_format="pandas")]
     for r in range(len(keys) - 1, 0, -1):
         for cols in combinations(keys, r):
             cols = list(cols)
             lvl = bucketed_reduce(
                 finest.select_columns(cols + [sum_alias, count_alias]),
-                cols[0], reducer(cols),
+                cols[0], reducer(cols), partitions=4,
             )
             levels.append(lvl.map_batches(widen(cols), batch_format="pandas"))
 
@@ -867,7 +880,7 @@ def grouped_variance(ds, keys: list[str], val_col: str, scale: int = 100,
         return out
 
     return bucketed_reduce(partials, keys[0] if len(keys) == 1 else keys,
-                           finalize)
+                           finalize, partitions=combiner_partitions())
 
 
 def grouped_cov_stats(ds, keys: list[str], x_col: str, y_col: str,
@@ -907,7 +920,7 @@ def grouped_cov_stats(ds, keys: list[str], x_col: str, y_col: str,
         return out
 
     return bucketed_reduce(partials, keys[0] if len(keys) == 1 else keys,
-                           finalize)
+                           finalize, partitions=combiner_partitions())
 
 
 def grouped_concat(ds, keys: list[str], val_col: str, order_col: str,
@@ -969,7 +982,8 @@ def pivot_counts(ds, key: str, pivot_col: str, categories: list[str],
         wide.columns = [f"{prefix}{c}" for c in wide.columns]
         return wide.reset_index()
 
-    return bucketed_reduce(partials, key, per_bucket)
+    return bucketed_reduce(partials, key, per_bucket,
+                           partitions=combiner_partitions())
 
 
 def unpivot(ds, id_cols: list[str], value_cols: list[str],
@@ -1025,7 +1039,8 @@ def grouped_mode(ds, key: str, val_col: str, alias: str = "mode_val"):
         )
         return out.reset_index(drop=True)
 
-    return bucketed_reduce(partials, key, per_bucket)
+    return bucketed_reduce(partials, key, per_bucket,
+                           partitions=combiner_partitions())
 
 
 def group_ranks(ds, key: str, val_col: str, tiebreak_cols: list[str],
@@ -1357,7 +1372,8 @@ def hourly_window_agg(events, ts_col: str = "ts", key: str = "user_id",
         out["window_start"] = out["window_start"].astype("int64")
         return out
 
-    return bucketed_reduce(partials, key, final_bucket)
+    return bucketed_reduce(partials, key, final_bucket,
+                           partitions=combiner_partitions())
 
 
 # ----------------------------------------------------- bag set ops (ALL)
@@ -1587,4 +1603,5 @@ def cohort_retention(events, key: str = "user_id", ts_col: str = "ts"):
         out = df.groupby(["cohort_day", "offset_day"], sort=False)["__n"].sum()
         return out.rename("n_users").astype("int64").reset_index()
 
-    return bucketed_reduce(partials, "cohort_day", merge_bucket)
+    return bucketed_reduce(partials, "cohort_day", merge_bucket,
+                           partitions=4)
