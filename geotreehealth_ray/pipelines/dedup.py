@@ -230,7 +230,7 @@ def ngram_jaccard_pairs(docs, n: int = 3, threshold: float = 0.5,
     )
     pairs = bucketed_reduce(prefix_rows, "gram", candidates_bucket,
                             partitions=partitions)
-    return _verify_pairs(docs, pairs, lambda t: _word_ngrams(t, n), threshold,
+    return _verify_dispatch(docs, pairs, lambda t: _word_ngrams(t, n), threshold,
                          partitions=partitions)
 
 
@@ -322,7 +322,22 @@ def minhash_lsh_pairs(docs, k: int = 5, num_perm: int = 128, bands: int = 32,
     # shuffle 1: band buckets → candidate pairs
     pairs = bucketed_reduce(band_rows, "band_hash", candidates_bucket,
                             partitions=partitions)
-    return _verify_pairs(docs, pairs, lambda t: _char_shingles(t, k), threshold,
+    return _verify_dispatch(docs, pairs, lambda t: _char_shingles(t, k), threshold,
+                         partitions=partitions)
+
+
+def _verify_dispatch(docs, pairs, shingle_fn, threshold: float,
+                     partitions: int | None = None):
+    """Pick the verify strategy by corpus size: broadcast id→text map
+    under BROADCAST_TEXT_BYTES (saves two text-attach exchanges),
+    partitioned text joins above it (texts never broadcast). Both emit
+    the identical (doc_id_a, doc_id_b, jaccard) rows."""
+    from .relational import input_bytes_estimate
+
+    est = input_bytes_estimate(docs)
+    if est is not None and est <= BROADCAST_TEXT_BYTES:
+        return _verify_pairs_broadcast(docs, pairs, shingle_fn, threshold)
+    return _verify_pairs(docs, pairs, shingle_fn, threshold,
                          partitions=partitions)
 
 
@@ -423,6 +438,58 @@ def _verify_pairs(docs, pairs, shingle_fn, threshold: float,
 
     return bucketed_reduce(with_b_input, "key", stage_b_verify,
                            partitions=partitions)
+
+
+# Text corpora under this in-memory estimate verify candidate pairs
+# against a broadcast id→text map instead of paying two text-attach
+# exchanges (ray_guide small-side broadcast); one ray.put, read by
+# every verify task. 64 MiB of text is far below a worker heap.
+BROADCAST_TEXT_BYTES = 64 << 20
+
+
+def _verify_pairs_broadcast(docs, pairs, shingle_fn, threshold: float):
+    """Broadcast-side verify for :func:`_verify_pairs` when the corpus
+    fits comfortably in the object store: the id→text map ships once
+    via ``ray.put``, candidate pairs verify inside ``map_batches``
+    (shingle arrays memoized per task), and ONE tiny exchange on the
+    verified pairs resolves cross-band duplicates. Output is identical
+    to the partitioned path — precision 1.0 either way."""
+    import ray
+
+    from .relational import bucketed_reduce
+
+    t = docs.select_columns(["doc_id", "text"]).to_pandas()
+    ref = ray.put(dict(zip(t["doc_id"].to_numpy(),
+                           t["text"].fillna("").to_numpy())))
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        texts = ray.get(ref)
+        memo: dict[int, np.ndarray] = {}
+
+        def sh(i):
+            s = memo.get(i)
+            if s is None:
+                s = shingle_fn(texts.get(i, "") or "")
+                memo[i] = s
+            return s
+
+        ra, rb, rj = [], [], []
+        for a, b in zip(df["doc_id_a"].to_numpy(), df["doc_id_b"].to_numpy()):
+            jac = _jaccard_arrays(sh(a), sh(b))
+            if jac >= threshold:
+                ra.append(a); rb.append(b); rj.append(round(jac, 9))
+        return pd.DataFrame(
+            {"doc_id_a": pd.array(ra, "int64"),
+             "doc_id_b": pd.array(rb, "int64"),
+             "jaccard": pd.array(rj, "float64")}
+        )
+
+    verified = pairs.map_batches(verify, batch_format="pandas")
+    return bucketed_reduce(
+        verified, "doc_id_a",
+        lambda df: df.drop_duplicates(["doc_id_a", "doc_id_b"]),
+        partitions=4,
+    )
 
 
 def _popcount64(x: np.ndarray) -> np.ndarray:
