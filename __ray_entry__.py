@@ -28,7 +28,27 @@ def _rd():
 
 
 def _read(sf_dir: str, table: str):
-    return _rd().read_parquet(f"{sf_dir}/{table}.parquet")
+    """read_parquet with size-aware block count: Ray's default splits
+    every read into 2×CPU blocks, which turns a sub-MB table into 64
+    launch-overhead tasks. Small tables get ~1 MiB blocks instead; at
+    or above ~8 MiB×CPUs the default streaming split (128 MiB block
+    target) is already right and no override is passed."""
+    import os
+
+    import ray
+
+    path = f"{sf_dir}/{table}.parquet"
+    est = 3.0 * os.path.getsize(path)
+    kwargs = {}
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    if est < cpus * (8 << 20):
+        kwargs["override_num_blocks"] = min(
+            2 * cpus, max(1, int(est // (1 << 20)) + 1)
+        )
+    return _rd().read_parquet(path, **kwargs)
 
 
 
@@ -313,25 +333,45 @@ def _q_asof_join(sf_dir: str):
 
 
 def _q_order_priority_revenue(sf_dir: str):
-    """Large-large co-partitioned hash join (orders ⋈ per-order
-    lineitem revenue) then a grouped rollup by priority."""
-    from geotreehealth_ray.pipelines.relational import grouped_agg, hash_join
+    """Large-large co-partitioned join (orders ⋈ per-order lineitem
+    revenue) then a grouped rollup by priority. The per-order SUM and
+    the join share the key, so both run in ONE exchange: lineitem
+    combiner partials and order rows co-bucket on o_orderkey and each
+    bucket sums-then-merges locally (groupby+join fusion — at 100 TB
+    this halves the all-to-all volume vs aggregate-then-join)."""
+    from geotreehealth_ray.pipelines.relational import bucketed_reduce, grouped_agg
 
-    def prep(t: pa.Table) -> pa.Table:
-        disc = t["l_extendedprice"].to_numpy() * (1.0 - t["l_discount"].to_numpy())
-        return pa.table(
-            {
-                "o_orderkey": t["l_orderkey"],
-                "disc_c4": pa.array(np.floor(disc * 10000 + 0.5).astype(np.int64)),
-            }
-        )
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        disc = df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy())
+        part = pd.DataFrame(
+            {"o_orderkey": df["l_orderkey"],
+             "disc_c4": np.floor(disc * 10000 + 0.5).astype(np.int64)}
+        ).groupby("o_orderkey", sort=False, as_index=False)["disc_c4"].sum()
+        part["o_orderpriority"] = None
+        return part.reindex(columns=["o_orderkey", "disc_c4", "o_orderpriority"])
 
     li = _read(sf_dir, "lineitem").select_columns(
         ["l_orderkey", "l_extendedprice", "l_discount"]
-    ).map_batches(prep, batch_format="pyarrow")
-    per_order = grouped_agg(li, ["o_orderkey"], {"disc_c4": "disc_c4"})
-    orders = _read(sf_dir, "orders").select_columns(["o_orderkey", "o_orderpriority"])
-    joined = hash_join(orders, per_order, on="o_orderkey")
+    ).map_batches(prep, batch_format="pandas")
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_orderpriority"]
+    ).map_batches(
+        # disc_c4 == -1 tags order rows (revenue partials are >= 0)
+        lambda df: df.assign(disc_c4=np.int64(-1)).reindex(
+            columns=["o_orderkey", "disc_c4", "o_orderpriority"]
+        ),
+        batch_format="pandas",
+    )
+
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df["disc_c4"] == -1][["o_orderkey", "o_orderpriority"]]
+        rev = (
+            df[df["disc_c4"] != -1]
+            .groupby("o_orderkey", sort=False, as_index=False)["disc_c4"].sum()
+        )
+        return o.merge(rev, on="o_orderkey", how="inner")
+
+    joined = bucketed_reduce(li.union(orders), "o_orderkey", merge_bucket)
     out = grouped_agg(
         joined, ["o_orderpriority"], {"disc_c4": "disc_c4"}, count_alias="n_orders"
     )
@@ -1576,7 +1616,43 @@ def _q_minhash_clusters(sf_dir: str):
     return connected_components_dedup(docs, pairs)
 
 
+def _dir_hint_bytes(sf_dir: str) -> float:
+    """In-memory upper-bound estimate for one query's inputs: every
+    parquet byte in the scale dir × decompression expansion. Feeds the
+    ambient shuffle_size_hint — an over-estimate only pads the
+    partition count by the sqrt rule, never affects results."""
+    import glob as _glob
+    import os
+
+    total = sum(os.path.getsize(p)
+                for p in _glob.glob(f"{sf_dir}/*.parquet"))
+    return 3.0 * total
+
+
+def _with_size_hint(fn: Callable[[str], Any]) -> Callable[[str], Any]:
+    """Scope the input-size hint over PLAN CONSTRUCTION of one query:
+    exchanges built inside (those without explicit partitions) size
+    themselves by the sqrt rule instead of the CPU-count default.
+    Partition counts bake into the lazy plan during the call, so the
+    context needs to cover only the build, not execution."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(sf_dir: str):
+        from geotreehealth_ray.pipelines.relational import shuffle_size_hint
+
+        with shuffle_size_hint(_dir_hint_bytes(sf_dir)):
+            return fn(sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
+    base = _queries_raw()
+    return {name: _with_size_hint(fn) for name, fn in base.items()}
+
+
+def _queries_raw() -> dict[str, Callable[[str], Any]]:
     return {
         # spatial operators (derived coordinates — SQL-oracled)
         "pip_join": _q_pip_join,

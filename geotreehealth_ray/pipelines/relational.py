@@ -16,7 +16,8 @@ __all__ = ["grouped_agg", "broadcast_join", "latest_per_key",
            "asof_join", "hourly_window_agg", "bucketed_reduce",
            "sorted_group_map", "NUM_BUCKETS", "shuffle_partitions",
            "shuffle_partitions_for", "coalesce_for_shuffle",
-           "input_bytes_estimate", "auto_partitions",
+           "input_bytes_estimate", "auto_partitions", "shuffle_size_hint",
+           "combiner_partitions",
            "running_total", "topk_per_group",
            "grouped_median", "distinct_count", "lag_delta", "set_op",
            "rolling_sum", "grouped_quantile", "group_ranks",
@@ -30,6 +31,35 @@ __all__ = ["grouped_agg", "broadcast_join", "latest_per_key",
 NUM_BUCKETS = 256
 
 
+import contextlib
+import contextvars
+
+# Ambient input-size hint for exchanges whose callers passed no
+# explicit partition count (transforms erase file lineage, so the
+# pipeline fns can't estimate it themselves). Set once per query by
+# the entry surface from the source tables' file bytes; read at PLAN
+# BUILD time (partition counts bake into the plan inside the query
+# call, before lazy execution starts).
+_SIZE_HINT: contextvars.ContextVar = contextvars.ContextVar(
+    "graft_shuffle_size_hint", default=None
+)
+
+
+@contextlib.contextmanager
+def shuffle_size_hint(est_bytes: float | None):
+    """Scope an in-memory size estimate over plan construction: every
+    exchange built inside the block that has no explicit ``partitions``
+    sizes itself by the sqrt rule on this estimate instead of the
+    CPU-count default. An upper bound (e.g. the whole input directory)
+    is fine — the rule is flat enough that 2× over-estimates move the
+    count by ~1.4×. Only block sizing depends on it, never results."""
+    token = _SIZE_HINT.set(est_bytes)
+    try:
+        yield
+    finally:
+        _SIZE_HINT.reset(token)
+
+
 def shuffle_partitions() -> int:
     """Target partition count for sort-based all-to-all ops (groupby /
     sort). Ray Data's range shuffle creates #input-blocks × #output-
@@ -38,7 +68,16 @@ def shuffle_partitions() -> int:
     109 s → 16 s on the 240k-stem assign at 240 vs 64 blocks). 2 ×
     cluster CPUs keeps every core busy while bounding the exchange at
     (2·CPUs)² objects; on a multi-node cluster the CPU count scales
-    with the cluster, so partition size — not count — tracks data."""
+    with the cluster, so partition size — not count — tracks data.
+    When a :func:`shuffle_size_hint` is in scope, the sqrt sizing rule
+    on that estimate replaces the CPU-count heuristic."""
+    hint = _SIZE_HINT.get()
+    if hint:
+        return _partitions_for_bytes(hint)
+    return _cpu_default_partitions()
+
+
+def _cpu_default_partitions() -> int:
     import ray
 
     try:
@@ -60,6 +99,7 @@ def shuffle_partitions() -> int:
 # optimum within noise (21 / 41 / 162 / 4).
 SQRT_SHUFFLE_UNIT = 400 << 10  # sqrt rule denominator (~400 KiB)
 MAX_SHUFFLE_BLOCK_BYTES = 128 << 20  # GiB blocks hit 32-bit-offset cliffs
+SINGLE_BLOCK_BYTES = 2 << 20  # below this, one local-sort task wins
 
 
 def shuffle_partitions_for(est_bytes: float | None) -> int:
@@ -74,11 +114,20 @@ def shuffle_partitions_for(est_bytes: float | None) -> int:
     does."""
     if not est_bytes:
         return shuffle_partitions()
+    return _partitions_for_bytes(est_bytes)
+
+
+def _partitions_for_bytes(est_bytes: float) -> int:
     import math
 
+    if est_bytes < SINGLE_BLOCK_BYTES:
+        # below ~2 MiB the distributed sort's sample/exchange rounds
+        # cost more than processing the whole stream in one task;
+        # sorted_group_map's partitions=1 path skips the exchange
+        return 1
     sqrt_rule = round(math.sqrt(est_bytes / SQRT_SHUFFLE_UNIT))
     size_floor = math.ceil(est_bytes / MAX_SHUFFLE_BLOCK_BYTES)
-    return int(max(4, min(8 * shuffle_partitions(),
+    return int(max(4, min(8 * _cpu_default_partitions(),
                           max(sqrt_rule, size_floor))))
 
 
@@ -123,8 +172,12 @@ def combiner_partitions() -> int:
     block — orders of magnitude smaller than the data — so an eighth
     of the CPU-count default avoids paying 64 sort-barrier tasks on a
     stream of a few thousand rows while still scaling with cluster
-    size (a 2048-CPU cluster gets 512 reduce partitions)."""
-    return max(4, shuffle_partitions() // 8)
+    size (a 2048-CPU cluster gets 512 reduce partitions). Under a
+    :func:`shuffle_size_hint`, sizes as an eighth of the hinted bytes."""
+    hint = _SIZE_HINT.get()
+    if hint:
+        return _partitions_for_bytes(hint / 8.0)
+    return max(4, _cpu_default_partitions() // 8)
 
 
 def auto_partitions(*dss, scale: float = 1.0):
@@ -174,12 +227,23 @@ def sorted_group_map(ds, keys: list[str], fn, batch_format: str = "pyarrow",
     map_groups: called once per group with all its rows, never with an
     empty group (empty sort partitions yield no output block at all —
     the block fn is a generator, so schema-less empty results never
-    enter the stream)."""
+    enter the stream).
+
+    ``partitions=1`` (what shuffle_partitions_for returns for sub-2MiB
+    streams) replaces the distributed sort with one coalesced block
+    sorted locally inside the task — same grouping guarantee (all keys
+    trivially co-reside), zero exchange rounds."""
     if fn_kwargs:
         import functools
 
         fn = functools.partial(fn, **fn_kwargs)
-    sorted_ds = coalesce_for_shuffle(ds, partitions).sort(keys)
+    local_sort = partitions == 1
+    if local_sort:
+        # one block holds every key — sort inside the task instead of
+        # paying the distributed sort's sample/exchange rounds
+        sorted_ds = ds.repartition(1)
+    else:
+        sorted_ds = coalesce_for_shuffle(ds, partitions).sort(keys)
 
     if batch_format == "pyarrow":
 
@@ -187,6 +251,8 @@ def sorted_group_map(ds, keys: list[str], fn, batch_format: str = "pyarrow",
             n = len(t)
             if n == 0:
                 return
+            if local_sort:
+                t = t.sort_by([(k, "ascending") for k in keys])
             change = np.zeros(n - 1, dtype=bool)
             for k in keys:
                 col = t[k].to_numpy(zero_copy_only=False)
@@ -208,6 +274,8 @@ def sorted_group_map(ds, keys: list[str], fn, batch_format: str = "pyarrow",
             n = len(df)
             if n == 0:
                 return
+            if local_sort:
+                df = df.sort_values(keys, kind="stable", ignore_index=True)
             change = np.zeros(n - 1, dtype=bool)
             for k in keys:
                 col = df[k].to_numpy()

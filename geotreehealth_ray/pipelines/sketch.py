@@ -85,7 +85,7 @@ def hll_registers(ds, col: str, p: int = P_DEFAULT):
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("bucket", sort=False, as_index=False)["reg"].max()
 
-    return bucketed_reduce(partials, "bucket", per_bucket, partitions=4)
+    return bucketed_reduce(partials, "bucket", per_bucket, partitions=1)
 
 
 def hll_estimate(registers: pd.DataFrame, p: int = P_DEFAULT) -> float:
@@ -153,7 +153,7 @@ def bloom_words(ds, col: str):
             np.bitwise_or.reduce
         )
 
-    return bucketed_reduce(partials, "word", per_bucket, partitions=4)
+    return bucketed_reduce(partials, "word", per_bucket, partitions=1)
 
 
 # ---------------------------------------------------------------------------
@@ -204,7 +204,7 @@ def cms_cells(ds, col: str):
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby(["row", "col"], sort=False, as_index=False)["cnt"].sum()
 
-    return bucketed_reduce(partials, "col", per_bucket, partitions=4)
+    return bucketed_reduce(partials, "col", per_bucket, partitions=1)
 
 
 def cms_estimate(cells: pd.DataFrame, keys: np.ndarray) -> np.ndarray:
