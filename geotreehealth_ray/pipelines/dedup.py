@@ -492,17 +492,31 @@ def _verify_pairs_broadcast(docs, pairs, shingle_fn, threshold: float):
     )
 
 
+_M1 = np.uint64(0x5555555555555555)
+_M2 = np.uint64(0x3333333333333333)
+_M4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+_H01 = np.uint64(0x0101010101010101)
+
+
 def _popcount64(x: np.ndarray) -> np.ndarray:
-    """Vectorized popcount of a uint64 array (any shape)."""
-    b = np.unpackbits(x.reshape(-1).view(np.uint8))
-    return b.reshape(x.size, 8 * x.dtype.itemsize).sum(axis=1).reshape(x.shape)
+    """Vectorized SWAR popcount of a uint64 array (any shape) — ~10
+    integer ops per word. The previous unpackbits version expanded
+    every word to 64 bytes, which at a 10^8-pair Hamming verify is
+    tens of GB of memory traffic; this stays in-register-width."""
+    x = x - ((x >> np.uint64(1)) & _M1)
+    x = (x & _M2) + ((x >> np.uint64(2)) & _M2)
+    x = (x + (x >> np.uint64(4))) & _M4
+    with np.errstate(over="ignore"):
+        return ((x * _H01) >> np.uint64(56)).astype(np.int64)
 
 
 _FOLD64 = np.uint64(0x9E3779B97F4A7C15)  # odd => uint64 bijection
 
 
 def _hamming_pairs_in_groups(keys: np.ndarray, ids: np.ndarray,
-                             sigs: np.ndarray, max_h: int):
+                             sigs: np.ndarray, max_h: int,
+                             segs: np.ndarray | None = None,
+                             bounds: list[tuple[int, int]] | None = None):
     """All (a, b, hamming) pairs with hamming <= max_h within equal-key
     groups, vectorized with the same boundary trick as
     :func:`_pairs_in_groups` (size-1 groups — the vast majority —
@@ -510,13 +524,23 @@ def _hamming_pairs_in_groups(keys: np.ndarray, ids: np.ndarray,
     a < b by id VALUE via np.unique codes. Because membership is decided
     by the exact in-group Hamming test, a folded-key collision merging
     two unrelated groups only adds comparisons — the emitted pair set
-    is unchanged."""
+    is unchanged.
+
+    ``segs``/``bounds`` enable OWNER-SEGMENT emission: each row carries
+    the pigeonhole segment index its bucket keys on, and a pair is
+    emitted only from the FIRST segment on which the two hashes agree
+    (any earlier agreeing segment j < s means bucket j already emits
+    it). Globally each pair then surfaces exactly once, so the
+    downstream cross-bucket dedup exchange disappears."""
     uniq, codes = np.unique(ids, return_inverse=True)
     order = np.lexsort((codes, keys))
     k, c, sg = keys[order], codes[order], sigs[order]
+    se = segs[order] if segs is not None else None
     if len(k):
         keep = np.r_[True, (k[1:] != k[:-1]) | (c[1:] != c[:-1])]
         k, c, sg = k[keep], c[keep], sg[keep]
+        if se is not None:
+            se = se[keep]
     n = len(k)
     out_a, out_b, out_h = [], [], []
     if n >= 2:
@@ -526,14 +550,30 @@ def _hamming_pairs_in_groups(keys: np.ndarray, ids: np.ndarray,
         for s0, size in zip(starts[:-1][sizes >= 2], sizes[sizes >= 2]):
             gc = c[s0 : s0 + size]
             gs = sg[s0 : s0 + size]
+            seg_i = int(se[s0]) if se is not None else 0
             for off in range(0, int(size), chunk):
                 rows = gs[off : off + chunk]
-                ham = _popcount64(rows[:, None] ^ gs[None, :])
-                ia, ib = np.nonzero(ham <= max_h)
-                keep2 = (ia + off) < ib  # upper triangle (i < j in-group)
-                out_a.append(gc[ia[keep2] + off])
-                out_b.append(gc[ib[keep2]])
-                out_h.append(ham[ia[keep2], ib[keep2]].astype(np.int64))
+                # only columns j > off can form an (i < j) pair with
+                # this row chunk — skip the left half of the matrix
+                cols = gs[off + 1 :]
+                ham = _popcount64(rows[:, None] ^ cols[None, :])
+                ia, jb = np.nonzero(ham <= max_h)
+                keep2 = ia <= jb  # global i < j (j = jb + off + 1)
+                ia, jb = ia[keep2], jb[keep2]
+                ha = ham[ia, jb].astype(np.int64)
+                if se is not None and seg_i > 0 and len(ia):
+                    # owner rule: drop pairs already owned by an
+                    # earlier agreeing segment
+                    x = gs[ia + off] ^ gs[jb + off + 1]
+                    owned = np.zeros(len(ia), bool)
+                    for j in range(seg_i):
+                        lo, hi = bounds[j]
+                        m = np.uint64((1 << (hi - lo)) - 1)
+                        owned |= ((x >> np.uint64(lo)) & m) == 0
+                    ia, jb, ha = ia[~owned], jb[~owned], ha[~owned]
+                out_a.append(gc[ia + off])
+                out_b.append(gc[jb + off + 1])
+                out_h.append(ha)
     if not out_a:
         return uniq[:0], uniq[:0], np.empty(0, np.int64)
     return (uniq[np.concatenate(out_a)], uniq[np.concatenate(out_b)],
@@ -582,8 +622,11 @@ def simhash_pairs(docs, max_hamming: int = 3, partitions: int | None = None):
                 "doc_id": np.repeat(df["doc_id"].to_numpy(np.int64), 4),
                 "gkey": gkey.reshape(-1).view(np.int64),
                 "sig": np.repeat(sigs.view(np.int64), 4),
+                "seg": np.tile(np.arange(4, dtype=np.int8), len(df)),
             }
         )
+
+    _SIM_BOUNDS = [(16 * i, 16 * (i + 1)) for i in range(4)]
 
     def verify_bucket(df: pd.DataFrame) -> pd.DataFrame:
         a, b, h = _hamming_pairs_in_groups(
@@ -591,6 +634,8 @@ def simhash_pairs(docs, max_hamming: int = 3, partitions: int | None = None):
             df["doc_id"].to_numpy(np.int64),
             df["sig"].to_numpy(np.int64).view(np.uint64),
             max_hamming,
+            segs=df["seg"].to_numpy(),
+            bounds=_SIM_BOUNDS,
         )
         return pd.DataFrame(
             {"doc_id_a": pd.array(a, "int64"),
@@ -600,14 +645,10 @@ def simhash_pairs(docs, max_hamming: int = 3, partitions: int | None = None):
 
     from .relational import bucketed_reduce
 
-    found = bucketed_reduce(
+    # owner-segment emission — pairs are globally unique already
+    return bucketed_reduce(
         docs.map_batches(sig_stage, batch_format="pandas"),
         "gkey", verify_bucket, partitions=partitions,
-    )
-    return bucketed_reduce(
-        found, "doc_id_a",
-        lambda df: df.drop_duplicates(["doc_id_a", "doc_id_b"]),
-        partitions=partitions,
     )
 
 
@@ -633,9 +674,17 @@ def phash_near_dup(images, max_hamming: int = 7,
     exact_dedup first in that case — same guidance as the reference's
     drop_duplicates-before-overlap-cleanup order, see
     reference src/delineation_utils.py dedup-then-merge flow)."""
-    # the image table is dominated by the bytes column the shuffle
-    # never touches; the slim (id, seg, sig) rows are a few % of it
-    partitions = _auto_parts(partitions, images, scale=0.05)
+    # the shuffle moves slim (id, seg, sig) rows — a few % of the
+    # bytes-dominated image table — but the in-bucket verify is
+    # QUADRATIC in duplicate-cluster size, so partition for verify
+    # parallelism (one hot bucket is still one task; more partitions
+    # spread the rest of the key space across cores)
+    if partitions is None:
+        from .relational import _cpu_default_partitions, auto_partitions
+
+        est = auto_partitions(images, scale=0.05)
+        partitions = (None if est is None
+                      else max(est, _cpu_default_partitions() // 2))
     n_seg = max_hamming + 1
     if not 1 <= n_seg <= 64:
         raise ValueError("max_hamming must be in [0, 63]")
@@ -654,6 +703,7 @@ def phash_near_dup(images, max_hamming: int = 7,
                 id_col: np.tile(ids, n_seg),
                 "gkey": np.concatenate(gkeys).view(np.int64),
                 "sig": np.tile(ph.view(np.int64), n_seg),
+                "seg": np.repeat(np.arange(n_seg, dtype=np.int8), len(ids)),
             }
         )
 
@@ -663,6 +713,8 @@ def phash_near_dup(images, max_hamming: int = 7,
             df[id_col].to_numpy(),
             df["sig"].to_numpy(np.int64).view(np.uint64),
             max_hamming,
+            segs=df["seg"].to_numpy(),
+            bounds=bounds,
         )
         return pd.DataFrame(
             {"image_id_a": a, "image_id_b": b,
@@ -671,14 +723,11 @@ def phash_near_dup(images, max_hamming: int = 7,
 
     from .relational import bucketed_reduce
 
-    found = bucketed_reduce(
+    # owner-segment emission inside the verify makes pairs globally
+    # unique — no cross-bucket dedup exchange needed
+    return bucketed_reduce(
         images.map_batches(sig_stage, batch_format="pandas"),
         "gkey", verify_bucket, partitions=partitions,
-    )
-    return bucketed_reduce(
-        found, "image_id_a",
-        lambda df: df.drop_duplicates(["image_id_a", "image_id_b"]),
-        partitions=partitions,
     )
 
 
