@@ -98,9 +98,10 @@ def _char_shingles(text: str, k: int) -> np.ndarray:
     win = np.lib.stride_tricks.sliding_window_view(a, k).astype(np.uint64)
     powers = np.empty(k, dtype=np.uint64)
     p = np.uint64(1)
-    for i in range(k - 1, -1, -1):
-        powers[i] = p
-        p = p * _POLY_BASE  # uint64 wraparound is the modulus
+    with np.errstate(over="ignore"):  # uint64 wraparound IS the modulus
+        for i in range(k - 1, -1, -1):
+            powers[i] = p
+            p = p * _POLY_BASE
     h = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
     return np.unique(h)
 
@@ -140,12 +141,64 @@ def _pairs_in_groups(keys: np.ndarray, ids: np.ndarray):
             np.concatenate(out_b).astype(np.int64))
 
 
+def _jaccard_bulk(flat: np.ndarray, offs: np.ndarray, lens: np.ndarray,
+                  a_codes: np.ndarray, b_codes: np.ndarray) -> np.ndarray:
+    """Exact Jaccard for MANY candidate pairs at once. ``flat`` is the
+    concatenation of every involved doc's sorted-unique shingle array
+    (``offs``/``lens`` index it); pairs reference docs by code. One
+    python iteration per DISTINCT LEFT DOC (not per pair): all of a
+    left doc's partners gather their grams with a repeat/cumsum index
+    trick, one searchsorted probes them against the left doc's grams,
+    and add.reduceat sums hits per partner — ~10^2 pairs verify per
+    python-level step instead of one."""
+    n = len(a_codes)
+    out = np.empty(n, np.float64)
+    if not n:
+        return out
+    order = np.argsort(a_codes, kind="stable")
+    a_s, b_s = a_codes[order], b_codes[order]
+    starts = np.r_[0, np.flatnonzero(a_s[1:] != a_s[:-1]) + 1, n]
+    inter_s = np.empty(n, np.int64)
+    for s0, s1 in zip(starts[:-1], starts[1:]):
+        a = int(a_s[s0])
+        sa = flat[offs[a] : offs[a] + lens[a]]
+        partners = b_s[s0:s1]
+        pl = lens[partners]
+        total = int(pl.sum())
+        if total == 0 or len(sa) == 0:
+            inter_s[s0:s1] = 0
+            continue
+        cum = np.cumsum(pl)
+        base = np.repeat(cum - pl, pl)
+        gidx = np.repeat(offs[partners], pl) + (np.arange(total) - base)
+        b_grams = flat[gidx]
+        idx = np.searchsorted(sa, b_grams)
+        idx[idx == len(sa)] = 0
+        hits = (sa[idx] == b_grams).astype(np.int64)
+        bounds_ = cum - pl
+        seg = np.add.reduceat(hits, bounds_) if total else np.zeros(len(pl), np.int64)
+        seg[pl == 0] = 0
+        inter_s[s0:s1] = seg
+    la = lens[a_s].astype(np.float64)
+    lb = lens[b_s].astype(np.float64)
+    union = la + lb - inter_s
+    jac_s = np.where(union > 0, inter_s / np.maximum(union, 1.0), 1.0)
+    out[order] = jac_s
+    return out
+
+
 def _jaccard_arrays(sa: np.ndarray, sb: np.ndarray) -> float:
-    if len(sa) == 0 and len(sb) == 0:
-        return 1.0
-    inter = len(np.intersect1d(sa, sb, assume_unique=True))
+    if len(sa) == 0 or len(sb) == 0:
+        return 1.0 if len(sa) == len(sb) else 0.0
+    if len(sa) > len(sb):
+        sa, sb = sb, sa
+    # searchsorted membership count beats intersect1d (which re-sorts
+    # the concatenation) — both inputs are already sorted unique
+    idx = np.searchsorted(sb, sa)
+    idx[idx == len(sb)] = 0  # out-of-range probes can't match sb[0]
+    inter = int(np.count_nonzero(sb[idx] == sa))
     union = len(sa) + len(sb) - inter
-    return inter / union if union else 0.0
+    return inter / union
 
 
 def jaccard_of_texts(a: str, b: str, k: int = 5) -> float:
@@ -190,7 +243,15 @@ def ngram_jaccard_pairs(docs, n: int = 3, threshold: float = 0.5,
     quadratic; the prefix trick already biases emitted grams toward the
     rare end (hash-ascending ≈ frequency-agnostic uniform), and a df-cap
     salting pass can be layered if a real corpus ever hits it."""
-    partitions = _auto_parts(partitions, docs)
+    if partitions is None:
+        # candidate generation + verify are compute-bound (pair count,
+        # not byte count): never drop below half the CPU default even
+        # when the gram stream itself is tiny
+        from .relational import _cpu_default_partitions
+
+        est = _auto_parts(None, docs)
+        partitions = (None if est is None
+                      else max(est, _cpu_default_partitions() // 2))
     import math
 
     def prefix_stage(df: pd.DataFrame) -> pd.DataFrame:
@@ -464,32 +525,39 @@ def _verify_pairs_broadcast(docs, pairs, shingle_fn, threshold: float):
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         texts = ray.get(ref)
-        memo: dict[int, np.ndarray] = {}
-
-        def sh(i):
-            s = memo.get(i)
-            if s is None:
-                s = shingle_fn(texts.get(i, "") or "")
-                memo[i] = s
-            return s
-
-        ra, rb, rj = [], [], []
-        for a, b in zip(df["doc_id_a"].to_numpy(), df["doc_id_b"].to_numpy()):
-            jac = _jaccard_arrays(sh(a), sh(b))
-            if jac >= threshold:
-                ra.append(a); rb.append(b); rj.append(round(jac, 9))
+        a_ids = df["doc_id_a"].to_numpy(np.int64)
+        b_ids = df["doc_id_b"].to_numpy(np.int64)
+        # shingle each DISTINCT doc in the batch once, pack into one
+        # flat arena, and score every pair with the bulk kernel —
+        # python cost is per distinct doc, not per pair
+        uniq, codes = np.unique(np.r_[a_ids, b_ids], return_inverse=True)
+        arrs = [shingle_fn(texts.get(int(i), "") or "") for i in uniq]
+        lens = np.fromiter((len(x) for x in arrs), np.int64, len(arrs))
+        offs = np.zeros(len(arrs), np.int64)
+        if len(arrs):
+            np.cumsum(lens[:-1], out=offs[1:])
+        flat = (np.concatenate(arrs) if lens.sum()
+                else np.empty(0, np.uint64))
+        jac = _jaccard_bulk(flat, offs, lens,
+                            codes[: len(a_ids)], codes[len(a_ids):])
+        keep = jac >= threshold
         return pd.DataFrame(
-            {"doc_id_a": pd.array(ra, "int64"),
-             "doc_id_b": pd.array(rb, "int64"),
-             "jaccard": pd.array(rj, "float64")}
+            {"doc_id_a": pd.array(a_ids[keep], "int64"),
+             "doc_id_b": pd.array(b_ids[keep], "int64"),
+             "jaccard": pd.array(np.round(jac[keep], 9), "float64")}
         )
 
-    verified = pairs.map_batches(verify, batch_format="pandas")
-    return bucketed_reduce(
-        verified, "doc_id_a",
+    # dedup candidates BEFORE the verify: a pair surfacing from many
+    # bands/grams is shingled+verified once, not once per source — and
+    # the verify (a pure map afterwards) spreads across cores
+    from .relational import _cpu_default_partitions
+
+    unique_pairs = bucketed_reduce(
+        pairs, "doc_id_a",
         lambda df: df.drop_duplicates(["doc_id_a", "doc_id_b"]),
-        partitions=4,
+        partitions=max(4, _cpu_default_partitions() // 2),
     )
+    return unique_pairs.map_batches(verify, batch_format="pandas")
 
 
 _M1 = np.uint64(0x5555555555555555)
