@@ -159,32 +159,35 @@ def _qtable(quality: int) -> np.ndarray:
     return np.clip(q, 1, 255)
 
 
-def _blockwise_2d(pad: np.ndarray, m: np.ndarray) -> np.ndarray:
-    """Apply the 8×8 transform  m @ X @ m.T  to every 8×8 block of a
-    (ph, pw, c) array using two large GEMMs (row pass + column pass)
-    instead of per-block einsum — ~20× faster on tile-sized images."""
-    ph, pw, c = pad.shape
-    a = pad.reshape(ph // 8, 8, pw * c)
-    a = np.matmul(m, a)  # row pass: (nby, 8, pw*c) broadcast GEMM
-    a = a.reshape(ph, pw, c)
-    b = np.ascontiguousarray(a.transpose(1, 0, 2)).reshape(pw // 8, 8, ph * c)
-    b = np.matmul(m, b)  # column pass on the transposed layout
-    return np.ascontiguousarray(
-        b.reshape(pw, ph, c).transpose(1, 0, 2)
-    )
+_DCT32 = None
+_Q32: dict[int, np.ndarray] = {}
 
 
-def _tile_q(q: np.ndarray, ph: int, pw: int) -> np.ndarray:
-    return np.tile(q, (ph // 8, pw // 8))[:, :, None].astype(np.float32)
+def _consts(quality: int):
+    """float32 DCT matrix + quantization table, built once."""
+    global _DCT32
+    if _DCT32 is None:
+        _DCT32 = _DCT.astype(np.float32)
+    qf = _Q32.get(quality)
+    if qf is None:
+        qf = _qtable(quality).astype(np.float32)
+        _Q32[quality] = qf
+    return _DCT32, qf
 
 
 def encode_qdct(img: np.ndarray, quality: int = 97) -> bytes:
-    """Lossy codec: per-channel 8×8 DCT → quantize → zlib int16 stream."""
+    """Lossy codec: per-channel 8×8 DCT → quantize → zlib int16 stream.
+
+    Works block-natively: ONE transpose copy into (nby, nbx, c, 8, 8)
+    layout, then batched 8×8 GEMMs and a broadcast quantize — the
+    payload block order falls out for free (the former slab-GEMM path
+    paid two extra full-image reorder copies plus a tiled qtable
+    allocation per call; outputs are bit-identical)."""
     img = np.ascontiguousarray(img, dtype=np.uint8)
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, c = img.shape
-    q = _qtable(quality)
+    m, qf = _consts(quality)
     ph, pw = (h + 7) & ~7, (w + 7) & ~7
     pad = np.zeros((ph, pw, c), dtype=np.float32)
     pad[:h, :w] = img
@@ -193,17 +196,18 @@ def encode_qdct(img: np.ndarray, quality: int = 97) -> bytes:
     if w < pw:
         pad[:, w:] = pad[:, w - 1 : w]
     pad -= 128.0
-    coef = _blockwise_2d(pad, _DCT.astype(np.float32))
-    quant = np.round(coef / _tile_q(q, ph, pw)).astype(np.int16)
-    # store in (nby, nbx, c, 8, 8) block order for compressibility;
-    # int8 when coefficients fit (halves the zlib input)
-    blocks = np.ascontiguousarray(
-        quant.reshape(ph // 8, 8, pw // 8, 8, c).transpose(0, 2, 4, 1, 3)
+    b = np.ascontiguousarray(
+        pad.reshape(ph // 8, 8, pw // 8, 8, c).transpose(0, 2, 4, 1, 3)
     )
-    if np.abs(blocks).max(initial=0) < 127:
-        blocks = blocks.astype(np.int8)
+    coef = (m @ b) @ m.T
+    coef /= qf
+    quant = np.rint(coef, out=coef).astype(np.int16)
+    # int8 when coefficients fit (halves the zlib input)
+    if np.abs(quant).max(initial=0) < 127:
+        blocks = quant.astype(np.int8)
         dtype_flag = 1
     else:
+        blocks = quant
         dtype_flag = 2
     payload = zlib.compress(blocks.tobytes(), 2)
     head = struct.pack(">4sHHBBB", b"QDCT", h, w, c, quality, dtype_flag)
@@ -214,16 +218,20 @@ def decode_qdct(data: bytes) -> np.ndarray:
     magic, h, w, c, quality, dtype_flag = struct.unpack(">4sHHBBB", data[:11])
     if magic != b"QDCT":
         raise ValueError("not qdct")
-    q = _qtable(quality)
+    m, qf = _consts(quality)
     ph, pw = (h + 7) & ~7, (w + 7) & ~7
     dt = np.int8 if dtype_flag == 1 else np.int16
     blocks = np.frombuffer(zlib.decompress(data[11:]), dtype=dt).reshape(
         ph // 8, pw // 8, c, 8, 8
     )
-    quant = blocks.transpose(0, 3, 1, 4, 2).reshape(ph, pw, c)
-    coef = quant.astype(np.float32) * _tile_q(q, ph, pw)
-    pad = _blockwise_2d(coef, _IDCT.astype(np.float32)) + 128.0
-    out = np.clip(np.round(pad[:h, :w]), 0, 255).astype(np.uint8)
+    # dequantize + inverse DCT in the stored block layout, then ONE
+    # transpose copy back to (ph, pw, c)
+    coef = blocks.astype(np.float32)
+    coef *= qf
+    padb = (m.T @ coef) @ m
+    pad = np.ascontiguousarray(padb.transpose(0, 3, 1, 4, 2)).reshape(ph, pw, c)
+    pad += 128.0
+    out = np.clip(np.rint(pad[:h, :w], out=pad[:h, :w]), 0, 255).astype(np.uint8)
     return out[:, :, 0] if c == 1 else out
 
 
