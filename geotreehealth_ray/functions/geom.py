@@ -466,24 +466,17 @@ def raster_mask(ring: np.ndarray, wx: np.ndarray, wy: np.ndarray) -> np.ndarray:
     if len(eidx) == 0:
         return np.zeros((h, w), dtype=bool)
     xs = x1[eidx] + (wy[ridx] - y1[eidx]) * (x2 - x1)[eidx] / (y2 - y1)[eidx]
-    # Parity via ONE global searchsorted instead of the E×h×w broadcast
-    # compare (the former hot spot of the chip kernel): crossings get a
-    # composite key row*span + x with per-row x clipped into
-    # [wx[0]-1, wx[-1]+1] (clipping preserves every "< pixel center"
-    # comparison — wx is ascending), so rows occupy disjoint key bands
-    # and count-of-smaller-keys minus the row's start offset is exactly
-    # the per-row strict-left crossing count. O((C + h·w) log C) with
-    # C ≈ 2 crossings per scanline.
-    lo, hi = wx[0] - 1.0, wx[-1] + 1.0
-    span = hi - lo + 1.0
-    key = ridx * span + (np.clip(xs, lo, hi) - lo)
-    key.sort(kind="stable")
-    row_start = np.cumsum(np.bincount(ridx, minlength=h)) - np.bincount(
-        ridx, minlength=h
-    )
-    q = (np.arange(h)[:, None] * span + (wx[None, :] - lo)).ravel()
-    cnt = np.searchsorted(key, q, side="left").reshape(h, w) - row_start[:, None]
-    return (cnt % 2).astype(bool)
+    # Parity via a crossing difference array: each crossing flips every
+    # pixel strictly to its right (center wx[j] > xs — same tie rule as
+    # a strict "crossings left of center" count), so bump a per-row
+    # counter at the first flipped column and cumsum along the row.
+    # O(C log w + h·w) with a cumsum constant, vs the former per-pixel
+    # searchsorted over all C crossings (C ≈ 2 per scanline).
+    cols = np.searchsorted(wx, xs, side="right")
+    flips = np.zeros((h, w + 1), dtype=np.int8)
+    np.add.at(flips, (ridx, cols), 1)
+    cnt = np.cumsum(flips[:, :w], axis=1, dtype=np.int8)
+    return (cnt & 1).astype(bool)
 
 
 def bbox_intersects(
