@@ -347,14 +347,20 @@ def minhash_lsh_pairs(docs, k: int = 5, num_perm: int = 128, bands: int = 32,
         n = len(df)
         out_doc = np.repeat(df["doc_id"].to_numpy(), bands)
         out_band = np.tile(np.arange(bands, dtype=np.int32), n)
-        out_hash = np.empty(n * bands, np.int64)
-        pos = 0
-        for i in range(n):
-            for bidx in range(bands):
-                seg = sigs[i, bidx * rows_per_band : (bidx + 1) * rows_per_band]
-                bh = hashlib.blake2b(seg.tobytes(), digest_size=8).digest()
-                out_hash[pos] = int.from_bytes(bh, "little") >> 1
-                pos += 1
+        # fold each band's rows with a splitmix-style mix, vectorized
+        # over (docs × bands) at once. Any deterministic fold keeps
+        # LSH semantics — identical segments always collide — and a
+        # cross-segment collision only ADDS a candidate that the exact
+        # verify filters (the former per-segment blake2b loop was the
+        # signature stage's wall: docs×bands python-level digests)
+        lanes = sigs.reshape(n, bands, rows_per_band)
+        with np.errstate(over="ignore"):
+            h = np.full((n, bands), np.uint64(0x9E3779B97F4A7C15))
+            for r in range(rows_per_band):
+                h ^= lanes[:, :, r]
+                h *= np.uint64(0xBF58476D1CE4E5B9)
+                h ^= h >> np.uint64(31)
+        out_hash = (h >> np.uint64(1)).astype(np.int64).ravel()
         return pd.DataFrame(
             {"doc_id": out_doc, "band_id": out_band, "band_hash": out_hash}
         )
@@ -377,9 +383,20 @@ def minhash_lsh_pairs(docs, k: int = 5, num_perm: int = 128, bands: int = 32,
 
     from .relational import bucketed_reduce
 
-    band_rows = docs.select_columns(["doc_id", "text"]).map_batches(
-        band_stage, batch_format="pandas"
-    )
+    # signatures are compute-bound (~tens of µs per doc), not
+    # byte-bound: when the byte-derived partition estimate says the
+    # corpus is small (fewer exchange partitions than cores), a sized
+    # read gives only 1-2 blocks and the permutation work serializes.
+    # Fan it out explicitly — repartitioning a corpus that small is
+    # cheap, and large inputs (estimate ≥ cores) keep their read
+    # parallelism untouched.
+    from .relational import _cpu_default_partitions
+
+    sig_src = docs.select_columns(["doc_id", "text"])
+    cpu_parts = _cpu_default_partitions()
+    if partitions is not None and partitions < cpu_parts:
+        sig_src = sig_src.repartition(cpu_parts)
+    band_rows = sig_src.map_batches(band_stage, batch_format="pandas")
     # shuffle 1: band buckets → candidate pairs
     pairs = bucketed_reduce(band_rows, "band_hash", candidates_bucket,
                             partitions=partitions)
@@ -510,36 +527,57 @@ BROADCAST_TEXT_BYTES = 64 << 20
 
 def _verify_pairs_broadcast(docs, pairs, shingle_fn, threshold: float):
     """Broadcast-side verify for :func:`_verify_pairs` when the corpus
-    fits comfortably in the object store: the id→text map ships once
-    via ``ray.put``, candidate pairs verify inside ``map_batches``
-    (shingle arrays memoized per task), and ONE tiny exchange on the
-    verified pairs resolves cross-band duplicates. Output is identical
-    to the partitioned path — precision 1.0 either way."""
+    fits comfortably in the object store: every doc is shingled ONCE
+    (distributed map over the docs table), the packed gram arena ships
+    once via ``ray.put`` as plain numpy buffers (out-of-band — each
+    verify task's ray.get is a near-zero-cost view), and the verify
+    tasks are pure :func:`_jaccard_bulk` calls over id codes. Without
+    the precompute every verify task re-shingled most of the corpus
+    (candidate pairs touch nearly all docs), multiplying shingle work
+    by the task count. ONE tiny exchange on the candidate pairs
+    resolves cross-band duplicates first. Output is identical to the
+    partitioned path — precision 1.0 either way."""
     import ray
 
     from .relational import bucketed_reduce
 
-    t = docs.select_columns(["doc_id", "text"]).to_pandas()
-    ref = ray.put(dict(zip(t["doc_id"].to_numpy(),
-                           t["text"].fillna("").to_numpy())))
+    def shingle_batch(df: pd.DataFrame) -> pd.DataFrame:
+        grams = [shingle_fn(t or "") for t in df["text"].fillna("")]
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "grams": [g.tobytes() for g in grams],
+        })
+
+    sh = docs.select_columns(["doc_id", "text"]).map_batches(
+        shingle_batch, batch_format="pandas"
+    ).to_pandas()
+    order = np.argsort(sh["doc_id"].to_numpy(np.int64), kind="stable")
+    ids_sorted = sh["doc_id"].to_numpy(np.int64)[order]
+    bufs = sh["grams"].to_numpy()[order]
+    lens_all = np.fromiter((len(b) >> 3 for b in bufs), np.int64, len(bufs))
+    offs_all = np.zeros(len(bufs), np.int64)
+    if len(bufs):
+        np.cumsum(lens_all[:-1], out=offs_all[1:])
+    flat_all = (
+        np.frombuffer(b"".join(bufs), np.uint64) if lens_all.sum()
+        else np.empty(0, np.uint64)
+    )
+    ref = ray.put((ids_sorted, flat_all, offs_all, lens_all))
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
-        texts = ray.get(ref)
+        ids_s, flat, offs, lens = ray.get(ref)
         a_ids = df["doc_id_a"].to_numpy(np.int64)
         b_ids = df["doc_id_b"].to_numpy(np.int64)
-        # shingle each DISTINCT doc in the batch once, pack into one
-        # flat arena, and score every pair with the bulk kernel —
-        # python cost is per distinct doc, not per pair
-        uniq, codes = np.unique(np.r_[a_ids, b_ids], return_inverse=True)
-        arrs = [shingle_fn(texts.get(int(i), "") or "") for i in uniq]
-        lens = np.fromiter((len(x) for x in arrs), np.int64, len(arrs))
-        offs = np.zeros(len(arrs), np.int64)
-        if len(arrs):
-            np.cumsum(lens[:-1], out=offs[1:])
-        flat = (np.concatenate(arrs) if lens.sum()
-                else np.empty(0, np.uint64))
-        jac = _jaccard_bulk(flat, offs, lens,
-                            codes[: len(a_ids)], codes[len(a_ids):])
+        a_pos = np.searchsorted(ids_s, a_ids).clip(max=max(len(ids_s) - 1, 0))
+        b_pos = np.searchsorted(ids_s, b_ids).clip(max=max(len(ids_s) - 1, 0))
+        jac = _jaccard_bulk(flat, offs, lens, a_pos, b_pos)
+        # ids absent from the corpus behave as empty-gram docs (the old
+        # shingle_fn("") fallback); candidate generation never emits
+        # them, so this is belt-and-braces only
+        if len(ids_s):
+            missing = (ids_s[a_pos] != a_ids) | (ids_s[b_pos] != b_ids)
+            if missing.any():
+                jac = np.where(missing, 0.0, jac)
         keep = jac >= threshold
         return pd.DataFrame(
             {"doc_id_a": pd.array(a_ids[keep], "int64"),
