@@ -28,6 +28,33 @@ __all__ = ["hll_registers", "hll_estimate", "P_DEFAULT",
 
 P_DEFAULT = 12  # 2^12 = 4096 registers → ~1.6% standard error
 
+# Inputs under this estimate fold their sketch partials on the driver
+# (collect ≤ sketch-size slim rows per block, one vectorized groupby)
+# instead of paying a one-partition sort exchange, whose fixed barrier
+# latency (~1.3 s) dwarfs any sketch fold at small scale. Above it the
+# exchange amortizes and bounds driver memory: partial rows collected
+# scale with block count, so a 100 TB input keeps the distributed
+# path. Outputs are identical — the folds are associative/commutative.
+SKETCH_FOLD_BYTES = 1 << 30
+
+
+def _fold_or_exchange(ds, partials, fold_fn, exchange_fn):
+    """Dispatch a sketch's final combine by input size: driver fold of
+    the collected partials when the input estimate is small and known,
+    else the distributed one-partition exchange."""
+    from .relational import _SIZE_HINT, input_bytes_estimate
+
+    est = input_bytes_estimate(ds)
+    if est is None:
+        # transforms erase file lineage; the ambient per-run hint (an
+        # over-estimate — whole input dir) still safely proves "small"
+        est = _SIZE_HINT.get()
+    if est is not None and est <= SKETCH_FOLD_BYTES:
+        import ray.data as rd
+
+        return rd.from_pandas(fold_fn(partials.to_pandas()))
+    return exchange_fn(partials)
+
 _FNV_OFF = np.uint64(14695981039346656037)
 _FNV_PRM = np.uint64(1099511628211)
 
@@ -85,7 +112,10 @@ def hll_registers(ds, col: str, p: int = P_DEFAULT):
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("bucket", sort=False, as_index=False)["reg"].max()
 
-    return bucketed_reduce(partials, "bucket", per_bucket, partitions=1)
+    return _fold_or_exchange(
+        ds, partials, per_bucket,
+        lambda p: bucketed_reduce(p, "bucket", per_bucket, partitions=1),
+    )
 
 
 def hll_estimate(registers: pd.DataFrame, p: int = P_DEFAULT) -> float:
@@ -137,23 +167,28 @@ def bloom_words(ds, col: str):
     never shuffle."""
     from .relational import bucketed_reduce
 
+    def _or_fold(words: np.ndarray, bits: np.ndarray) -> pd.DataFrame:
+        """OR rows into a dense word table and emit the nonzero words —
+        a pandas groupby.agg(bitwise_or.reduce) here would fall back to
+        one python call per group (≤ 8192 of them per batch)."""
+        table = np.zeros(1 << (BLOOM_BITS_LOG2 - 5), np.int64)
+        np.bitwise_or.at(table, words, bits)
+        nz = np.flatnonzero(table)
+        return pd.DataFrame({"word": nz, "bits": table[nz]})
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         pos = _bloom_positions(df[col].to_numpy()).ravel()
-        out = pd.DataFrame(
-            {"word": pos >> 5, "bits": np.int64(1) << (pos & 31)}
-        )
-        return out.groupby("word", sort=False, as_index=False)["bits"].agg(
-            np.bitwise_or.reduce
-        )
+        return _or_fold(pos >> 5, np.int64(1) << (pos & 31))
 
     partials = ds.select_columns([col]).map_batches(partial, batch_format="pandas")
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("word", sort=False, as_index=False)["bits"].agg(
-            np.bitwise_or.reduce
-        )
+        return _or_fold(df["word"].to_numpy(), df["bits"].to_numpy())
 
-    return bucketed_reduce(partials, "word", per_bucket, partitions=1)
+    return _fold_or_exchange(
+        ds, partials, per_bucket,
+        lambda p: bucketed_reduce(p, "word", per_bucket, partitions=1),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -204,7 +239,10 @@ def cms_cells(ds, col: str):
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby(["row", "col"], sort=False, as_index=False)["cnt"].sum()
 
-    return bucketed_reduce(partials, "col", per_bucket, partitions=1)
+    return _fold_or_exchange(
+        ds, partials, per_bucket,
+        lambda p: bucketed_reduce(p, "col", per_bucket, partitions=1),
+    )
 
 
 def cms_estimate(cells: pd.DataFrame, keys: np.ndarray) -> np.ndarray:
