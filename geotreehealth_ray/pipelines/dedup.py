@@ -720,6 +720,45 @@ def _simhash64(tokens: list[str]) -> int:
     return v
 
 
+_TOK_MEMO: dict[str, int] = {}
+
+
+def _simhash_batch(texts) -> np.ndarray:
+    """Vectorized :func:`_simhash64` over a batch: md5 runs once per
+    DISTINCT token (worker-global memo — the md5-per-occurrence loop
+    was the simhash wall), the ±1 bit matrix gathers by inverse code,
+    and one add.reduceat folds occurrences per doc. Bit-identical to
+    the per-doc loop (same per-occurrence counting, same bit order)."""
+    toks = [(t or "").split() for t in texts]
+    counts = np.fromiter((len(x) for x in toks), np.int64, len(toks))
+    flat = [tok for ts in toks for tok in ts]
+    sigs = np.zeros(len(toks), np.uint64)
+    if not flat:
+        return sigs
+    if len(_TOK_MEMO) > 1_000_000:
+        _TOK_MEMO.clear()
+    uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+    hs = np.empty(len(uniq), np.uint64)
+    for i, tok in enumerate(uniq):
+        v = _TOK_MEMO.get(tok)
+        if v is None:
+            v = _tok64(tok)
+            _TOK_MEMO[tok] = v
+        hs[i] = v
+    shifts = np.arange(64, dtype=np.uint64)[None, :]
+    pm = (((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int16) * 2 - 1)
+    contrib = pm[inv]
+    bounds = np.r_[0, np.cumsum(counts)]
+    nz = counts > 0
+    acc = np.zeros((len(toks), 64), np.int64)
+    acc[nz] = np.add.reduceat(contrib.astype(np.int64), bounds[:-1][nz])
+    bits = (acc > 0).astype(np.uint64)
+    sigs = (bits << np.arange(64, dtype=np.uint64)[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    return sigs
+
+
 def simhash_pairs(docs, max_hamming: int = 3, partitions: int | None = None):
     """(doc_id_a, doc_id_b, hamming) — SimHash near-dups. Pigeonhole:
     Hamming ≤ 3 over 4 16-bit segments ⇒ ≥1 segment identical, so
@@ -727,10 +766,7 @@ def simhash_pairs(docs, max_hamming: int = 3, partitions: int | None = None):
     partitions = _auto_parts(partitions, docs)
 
     def sig_stage(df: pd.DataFrame) -> pd.DataFrame:
-        sigs = np.array(
-            [_simhash64((t or "").split()) for t in df["text"].fillna("")],
-            dtype=np.uint64,
-        ).reshape(-1)
+        sigs = _simhash_batch(df["text"].fillna("").tolist())
         seg = np.arange(4, dtype=np.uint64)
         seg_val = (sigs[:, None] >> (np.uint64(16) * seg[None, :])) \
             & np.uint64(0xFFFF)
