@@ -1006,6 +1006,188 @@ def _q_q17_small_qty(sf_dir: str):
     return pd.DataFrame({"total_c": [int(total or 0)]})
 
 
+def _q_q4_priority(sf_dir: str):
+    """TPC-H Q4-style EXISTS composition (adapted to the synth schema,
+    which has no commit/receipt dates): orders from 1996Q1 having at
+    least one returned ('R') lineitem, counted per order priority. The
+    lineitem probe is a SEMI hash join — it ships one deduped key
+    column, never duplicates orders with many matching lines — and the
+    count is a per-batch combiner groupby."""
+    from geotreehealth_ray.pipelines.relational import grouped_agg, hash_join
+
+    lo = int(pd.Timestamp("1996-01-01").value // 1000) // 86_400_000_000
+    hi = int(pd.Timestamp("1996-04-01").value // 1000) // 86_400_000_000
+
+    def order_prep(df):
+        day = (
+            pd.to_datetime(df["o_orderdate"]).astype("datetime64[us]")
+            .astype("int64") // 86_400_000_000
+        )
+        df = df[(day >= lo) & (day < hi)]
+        return df[["o_orderkey", "o_orderpriority"]]
+
+    orders = _read(sf_dir, "orders").map_batches(
+        order_prep, batch_format="pandas"
+    )
+    li = (
+        _read(sf_dir, "lineitem")
+        .filter(expr="l_returnflag == 'R'")
+        .select_columns(["l_orderkey"])
+        .rename_columns({"l_orderkey": "o_orderkey"})
+    )
+    hit = hash_join(orders, li, on="o_orderkey", how="semi")
+    return grouped_agg(hit, ["o_orderpriority"], {}, count_alias="n_orders")
+
+
+def _q_q5_region_volume(sf_dir: str):
+    """TPC-H Q5-style five-table composition: revenue per nation for
+    1996 orders where the lineitem's supplier and the order's customer
+    sit in the SAME nation of one region. nation⋈region folds on the
+    driver (tiny); supplier→nationkey broadcasts once via ray.put;
+    customer attaches to date-filtered orders through one co-partitioned
+    hash join on custkey, lineitem attaches through a second on
+    orderkey (the only two all-to-all exchanges — both keyed on join
+    keys the data already carries); the final per-nation sum is a
+    combiner groupby over ~25 groups."""
+    from geotreehealth_ray.pipelines.relational import (
+        broadcast_join,
+        grouped_agg,
+        hash_join,
+    )
+
+    nat = _read(sf_dir, "nation").to_pandas()
+    reg = _read(sf_dir, "region").to_pandas()
+    asia = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    asia = asia[asia["r_name"] == "ASIA"][["n_nationkey", "n_name"]]
+    keys = set(asia["n_nationkey"].tolist())
+
+    lo = int(pd.Timestamp("1996-01-01").value // 1000) // 86_400_000_000
+    hi = int(pd.Timestamp("1997-01-01").value // 1000) // 86_400_000_000
+
+    def order_prep(df):
+        day = (
+            pd.to_datetime(df["o_orderdate"]).astype("datetime64[us]")
+            .astype("int64") // 86_400_000_000
+        )
+        df = df[(day >= lo) & (day < hi)]
+        return df[["o_orderkey", "o_custkey"]]
+
+    cust = (
+        _read(sf_dir, "customer")
+        .map_batches(
+            lambda df: df[df["c_nationkey"].isin(keys)][
+                ["c_custkey", "c_nationkey"]
+            ].rename(columns={"c_custkey": "o_custkey"}),
+            batch_format="pandas",
+        )
+    )
+    orders = hash_join(
+        _read(sf_dir, "orders").map_batches(order_prep, batch_format="pandas"),
+        cust, on="o_custkey",
+    ).select_columns(["o_orderkey", "c_nationkey"])
+
+    supp = (
+        _read(sf_dir, "supplier").to_pandas()[["s_suppkey", "s_nationkey"]]
+        .rename(columns={"s_suppkey": "l_suppkey"})
+    )
+
+    def li_prep(df):
+        disc = df["l_extendedprice"].to_numpy() * (
+            1.0 - df["l_discount"].to_numpy()
+        )
+        return pd.DataFrame({
+            "o_orderkey": df["l_orderkey"].astype("int64"),
+            "l_suppkey": df["l_suppkey"].astype("int64"),
+            "disc_c4": np.floor(disc * 10000 + 0.5).astype("int64"),
+        })
+
+    li = broadcast_join(
+        _read(sf_dir, "lineitem")
+        .select_columns(
+            ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+        )
+        .map_batches(li_prep, batch_format="pandas"),
+        supp, on="l_suppkey",
+    )
+    joined = hash_join(li, orders, on="o_orderkey").map_batches(
+        lambda df: df[df["s_nationkey"] == df["c_nationkey"]][
+            ["s_nationkey", "disc_c4"]
+        ],
+        batch_format="pandas",
+    )
+    name_map = asia.rename(columns={"n_nationkey": "s_nationkey"})
+    named = broadcast_join(joined, name_map, on="s_nationkey")
+    return grouped_agg(named, ["n_name"], {"revenue_c4": "disc_c4"})
+
+
+def _q_q12_shipmode(sf_dir: str):
+    """TPC-H Q12-style conditional aggregation (FILTER / CASE WHEN
+    inside the aggregate — adapted: l_returnflag stands in for the
+    missing l_shipmode): per returnflag of 1996-shipped lineitems, how
+    many belong to high-priority (1-URGENT/2-HIGH) orders vs low. The
+    CASE folds to 0/1 int columns inside map_batches BEFORE the
+    groupby, so the combiner ships two ints per flag, not rows."""
+    from geotreehealth_ray.pipelines.relational import grouped_agg, hash_join
+
+    lo = int(pd.Timestamp("1996-01-01").value // 1000) // 86_400_000_000
+    hi = int(pd.Timestamp("1997-01-01").value // 1000) // 86_400_000_000
+
+    def order_prep(df):
+        high = df["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "is_high": high.to_numpy().astype("int64"),
+        })
+
+    orders = _read(sf_dir, "orders").map_batches(
+        order_prep, batch_format="pandas"
+    )
+
+    def li_prep(df):
+        day = (
+            pd.to_datetime(df["l_shipdate"]).astype("datetime64[us]")
+            .astype("int64") // 86_400_000_000
+        )
+        df = df[(day >= lo) & (day < hi)]
+        return pd.DataFrame({
+            "o_orderkey": df["l_orderkey"].astype("int64"),
+            "l_returnflag": df["l_returnflag"],
+        })
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_returnflag", "l_shipdate"]
+    ).map_batches(li_prep, batch_format="pandas")
+
+    joined = hash_join(li, orders, on="o_orderkey").map_batches(
+        lambda df: pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "high_line_count": df["is_high"].astype("int64"),
+            "low_line_count": (1 - df["is_high"]).astype("int64"),
+        }),
+        batch_format="pandas",
+    )
+    return grouped_agg(
+        joined, ["l_returnflag"],
+        {"high_line_count": "high_line_count",
+         "low_line_count": "low_line_count"},
+    )
+
+
+def _q_doc_decontam(sf_dir: str):
+    """Benchmark decontamination: ids of train documents (source !=
+    'src0') sharing any word 6-gram with the 'src0' benchmark slice.
+    Bench gram vocabulary broadcast once; train side never shuffles
+    text (see text.decontaminate)."""
+    from geotreehealth_ray.pipelines.text import decontaminate
+
+    docs = _read(sf_dir, "documents")
+    return decontaminate(
+        docs.filter(expr="source != 'src0'"),
+        docs.filter(expr="source == 'src0'"),
+        n=6,
+    )
+
+
 def _q_set_intersect_all(sf_dir: str):
     """INTERSECT ALL (bag semantics): supplier keys of 'R'-returned
     lineitems, each repeated min(multiplicity) across the 'A' side."""
@@ -1710,6 +1892,10 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "name_editdist": _q_name_editdist,
         "q3_shipping": _q_q3_shipping,
         "q17_small_qty": _q_q17_small_qty,
+        "q4_priority": _q_q4_priority,
+        "q5_region_volume": _q_q5_region_volume,
+        "q12_shipmode": _q_q12_shipmode,
+        "doc_decontam": _q_doc_decontam,
         "set_intersect_all": _q_set_intersect_all,
         "set_except_all": _q_set_except_all,
         "order_first_last": _q_order_first_last,
@@ -2386,6 +2572,71 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(coalesce(sum(ep_c), 0) AS BIGINT) AS total_c
             FROM li JOIN st USING (l_partkey)
             WHERE 5 * q * n < sum_qty
+        """,
+        "q4_priority": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders
+            WHERE epoch_us(o_orderdate) // 86400000000
+                    >= epoch_us(TIMESTAMP '1996-01-01') // 86400000000
+              AND epoch_us(o_orderdate) // 86400000000
+                    < epoch_us(TIMESTAMP '1996-04-01') // 86400000000
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_returnflag = 'R')
+            GROUP BY o_orderpriority
+        """,
+        "q5_region_volume": """
+            SELECT n_name,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * 10000 + 0.5) AS BIGINT))
+                        AS BIGINT) AS revenue_c4
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey
+              AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+              AND epoch_us(o_orderdate) // 86400000000
+                    >= epoch_us(TIMESTAMP '1996-01-01') // 86400000000
+              AND epoch_us(o_orderdate) // 86400000000
+                    < epoch_us(TIMESTAMP '1997-01-01') // 86400000000
+            GROUP BY n_name
+        """,
+        "q12_shipmode": """
+            SELECT l_returnflag,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                                      ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority NOT IN
+                                      ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE epoch_us(l_shipdate) // 86400000000
+                    >= epoch_us(TIMESTAMP '1996-01-01') // 86400000000
+              AND epoch_us(l_shipdate) // 86400000000
+                    < epoch_us(TIMESTAMP '1997-01-01') // 86400000000
+            GROUP BY l_returnflag
+        """,
+        "doc_decontam": """
+            -- train docs sharing any word 6-gram with the src0 bench
+            -- slice (single-space tokenization, same contract as
+            -- dup_ngrams)
+            WITH toks AS (
+              SELECT doc_id, source, string_split(text, ' ') AS w
+              FROM documents),
+            g AS (
+              SELECT doc_id, source,
+                     list_distinct(
+                       [array_to_string(w[i:i+5], ' ')
+                        FOR i IN range(1, len(w) - 4)]) AS gs
+              FROM toks WHERE len(w) >= 6),
+            ex AS (SELECT doc_id, source, unnest(gs) AS gram FROM g),
+            bench AS (SELECT DISTINCT gram FROM ex WHERE source = 'src0')
+            SELECT DISTINCT doc_id
+            FROM ex JOIN bench USING (gram)
+            WHERE source != 'src0'
         """,
         "set_intersect_all": """
             SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'

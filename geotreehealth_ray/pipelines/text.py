@@ -477,23 +477,10 @@ def pack_sequences(docs, budget: int = 128, num_buckets: int = 8,
     return sorted_group_map(prepped, ["bucket"], pack, batch_format="pandas")
 
 
-def duplicate_ngrams(docs, n: int = 5, id_col: str = "doc_id",
-                     text_col: str = "text", min_docs: int = 2):
-    """Cross-document duplicate n-gram detection (the exact-substring
-    side of training-data dedup, à la "Deduplicating Training Data
-    Makes Language Models Better"): every word n-gram that appears in
-    at least ``min_docs`` distinct documents, with its document
-    frequency. Output: (gram, n_docs).
-
-    Tokenization contract matches `repetition_stats` (single-space
-    split). Per batch the corpus explodes into ONE flat token array
-    (never a per-row loop); n-grams come from n shifted views joined
-    elementwise, masked to within-document runs; a per-batch
-    drop_duplicates keeps the shuffle to distinct (gram, doc) pairs;
-    one hash exchange on gram, then a vectorized per-bucket
-    nunique + threshold. At 100 TB the gram column should be a 64-bit
-    fingerprint instead of the string — `fingerprints` provides the
-    kernel; the string form here keeps the oracle exact."""
+def _gram_exploder(n: int, id_col: str, text_col: str):
+    """Batch kernel: corpus → distinct (gram, id) pairs. One flat token
+    array per batch (no per-row loop); n-grams from n shifted views
+    joined elementwise, masked to within-document runs."""
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         toks = df[text_col].fillna("").str.split(" ")
@@ -516,6 +503,76 @@ def duplicate_ngrams(docs, n: int = 5, id_col: str = "doc_id",
             id_col: df[id_col].to_numpy()[doc_idx[:m][within]],
         })
         return out.drop_duplicates()
+
+    return explode
+
+
+def decontaminate(train, bench, n: int = 6, id_col: str = "doc_id",
+                  text_col: str = "text"):
+    """Benchmark decontamination (the n-gram-overlap filter every
+    large-scale training corpus runs against its eval sets, à la GPT-3
+    appendix C / "Deduplicating Training Data..."): the distinct ids of
+    ``train`` documents sharing at least one word ``n``-gram with any
+    ``bench`` document. Output: one ``id_col`` column.
+
+    Benchmark sets are small by construction (eval suites, not
+    corpora), so the bench gram vocabulary is folded driver-side from
+    per-batch distinct sets and broadcast ONCE via ray.put; each train
+    batch explodes to distinct (gram, id) pairs (shared kernel with
+    `duplicate_ngrams`) and probes the set vectorized — the train side
+    never shuffles its text, and the only exchange is the final slim
+    id-dedup. If bench ever outgrows the driver, swap the broadcast for
+    `relational.hash_join(how='semi')` on the gram column (same
+    contract, one gram-pair shuffle) — or `sketch.bloom_words` plus an
+    exact re-verify."""
+    explode = _gram_exploder(n, id_col, text_col)
+
+    import ray
+
+    vocab: set = set()
+    for b in (
+        bench.select_columns([id_col, text_col])
+        .map_batches(explode, batch_format="pandas")
+        .iter_batches(batch_format="pandas")
+    ):
+        vocab.update(b["gram"].tolist())
+    ref = ray.put(vocab)
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        hit = df["gram"].isin(ray.get(ref))
+        ids = df[id_col].to_numpy()[hit.to_numpy()]
+        return pd.DataFrame({id_col: np.unique(ids)})
+
+    pairs = train.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pandas"
+    ).map_batches(probe, batch_format="pandas")
+
+    from .relational import bucketed_reduce
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    return bucketed_reduce(pairs, id_col, per_bucket, partitions=8)
+
+
+def duplicate_ngrams(docs, n: int = 5, id_col: str = "doc_id",
+                     text_col: str = "text", min_docs: int = 2):
+    """Cross-document duplicate n-gram detection (the exact-substring
+    side of training-data dedup, à la "Deduplicating Training Data
+    Makes Language Models Better"): every word n-gram that appears in
+    at least ``min_docs`` distinct documents, with its document
+    frequency. Output: (gram, n_docs).
+
+    Tokenization contract matches `repetition_stats` (single-space
+    split). Per batch the corpus explodes into ONE flat token array
+    (never a per-row loop); n-grams come from n shifted views joined
+    elementwise, masked to within-document runs; a per-batch
+    drop_duplicates keeps the shuffle to distinct (gram, doc) pairs;
+    one hash exchange on gram, then a vectorized per-bucket
+    nunique + threshold. At 100 TB the gram column should be a 64-bit
+    fingerprint instead of the string — `fingerprints` provides the
+    kernel; the string form here keeps the oracle exact."""
+    explode = _gram_exploder(n, id_col, text_col)
 
     pairs = docs.select_columns([id_col, text_col]).map_batches(
         explode, batch_format="pandas"
