@@ -214,6 +214,52 @@ def encode_qdct(img: np.ndarray, quality: int = 97) -> bytes:
     return head + payload
 
 
+def decode_qdct_blocks(data: bytes) -> tuple[np.ndarray, int, int, int]:
+    """Decompress + dequantize WITHOUT the inverse DCT: returns
+    (coef f32 (nby, nbx, c, 8, 8), h, w, c). The expensive pixel
+    reconstruction can then run per-window via `idct_window` — a
+    windowed raster read (reference get_polygons.py:588-623's
+    rasterio window semantics) that skips the ~96% of blocks a small
+    crop never touches."""
+    magic, h, w, c, quality, dtype_flag = struct.unpack(">4sHHBBB", data[:11])
+    if magic != b"QDCT":
+        raise ValueError("not qdct")
+    _, qf = _consts(quality)
+    ph, pw = (h + 7) & ~7, (w + 7) & ~7
+    dt = np.int8 if dtype_flag == 1 else np.int16
+    blocks = np.frombuffer(zlib.decompress(data[11:]), dtype=dt).reshape(
+        ph // 8, pw // 8, c, 8, 8
+    )
+    coef = blocks.astype(np.float32)
+    coef *= qf
+    return coef, h, w, c
+
+
+def idct_window(coef: np.ndarray, h: int, w: int,
+                row0: int, row1: int, col0: int, col1: int) -> np.ndarray:
+    """Reconstruct ONLY the pixel window [row0:row1, col0:col1) from
+    dequantized qdct blocks. Bit-identical to
+    ``decode_qdct(data)[row0:row1, col0:col1]`` — the 8×8 IDCT is
+    block-local, so slicing blocks first commutes with the transform
+    (same float32 GEMMs in the same order per block)."""
+    m = _consts(97)[0]  # DCT matrix is quality-independent
+    row1 = min(row1, h)
+    col1 = min(col1, w)
+    br0, br1 = row0 >> 3, (row1 + 7) >> 3
+    bc0, bc1 = col0 >> 3, (col1 + 7) >> 3
+    sub = coef[br0:br1, bc0:bc1]
+    padb = (m.T @ sub) @ m
+    hh, ww = (br1 - br0) * 8, (bc1 - bc0) * 8
+    pad = np.ascontiguousarray(padb.transpose(0, 3, 1, 4, 2)).reshape(
+        hh, ww, coef.shape[2]
+    )
+    pad += 128.0
+    win = pad[row0 - br0 * 8 : row1 - br0 * 8,
+              col0 - bc0 * 8 : col1 - bc0 * 8]
+    out = np.clip(np.rint(win, out=win), 0, 255).astype(np.uint8)
+    return out[:, :, 0] if coef.shape[2] == 1 else out
+
+
 def decode_qdct(data: bytes) -> np.ndarray:
     magic, h, w, c, quality, dtype_flag = struct.unpack(">4sHHBBB", data[:11])
     if magic != b"QDCT":

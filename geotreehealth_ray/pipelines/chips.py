@@ -208,6 +208,17 @@ def _nulls_like(schema: pa.Schema, n: int, present: dict[str, pa.Array]) -> pa.T
     return pa.Table.from_arrays(arrays, schema=schema)
 
 
+def _crop_window(entry, row0: int, row1: int, col0: int, col1: int):
+    """Pixel window from a ChipExtractor cache entry: qdct tiles
+    reconstruct only the touched 8×8 blocks (codec.idct_window, bit-
+    identical to full-decode-then-crop); pixel-cached tiles slice."""
+    kind, payload, th, tw = entry[0], entry[1], entry[2], entry[3]
+    if kind == "blocks":
+        crop = codec.idct_window(payload, th, tw, row0, row1, col0, col1)
+        return crop[:, :, None] if crop.ndim == 2 else crop
+    return payload[row0:row1, col0:col1]
+
+
 class ChipExtractor:
     """Actor-pool stage: per crown batch, fetch + decode the owning
     tile from storage (pyarrow dataset, row-group pruned by tile_id
@@ -273,17 +284,33 @@ class ChipExtractor:
         return rows
 
     def _tile(self, tid: str):
+        """Cache entry: (kind, payload, th, tw, fmt, a, c, e, f).
+        qdct tiles cache DEQUANTIZED BLOCKS (decompress once, ~1/3 of
+        a full decode) and reconstruct pixels per crown window via
+        `codec.idct_window` — a windowed raster read that skips the
+        blocks a small crop never touches. PNG tiles (scanline-filtered,
+        not block-local) cache decoded pixels."""
         if tid in self.cache:
             return self.cache[tid]
         rows = self._file_rows(tid)
         t = rows["__table"]
         j = rows[tid]
-        img = codec.decode(t["bytes"][j].as_py(), t["fmt"][j].as_py())
-        if img.ndim == 2:
-            img = img[:, :, None]
+        data = t["bytes"][j].as_py()
+        fmt = t["fmt"][j].as_py()
+        if fmt == "qdct":
+            coef, h, w, c = codec.decode_qdct_blocks(data)
+            kind, payload, th, tw = "blocks", coef, h, w
+        else:
+            img = codec.decode(data, fmt)
+            if img.ndim == 2:
+                img = img[:, :, None]
+            kind, payload, th, tw = "px", img, img.shape[0], img.shape[1]
         entry = (
-            img,
-            t["fmt"][j].as_py(),
+            kind,
+            payload,
+            th,
+            tw,
+            fmt,
             t["a"][j].as_py(),
             t["c"][j].as_py(),
             t["e"][j].as_py(),
@@ -303,8 +330,9 @@ class ChipExtractor:
         cells_ = batch["cell"].to_numpy()
         cols: dict[str, list] = {f.name: [] for f in _CHIP_SCHEMA}
         for i in range(len(batch)):
-            img, fmt, a, c0, e, f0 = self._tile(tids[i])
-            th, tw = img.shape[0], img.shape[1]
+            entry = self._tile(tids[i])
+            fmt, a, c0, e, f0 = entry[4:]
+            th, tw = entry[2], entry[3]
             ring = rings[i]
             minx, miny, maxx, maxy = geom.ring_bbox(ring)
             col0 = max(0, int(np.floor((minx - c0) / a)))
@@ -313,7 +341,7 @@ class ChipExtractor:
             row1 = min(th, int(np.ceil((miny - f0) / e)))
             if col1 <= col0 or row1 <= row0:
                 continue
-            crop = img[row0:row1, col0:col1]
+            crop = _crop_window(entry, row0, row1, col0, col1)
             hh, ww = crop.shape[0], crop.shape[1]
             wx = c0 + (np.arange(col0, col1) + 0.5) * a
             wy = f0 + (np.arange(row0, row1) + 0.5) * e
@@ -546,8 +574,9 @@ class ZonalExtractor(ChipExtractor):
         tids = batch["tile_id"].to_numpy(zero_copy_only=False)
         cols: dict[str, list] = {f.name: [] for f in _ZONAL_SCHEMA}
         for i in range(len(batch)):
-            img, fmt, a, c0, e, f0 = self._tile(tids[i])
-            th, tw = img.shape[0], img.shape[1]
+            entry = self._tile(tids[i])
+            a, c0, e, f0 = entry[5:]
+            th, tw = entry[2], entry[3]
             ring = rings[i]
             minx, miny, maxx, maxy = geom.ring_bbox(ring)
             col0 = max(0, int(np.floor((minx - c0) / a)))
@@ -556,7 +585,7 @@ class ZonalExtractor(ChipExtractor):
             row1 = min(th, int(np.ceil((miny - f0) / e)))
             if col1 <= col0 or row1 <= row0:
                 continue
-            crop = img[row0:row1, col0:col1]
+            crop = _crop_window(entry, row0, row1, col0, col1)
             wx = c0 + (np.arange(col0, col1) + 0.5) * a
             wy = f0 + (np.arange(row0, row1) + 0.5) * e
             inside = geom.raster_mask(ring, wx, wy)

@@ -62,3 +62,26 @@ def test_average_hash_stable_and_discriminative():
     b = _img(64, 64, 3, seed=2)
     assert codec.average_hash(b) != h1
     assert -(2**63) <= h1 < 2**63
+
+
+def test_idct_window_bit_identical_to_full_decode():
+    from geotreehealth_ray.functions import codec
+
+    rng = np.random.default_rng(3)
+    for h, w, c in [(288, 288, 3), (61, 77, 3), (40, 40, 1)]:
+        img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+        if c == 1:
+            img = img[:, :, 0]
+        data = codec.encode_qdct(img)
+        full = codec.decode_qdct(data)
+        coef, hh, ww, cc = codec.decode_qdct_blocks(data)
+        assert (hh, ww) == (h, w)
+        windows = [(0, h, 0, w), (0, 1, 0, 1), (5, 23, 9, 31),
+                   (h - 7, h, w - 3, w), (8, 16, 16, 24)]
+        for r0, r1, c0, c1 in windows:
+            if r0 >= h or c0 >= w:
+                continue
+            win = codec.idct_window(coef, hh, ww, r0, r1, c0, c1)
+            ref = full[r0:r1, c0:c1]
+            assert win.shape == ref.shape
+            assert (win == ref).all(), (h, w, c, r0, r1, c0, c1)
