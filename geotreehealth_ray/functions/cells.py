@@ -25,6 +25,10 @@ __all__ = [
     "cells_covering",
     "cell_grid_xy",
     "mix64",
+    "hilbert_of",
+    "hilbert_decode",
+    "hilbert_xy2d",
+    "hilbert_d2xy",
     "DEFAULT_RES",
     "BASE_CELL_M",
 ]
@@ -111,6 +115,89 @@ def cell_decode(cell) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     code = cell & np.uint64((1 << 60) - 1)
     gx = _compact1by1(code).astype(np.int64)
     gy = _compact1by1(code >> np.uint64(1)).astype(np.int64)
+    return res, gx, gy
+
+
+def hilbert_xy2d(gx: np.ndarray, gy: np.ndarray, res: int) -> np.ndarray:
+    """Vectorized Hilbert-curve index of integer grid cells (gx, gy)
+    on a 2^res × 2^res grid — the space-filling curve S2 uses (Morton
+    is H3/Z-order's). Hilbert consecutive indices are ALWAYS 4-adjacent
+    cells, so a contiguous index range is one compact blob — a Z-order
+    range can be two disjoint rectangles. Standard bit-rotation walk
+    (Hamilton 2006 / Wikipedia "Hilbert curve"), vectorized across
+    points: O(res) numpy passes, no per-point loop."""
+    x = np.asarray(gx, dtype=np.uint64).copy()
+    y = np.asarray(gy, dtype=np.uint64).copy()
+    d = np.zeros(x.shape, dtype=np.uint64)
+    s = np.uint64(1 << (res - 1)) if res > 0 else np.uint64(0)
+    one = np.uint64(1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.uint64)
+        ry = ((y & s) > 0).astype(np.uint64)
+        d += s * s * ((np.uint64(3) * rx) ^ ry)
+        # rotate quadrant: when ry == 0, flip (if rx) then swap x/y
+        flip = (ry == 0) & (rx == 1)
+        sm1 = s - one
+        x_f = np.where(flip, sm1 - x, x)
+        y_f = np.where(flip, sm1 - y, y)
+        swap = ry == 0
+        x, y = (np.where(swap, y_f, x_f), np.where(swap, x_f, y_f))
+        s >>= one
+    return d
+
+
+def hilbert_d2xy(d: np.ndarray, res: int) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of hilbert_xy2d → (gx, gy); same vectorized walk, from
+    the lowest bit pair up."""
+    t = np.asarray(d, dtype=np.uint64).copy()
+    x = np.zeros(t.shape, dtype=np.uint64)
+    y = np.zeros(t.shape, dtype=np.uint64)
+    one = np.uint64(1)
+    s = np.uint64(1)
+    top = np.uint64(1 << res)
+    while s < top:
+        rx = one & (t >> one)
+        ry = one & (t ^ rx)
+        # un-rotate
+        flip = (ry == 0) & (rx == 1)
+        sm1 = s - one
+        x_s = np.where(flip, sm1 - x, x)
+        y_s = np.where(flip, sm1 - y, y)
+        swap = ry == 0
+        x, y = (np.where(swap, y_s, x_s), np.where(swap, x_s, y_s))
+        x += s * rx
+        y += s * ry
+        t >>= np.uint64(2)
+        s <<= one
+    return x.astype(np.int64), y.astype(np.int64)
+
+
+def hilbert_of(x, y, res: int = DEFAULT_RES) -> np.ndarray:
+    """64-bit Hilbert cell key of each (x, y): [4 bits res][60 bits
+    hilbert index]. Same grid quantization as `cell_of` (one key per
+    cell, bijective with it at equal res) but sorted order follows the
+    Hilbert curve — use as the sort/partition key when each partition
+    should be one COMPACT contiguous region (checkpoint partitioning,
+    range-sharded spatial writes); keep Morton `cell_of` when the key
+    must also support cheap prefix/interleave math (halo covers)."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}], got {res}")
+    gx, gy = cell_grid_xy(x, y, res)
+    d = hilbert_xy2d(gx, gy, res)
+    return (np.uint64(res) << np.uint64(60)) | d
+
+
+def hilbert_decode(cell) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Inverse of hilbert_of → (res, gx, gy). Assumes uniform res per
+    call (vectorized walk needs one res; mixed-res keys sort apart by
+    the 4-bit prefix anyway)."""
+    cell = np.asarray(cell, dtype=np.uint64)
+    res = (cell >> np.uint64(60)).astype(np.int64)
+    if len(res) and not (res == res[0]).all():
+        raise ValueError("hilbert_decode requires uniform resolution")
+    d = cell & np.uint64((1 << 60) - 1)
+    r = int(res[0]) if len(res) else 0
+    gx, gy = hilbert_d2xy(d, r)
     return res, gx, gy
 
 

@@ -72,3 +72,75 @@ def test_cells_covering_many():
     )
     assert (idx == 0).sum() == 1
     assert (idx == 1).sum() == 2
+
+
+def _xy2d_scalar(n, x, y):
+    # classic scalar reference (Wikipedia "Hilbert curve")
+    rx = ry = 0
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_matches_scalar_reference():
+    from geotreehealth_ray.functions import cells
+
+    res = 5
+    n = 1 << res
+    gx, gy = np.meshgrid(np.arange(n), np.arange(n))
+    gx, gy = gx.ravel(), gy.ravel()
+    d = cells.hilbert_xy2d(gx, gy, res)
+    ref = np.array([_xy2d_scalar(n, int(a), int(b)) for a, b in zip(gx, gy)])
+    np.testing.assert_array_equal(d.astype(np.int64), ref)
+
+
+def test_hilbert_bijective_roundtrip():
+    from geotreehealth_ray.functions import cells
+
+    res = 6
+    n = 1 << res
+    gx, gy = np.meshgrid(np.arange(n), np.arange(n))
+    gx, gy = gx.ravel(), gy.ravel()
+    d = cells.hilbert_xy2d(gx, gy, res)
+    assert len(np.unique(d)) == n * n  # bijection onto [0, n^2)
+    assert int(d.max()) == n * n - 1
+    rx, ry = cells.hilbert_d2xy(d, res)
+    np.testing.assert_array_equal(rx, gx)
+    np.testing.assert_array_equal(ry, gy)
+
+
+def test_hilbert_consecutive_cells_adjacent():
+    """The defining locality property (why S2 uses Hilbert, not
+    Z-order): consecutive curve indices are 4-neighbor grid cells."""
+    from geotreehealth_ray.functions import cells
+
+    res = 7
+    n = 1 << res
+    d = np.arange(n * n, dtype=np.uint64)
+    gx, gy = cells.hilbert_d2xy(d, res)
+    step = np.abs(np.diff(gx)) + np.abs(np.diff(gy))
+    assert (step == 1).all()
+
+
+def test_hilbert_of_key_layout_and_decode():
+    from geotreehealth_ray.functions import cells
+
+    rng = np.random.default_rng(5)
+    x = rng.uniform(0, 100000, 500)
+    y = rng.uniform(0, 100000, 500)
+    key = cells.hilbert_of(x, y, 13)
+    assert (key >> np.uint64(60) == 13).all()
+    res, gx, gy = cells.hilbert_decode(key)
+    egx, egy = cells.cell_grid_xy(x, y, 13)
+    np.testing.assert_array_equal(gx, egx)
+    np.testing.assert_array_equal(gy, egy)

@@ -86,3 +86,31 @@ def test_partition_of_cells_contiguous():
     # nearby points share a partition; far points don't
     assert p[0] == p[1]
     assert p[0] != p[2]
+
+
+def test_partition_of_cells_hilbert_compact():
+    import numpy as np
+
+    from geotreehealth_ray.functions import cells
+    from geotreehealth_ray.state.checkpoint import partition_of_cells
+
+    rng = np.random.default_rng(9)
+    x = rng.uniform(0, 2000, 4000)
+    y = rng.uniform(0, 2000, 4000)
+    key = cells.cell_of(x, y, 13)
+    pid_m = partition_of_cells(key, bits=4)
+    pid_h = partition_of_cells(key, bits=4, curve="hilbert")
+    # same number of coarse groups, both complete partitions of rows
+    assert len(pid_m) == len(pid_h) == 4000
+    # hilbert ids are deterministic re-encodings: same key -> same pid
+    again = partition_of_cells(key, bits=4, curve="hilbert")
+    np.testing.assert_array_equal(pid_h, again)
+    # compactness: mean bbox area per hilbert partition <= morton's
+    def mean_area(pid):
+        areas = []
+        for p in np.unique(pid):
+            m = pid == p
+            areas.append((x[m].ptp() + 1) * (y[m].ptp() + 1))
+        return np.mean(areas)
+
+    assert mean_area(pid_h) <= mean_area(pid_m) * 1.05
