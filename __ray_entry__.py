@@ -1188,6 +1188,20 @@ def _q_doc_decontam(sf_dir: str):
     )
 
 
+def _q_qty_disc_corr(sf_dir: str):
+    """Per-returnflag Pearson-correlation sufficient statistics of
+    (quantity, discount): exact int64 combiner partials → integer
+    corr_num / var_x_num / var_y_num (corr = corr_num /
+    sqrt(var_x_num·var_y_num), left to the consumer — same
+    engine-independent-integers contract as qty_disc_cov)."""
+    from geotreehealth_ray.pipelines.relational import grouped_corr_stats
+
+    return grouped_corr_stats(
+        _read(sf_dir, "lineitem"), ["l_returnflag"], "l_quantity",
+        "l_discount", x_scale=100, y_scale=100,
+    )
+
+
 def _q_set_intersect_all(sf_dir: str):
     """INTERSECT ALL (bag semantics): supplier keys of 'R'-returned
     lineitems, each repeated min(multiplicity) across the 'A' side."""
@@ -1896,6 +1910,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "q5_region_volume": _q_q5_region_volume,
         "q12_shipmode": _q_q12_shipmode,
         "doc_decontam": _q_doc_decontam,
+        "qty_disc_corr": _q_qty_disc_corr,
         "set_intersect_all": _q_set_intersect_all,
         "set_except_all": _q_set_except_all,
         "order_first_last": _q_order_first_last,
@@ -2421,6 +2436,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, n, sum_x, sum_y, sum_xy,
                    CAST(n*sum_xy - CAST(sum_x AS HUGEINT)*sum_y AS BIGINT)
                      AS cov_num
+            FROM a
+        """,
+        "qty_disc_corr": """
+            WITH p AS (
+              SELECT l_returnflag,
+                     CAST(floor(l_quantity*100 + 0.5) AS BIGINT) AS x,
+                     CAST(floor(l_discount*100 + 0.5) AS BIGINT) AS y
+              FROM lineitem),
+            a AS (
+              SELECT l_returnflag, count(*) AS n,
+                     CAST(sum(x) AS BIGINT) AS sum_x,
+                     CAST(sum(y) AS BIGINT) AS sum_y,
+                     CAST(sum(x*x) AS BIGINT) AS sum_xx,
+                     CAST(sum(y*y) AS BIGINT) AS sum_yy,
+                     CAST(sum(x*y) AS BIGINT) AS sum_xy
+              FROM p GROUP BY 1)
+            SELECT l_returnflag, n,
+                   CAST(n*sum_xy - CAST(sum_x AS HUGEINT)*sum_y AS BIGINT)
+                     AS corr_num,
+                   CAST(n*sum_xx - CAST(sum_x AS HUGEINT)*sum_x AS BIGINT)
+                     AS var_x_num,
+                   CAST(n*sum_yy - CAST(sum_y AS HUGEINT)*sum_y AS BIGINT)
+                     AS var_y_num
             FROM a
         """,
         "user_event_seq": """

@@ -991,6 +991,50 @@ def grouped_cov_stats(ds, keys: list[str], x_col: str, y_col: str,
                            finalize, partitions=combiner_partitions())
 
 
+def grouped_corr_stats(ds, keys: list[str], x_col: str, y_col: str,
+                       x_scale: int = 1, y_scale: int = 100):
+    """Per-key Pearson CORRELATION sufficient statistics: exact int64
+    (n, Σx, Σy, Σx², Σy², Σxy) partials per batch → one slim exchange →
+    integer numerator ``corr_num`` = n·Σxy − Σx·Σy and the two variance
+    numerators ``var_x_num`` / ``var_y_num`` (n·Σx² − (Σx)², n·Σy² −
+    (Σy)²). corr = corr_num / sqrt(var_x_num · var_y_num) — the sqrt
+    and division are left to the consumer so the shipped values stay
+    engine-independent integers (same contract as grouped_cov_stats).
+
+    Caller contract: n · max|x|² · n fits int64."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = np.floor(df[x_col].to_numpy() * x_scale + 0.5).astype(np.int64)
+        y = np.floor(df[y_col].to_numpy() * y_scale + 0.5).astype(np.int64)
+        t = pd.DataFrame({k: df[k] for k in keys})
+        t["__x"] = x
+        t["__y"] = y
+        t["__xx"] = x * x
+        t["__yy"] = y * y
+        t["__xy"] = x * y
+        g = t.groupby(keys, sort=False)
+        return g.agg(n=("__x", "size"), sum_x=("__x", "sum"),
+                     sum_y=("__y", "sum"), sum_xx=("__xx", "sum"),
+                     sum_yy=("__yy", "sum"),
+                     sum_xy=("__xy", "sum")).reset_index()
+
+    partials = ds.select_columns(keys + [x_col, y_col]).map_batches(
+        partial, batch_format="pandas"
+    )
+
+    cols = ["n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"]
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(keys, sort=False)[cols].sum().reset_index()
+        out["corr_num"] = out["n"] * out["sum_xy"] - out["sum_x"] * out["sum_y"]
+        out["var_x_num"] = out["n"] * out["sum_xx"] - out["sum_x"] ** 2
+        out["var_y_num"] = out["n"] * out["sum_yy"] - out["sum_y"] ** 2
+        return out[keys + ["n", "corr_num", "var_x_num", "var_y_num"]]
+
+    return bucketed_reduce(partials, keys[0] if len(keys) == 1 else keys,
+                           finalize, partitions=combiner_partitions())
+
+
 def grouped_concat(ds, keys: list[str], val_col: str, order_col: str,
                    alias: str = "concat", sep: str = ",",
                    count_alias: str = "n"):

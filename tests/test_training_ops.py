@@ -145,3 +145,33 @@ def test_grouped_concat_ordered(ray_session):
     assert got.loc[1, "seq"] == "a,b,c"
     assert got.loc[1, "n"] == 3
     assert got.loc[2, "seq"] == "z"
+
+
+def test_grouped_corr_stats_matches_numpy(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from geotreehealth_ray.pipelines.relational import grouped_corr_stats
+
+    rng = np.random.default_rng(21)
+    k = rng.choice(["a", "b", "c"], 600)
+    x = rng.integers(0, 50, 600).astype(float)
+    y = (x * 3 + rng.integers(-40, 40, 600)) / 100.0
+    df = pd.DataFrame({"k": k, "x": x, "y": y})
+    out = grouped_corr_stats(
+        rd.from_pandas(df), ["k"], "x", "y", x_scale=1, y_scale=100
+    ).to_pandas().set_index("k")
+    for g, sub in df.groupby("k"):
+        xi = sub["x"].to_numpy().astype(np.int64)
+        yi = np.floor(sub["y"].to_numpy() * 100 + 0.5).astype(np.int64)
+        n = len(sub)
+        r = out.loc[g]
+        assert r["n"] == n
+        assert r["corr_num"] == n * (xi * yi).sum() - xi.sum() * yi.sum()
+        assert r["var_x_num"] == n * (xi * xi).sum() - xi.sum() ** 2
+        assert r["var_y_num"] == n * (yi * yi).sum() - yi.sum() ** 2
+        # the derived correlation matches numpy's (float check)
+        got = r["corr_num"] / np.sqrt(r["var_x_num"] * r["var_y_num"])
+        want = np.corrcoef(xi, yi)[0, 1]
+        assert abs(got - want) < 1e-12
