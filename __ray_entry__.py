@@ -1534,6 +1534,37 @@ def _q_synth_image_stats(sf_dir: str):
     return image_stats(_rd().read_parquet(p["images"]))
 
 
+def _q_synth_thumbnails(sf_dir: str):
+    """Thumbnail pipeline over the north-rule image table: actor-pool
+    decode → bilinear resize to 32×32 → re-encode in the source fmt,
+    then a slim per-thumbnail stats projection (bytes never shuffle).
+    Deterministic: same decoded pixels at any parallelism."""
+    import pyarrow as pa
+
+    from geotreehealth_ray.functions import codec
+    from geotreehealth_ray.stages.multimodal import ImageResizeStage
+
+    p = _synth_paths()
+    small = _rd().read_parquet(p["images"]).map_batches(
+        ImageResizeStage(32, 32), batch_format="pyarrow", batch_size=64,
+        concurrency=2,
+    )
+
+    def stats(t: pa.Table) -> pa.Table:
+        ids, sums = [], []
+        for i in range(len(t)):
+            img = codec.decode(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+            ids.append(t["image_id"][i].as_py())
+            sums.append(int(img.astype(np.uint64).sum()))
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "thumb_checksum": pa.array(sums, pa.int64()),
+            "w": t["w"], "h": t["h"],
+        })
+
+    return small.map_batches(stats, batch_format="pyarrow")
+
+
 def _q_synth_nms(sf_dir: str):
     from geotreehealth_ray.pipelines.nms import greedy_nms
 
@@ -1958,6 +1989,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "synth_zonal_stats": _q_synth_zonal_stats,
         "stem_rebalance": _q_stem_rebalance,
         "synth_image_stats": _q_synth_image_stats,
+        "synth_thumbnails": _q_synth_thumbnails,
     }
 
 

@@ -133,3 +133,37 @@ def test_strict_paths_raise():
         multimodal.AudioFeatureSlot(strict=True)
     with pytest.raises(NotImplementedError):
         multimodal.VideoFrameSampleSlot(strict=True)
+
+
+def test_thumbnail_pipeline_deterministic_and_lossless_path(ray_session):
+    """ImageResizeStage end-to-end via the driver surface: stable
+    shape, deterministic checksums, png thumbs decode losslessly to
+    the single-process resize of the decoded source."""
+    import importlib.util
+
+    import numpy as np
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod", "/root/repo/__ray_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    df = mod.queries()["synth_thumbnails"]("unused").to_pandas()
+    assert len(df) > 0
+    assert (df["w"] == 32).all() and (df["h"] == 32).all()
+
+    # cross-check one png image against a single-process reference
+    import pyarrow.parquet as pq
+
+    from geotreehealth_ray.functions import codec
+    from geotreehealth_ray.stages.raster import bilinear_resize
+
+    imgs = pq.read_table(mod._synth_paths()["images"]).to_pandas()
+    png = imgs[imgs["fmt"] == "png"].iloc[0]
+    src = codec.decode(png["bytes"], "png")
+    want = np.clip(np.round(bilinear_resize(src, 32, 32)), 0, 255).astype(
+        np.uint8
+    )
+    got = int(want.astype(np.uint64).sum())
+    row = df[df["image_id"] == png["image_id"]]
+    assert int(row["thumb_checksum"].iloc[0]) == got
