@@ -1202,6 +1202,33 @@ def _q_qty_disc_corr(sf_dir: str):
     )
 
 
+def _q_supp_heavy_hitters(sf_dir: str):
+    """Exact heavy-hitter suppliers (count ≥ ceil(0.0105·N) lineitems)
+    via two passes: merged per-batch Misra-Gries candidate summaries
+    (no false negatives) → broadcast exact recount — never a full-key
+    groupby. Output bit-identical to the SQL HAVING clause."""
+    from geotreehealth_ray.pipelines.sketch import heavy_hitters
+
+    return heavy_hitters(
+        _read(sf_dir, "lineitem"), "l_suppkey", phi=0.0105,
+        key_alias="l_suppkey", count_alias="n",
+    )
+
+
+def _q_order_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS ((status), (priority), ()): explicit
+    grouping sets — one data pass builds the finest (status, priority)
+    aggregate, each requested set re-aggregates it (rows bounded by
+    distinct combos)."""
+    from geotreehealth_ray.pipelines.relational import grouping_sets_sum
+
+    return grouping_sets_sum(
+        _read(sf_dir, "orders"),
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_totalprice", scale=100,
+    )
+
+
 def _q_set_intersect_all(sf_dir: str):
     """INTERSECT ALL (bag semantics): supplier keys of 'R'-returned
     lineitems, each repeated min(multiplicity) across the 'A' side."""
@@ -1942,6 +1969,8 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "q12_shipmode": _q_q12_shipmode,
         "doc_decontam": _q_doc_decontam,
         "qty_disc_corr": _q_qty_disc_corr,
+        "supp_heavy_hitters": _q_supp_heavy_hitters,
+        "order_grouping_sets": _q_order_grouping_sets,
         "set_intersect_all": _q_set_intersect_all,
         "set_except_all": _q_set_except_all,
         "order_first_last": _q_order_first_last,
@@ -2469,6 +2498,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n*sum_xy - CAST(sum_x AS HUGEINT)*sum_y AS BIGINT)
                      AS cov_num
             FROM a
+        """,
+        "supp_heavy_hitters": """
+            SELECT l_suppkey, count(*) AS n
+            FROM lineitem
+            GROUP BY l_suppkey
+            HAVING count(*) >= CAST(ceil(0.0105 *
+                     (SELECT count(*) FROM lineitem)) AS BIGINT)
+        """,
+        "order_grouping_sets": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS sum_scaled,
+                   count(*) AS n
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus),
+                                    (o_orderpriority), ())
         """,
         "qty_disc_corr": """
             WITH p AS (

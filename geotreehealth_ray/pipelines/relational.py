@@ -904,6 +904,88 @@ def cube_sum(ds, keys: list[str], val_col: str, scale: int = 100,
     return out
 
 
+def grouping_sets_sum(ds, sets: list[list[str]], val_col: str,
+                      scale: int = 100, sum_alias: str = "sum_scaled",
+                      count_alias: str = "n"):
+    """GROUP BY GROUPING SETS((…), (…), …): the aggregate at each
+    EXPLICIT set of key columns (the general form ROLLUP and CUBE
+    specialize; [] = grand total), absent key columns NULL — one
+    dataset, union of levels. Same cost model as rollup_sum/cube_sum:
+    ONE data pass builds the finest aggregate over the union of all
+    set columns; every requested set re-aggregates that (bounded by
+    #distinct key combos, never #rows)."""
+    keys = list(dict.fromkeys(c for s in sets for c in s))
+    if not keys:
+        raise ValueError("at least one non-empty grouping set required")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        scaled = np.floor(df[val_col].to_numpy() * scale + 0.5).astype(np.int64)
+        t = pd.DataFrame({k: df[k] for k in keys})
+        t["__s"] = scaled
+        g = t.groupby(keys, sort=False)["__s"].agg(["sum", "size"]).reset_index()
+        g.columns = keys + [sum_alias, count_alias]
+        return g
+
+    partials = ds.select_columns(keys + [val_col]).map_batches(
+        partial, batch_format="pandas"
+    )
+
+    def reducer(cols):
+        def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            return (
+                df.groupby(cols, sort=False)[[sum_alias, count_alias]]
+                .sum().reset_index()
+            )
+
+        return per_bucket
+
+    def widen(level_cols):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            for k in keys:
+                if k not in df.columns:
+                    df[k] = None
+            return df[keys + [sum_alias, count_alias]]
+
+        return fn
+
+    finest = bucketed_reduce(partials, keys[0], reducer(keys),
+                             partitions=combiner_partitions()).materialize()
+    import ray.data as rd
+
+    levels = []
+    for s in sets:
+        cols = list(s)
+        if cols == keys:
+            levels.append(finest.map_batches(widen(keys), batch_format="pandas"))
+            continue
+        if not cols:
+            def block_total(df: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame({
+                    sum_alias: [df[sum_alias].sum()],
+                    count_alias: [df[count_alias].sum()],
+                })
+
+            tot = (
+                finest.select_columns([sum_alias, count_alias])
+                .map_batches(block_total, batch_format="pandas").to_pandas()
+            )
+            levels.append(rd.from_pandas(pd.DataFrame({
+                **{k: [None] for k in keys},
+                sum_alias: [int(tot[sum_alias].sum())],
+                count_alias: [int(tot[count_alias].sum())],
+            })))
+            continue
+        lvl = bucketed_reduce(
+            finest.select_columns(cols + [sum_alias, count_alias]),
+            cols[0], reducer(cols), partitions=4,
+        )
+        levels.append(lvl.map_batches(widen(cols), batch_format="pandas"))
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out
+
+
 def grouped_variance(ds, keys: list[str], val_col: str, scale: int = 100,
                      var_alias: str = "var_micro"):
     """Per-key sample VARIANCE with the distributive-partials pattern:

@@ -24,7 +24,7 @@ import pandas as pd
 __all__ = ["hll_registers", "hll_estimate", "P_DEFAULT",
            "bloom_words", "bloom_might_contain", "BLOOM_BITS_LOG2",
            "BLOOM_K", "bloom_semi_join", "cms_cells", "cms_estimate",
-           "CMS_W_LOG2", "CMS_D"]
+           "CMS_W_LOG2", "CMS_D", "heavy_hitters"]
 
 P_DEFAULT = 12  # 2^12 = 4096 registers → ~1.6% standard error
 
@@ -318,3 +318,98 @@ def bloom_might_contain(words: pd.DataFrame, keys: np.ndarray) -> np.ndarray:
         p = pos[:, i]
         hit &= (table[p >> 5] & (np.int64(1) << (p & 31))) != 0
     return hit
+
+
+# ------------------------------------------------------- heavy hitters
+
+def _mg_summary(counts: pd.Series, k: int) -> pd.Series:
+    """Misra-Gries reduction of an exact count vector to ≤ k counters:
+    subtract the (k+1)-th largest count from all, keep positives. The
+    undercount introduced is ≤ n_batch/(k+1) (standard MG bound)."""
+    if len(counts) <= k:
+        return counts
+    vals = counts.to_numpy()
+    t = np.partition(vals, len(vals) - k - 1)[len(vals) - k - 1]
+    kept = counts[counts > t] - t
+    return kept
+
+
+def heavy_hitters(ds, col: str, phi: float, key_alias: str = "key",
+                  count_alias: str = "n"):
+    """EXACT heavy hitters — (key, count) for every key whose count is
+    ≥ ceil(phi·N) — in two passes, never a full-key groupby:
+
+    pass 1: per-batch Misra-Gries summaries of k = ceil(2/phi) counters
+    (vectorized value_counts + one np.partition). MG summaries are
+    mergeable (Agarwal et al., "Mergeable Summaries"): summing them
+    undercounts any key by at most N/(k+1) ≤ phi·N/2, so every true
+    heavy hitter's summed estimate is ≥ phi·N/2 — the candidate cut at
+    that bound has NO false negatives. Candidates are ≤ 2/phi keys by
+    construction; raw keys never shuffle (summaries fold driver-side,
+    ≤ k slim rows per block).
+
+    pass 2: candidates broadcast via ray.put; per-batch exact counts of
+    candidate keys fold to exact totals, thresholded at ceil(phi·N).
+    Output is bit-identical to the full groupby's HAVING clause at any
+    parallelism.
+
+    Scale note: the driver folds ≤ k rows per BLOCK; at block counts
+    where that bites (100 TB ⇒ ~10^6 blocks), route the summary fold
+    through a one-partition exchange first (`_fold_or_exchange`
+    pattern) — the merge is the same associative sum."""
+    import math
+
+    import ray
+    import ray.data as rd
+
+    k = int(math.ceil(2.0 / phi))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = df[col].value_counts(sort=False)
+        mg = _mg_summary(c, k)
+        return pd.DataFrame({
+            "key": mg.index.to_numpy(), "cnt": mg.to_numpy(),
+            "nrows": np.full(len(mg), 0, np.int64),
+        }).pipe(lambda d: pd.concat(
+            [d, pd.DataFrame({"key": [np.int64(-1)], "cnt": [0],
+                              "nrows": [len(df)]})],
+            ignore_index=True,
+        ))
+
+    summ = pd.concat(
+        list(ds.select_columns([col]).map_batches(
+            partial, batch_format="pandas"
+        ).iter_batches(batch_size=None, batch_format="pandas")),
+        ignore_index=True,
+    )
+    n_total = int(summ["nrows"].sum())
+    est = summ[summ["nrows"] == 0].groupby("key", sort=False)["cnt"].sum()
+    if n_total == 0:
+        return rd.from_pandas(pd.DataFrame(
+            {key_alias: pd.Series([], dtype=np.int64),
+             count_alias: pd.Series([], dtype=np.int64)}))
+    thresh = int(math.ceil(phi * n_total))
+    # recall-safe candidate cut: true count ≥ thresh ⇒ estimate ≥
+    # thresh − floor(N/(k+1))
+    cut = thresh - n_total // (k + 1)
+    cands = est[est >= max(cut, 1)].index.to_numpy()
+    cand_ref = ray.put(set(cands.tolist()))
+
+    def recount(df: pd.DataFrame) -> pd.DataFrame:
+        hit = df[df[col].isin(ray.get(cand_ref))]
+        c = hit[col].value_counts(sort=False)
+        return pd.DataFrame({"key": c.index.to_numpy(),
+                             "cnt": c.to_numpy()})
+
+    exact = pd.concat(
+        list(ds.select_columns([col]).map_batches(
+            recount, batch_format="pandas"
+        ).iter_batches(batch_size=None, batch_format="pandas")),
+        ignore_index=True,
+    )
+    tot = exact.groupby("key", sort=False)["cnt"].sum()
+    out = tot[tot >= thresh].sort_index()
+    return rd.from_pandas(pd.DataFrame({
+        key_alias: out.index.to_numpy().astype(np.int64),
+        count_alias: out.to_numpy().astype(np.int64),
+    }))

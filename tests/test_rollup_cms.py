@@ -72,3 +72,66 @@ def test_cms_absent_key_estimates_near_zero(ray_session):
     est = cms_estimate(cells, np.arange(10_000_000, 10_000_100))
     # absent keys can only collide; with this load factor most read 0
     assert float(np.mean(est == 0)) > 0.9
+
+
+def test_grouping_sets_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from geotreehealth_ray.pipelines.relational import grouping_sets_sum
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y", "z"], 500),
+        "b": rng.choice(["p", "q"], 500),
+        "v": rng.uniform(0, 100, 500),
+    })
+    out = grouping_sets_sum(
+        rd.from_pandas(df), [["a"], ["b"], []], "v", scale=100
+    ).to_pandas()
+    sv = np.floor(df["v"].to_numpy() * 100 + 0.5).astype(np.int64)
+    d2 = df.assign(sv=sv)
+    # per-a level
+    for g, sub in d2.groupby("a"):
+        row = out[(out["a"] == g) & (out["b"].isna())]
+        assert len(row) == 1
+        assert int(row["sum_scaled"].iloc[0]) == sub["sv"].sum()
+        assert int(row["n"].iloc[0]) == len(sub)
+    # per-b level
+    for g, sub in d2.groupby("b"):
+        row = out[(out["b"] == g) & (out["a"].isna())]
+        assert int(row["sum_scaled"].iloc[0]) == sub["sv"].sum()
+    # grand total
+    row = out[out["a"].isna() & out["b"].isna()]
+    assert len(row) == 1 and int(row["sum_scaled"].iloc[0]) == sv.sum()
+    assert len(out) == 3 + 2 + 1
+
+
+def test_heavy_hitters_exact_vs_bruteforce(ray_session):
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from geotreehealth_ray.pipelines.sketch import heavy_hitters
+
+    rng = np.random.default_rng(7)
+    # zipf-ish: few hot keys + long tail
+    hot = np.repeat(np.array([1, 2, 3], np.int64), [400, 250, 120])
+    tail = rng.integers(100, 5000, 2000)
+    keys = np.concatenate([hot, tail])
+    rng.shuffle(keys)
+    df = pd.DataFrame({"k": keys})
+    for phi in (0.02, 0.05, 0.1):
+        out = heavy_hitters(
+            rd.from_pandas(df).repartition(7), "k", phi,
+            key_alias="k", count_alias="n",
+        ).to_pandas()
+        thresh = math.ceil(phi * len(keys))
+        vc = df["k"].value_counts()
+        want = vc[vc >= thresh].sort_index()
+        got = out.sort_values("k").reset_index(drop=True)
+        assert list(got["k"]) == list(want.index)
+        assert list(got["n"]) == list(want.values)
