@@ -193,7 +193,8 @@ def run_queries(sf_dir: str) -> dict:
              "q1_pricing", "revenue_by_nation", "events_hourly",
              "doc_exact_dedup", "minhash_pairs", "jaccard_pairs",
              "phash_pairs", "ann_topk", "running_total", "label_centroids",
-             "lineitem_ranks", "cust_semi_bloom"]
+             "lineitem_ranks", "cust_semi_bloom", "q5_region_volume",
+             "doc_decontam", "supp_heavy_hitters"]
     out = {}
     for name in picks:
         t0 = time.perf_counter()
