@@ -1173,6 +1173,410 @@ def _q_q12_shipmode(sf_dir: str):
     )
 
 
+def _day(ts: str) -> int:
+    """Epoch day of a date literal (matches the oracle's
+    epoch_us(TIMESTAMP ...) // 86400000000)."""
+    return int(pd.Timestamp(ts).value // 1000) // 86_400_000_000
+
+
+def _q_q7_nation_volume(sf_dir: str):
+    """TPC-H Q7-style bidirectional nation-pair trade volume: revenue
+    shipped 1996–1997 between NATION_18 and NATION_19 in either
+    direction, grouped by (supplier nation, customer nation, ship
+    year). The supplier→nation and nation-name maps fold on the driver
+    and broadcast once; the customer nation reaches the order through
+    one co-partitioned hash join on custkey and the lineitem attaches
+    through a second on orderkey — the same two exchanges Q5 pays, on
+    keys the rows already carry."""
+    from geotreehealth_ray.pipelines.relational import (
+        broadcast_join,
+        grouped_agg,
+        hash_join,
+    )
+
+    nat = _read(sf_dir, "nation").to_pandas()
+    name_of = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    pair = {k for k, v in name_of.items() if v in ("NATION_18", "NATION_19")}
+
+    supp = (
+        _read(sf_dir, "supplier").to_pandas()[["s_suppkey", "s_nationkey"]]
+        .rename(columns={"s_suppkey": "l_suppkey"})
+    )
+    supp = supp[supp["s_nationkey"].isin(pair)]
+
+    cust = _read(sf_dir, "customer").map_batches(
+        lambda df: df[df["c_nationkey"].isin(pair)][
+            ["c_custkey", "c_nationkey"]
+        ].rename(columns={"c_custkey": "o_custkey"}),
+        batch_format="pandas",
+    )
+    orders = hash_join(
+        _read(sf_dir, "orders").select_columns(["o_orderkey", "o_custkey"]),
+        cust, on="o_custkey",
+    ).select_columns(["o_orderkey", "c_nationkey"])
+
+    lo, hi = _day("1996-01-01"), _day("1998-01-01")
+
+    def li_prep(df):
+        ship_day = (
+            pd.to_datetime(df["l_shipdate"]).astype("datetime64[us]")
+            .astype("int64") // 86_400_000_000
+        )
+        keep = (ship_day >= lo) & (ship_day < hi)
+        df = df[keep]
+        disc = df["l_extendedprice"].to_numpy() * (
+            1.0 - df["l_discount"].to_numpy()
+        )
+        year = (
+            pd.to_datetime(df["l_shipdate"]).dt.year.astype("int64")
+        )
+        return pd.DataFrame({
+            "o_orderkey": df["l_orderkey"].astype("int64"),
+            "l_suppkey": df["l_suppkey"].astype("int64"),
+            "l_year": year,
+            "disc_c4": np.floor(disc * 10000 + 0.5).astype("int64"),
+        })
+
+    li = broadcast_join(
+        _read(sf_dir, "lineitem")
+        .select_columns(
+            ["l_orderkey", "l_suppkey", "l_shipdate",
+             "l_extendedprice", "l_discount"]
+        )
+        .map_batches(li_prep, batch_format="pandas"),
+        supp, on="l_suppkey",
+    )
+    joined = hash_join(li, orders, on="o_orderkey").map_batches(
+        lambda df: pd.DataFrame({
+            "supp_nation": df["s_nationkey"].map(name_of),
+            "cust_nation": df["c_nationkey"].map(name_of),
+            "l_year": df["l_year"].astype("int64"),
+            "disc_c4": df["disc_c4"].astype("int64"),
+        })[df["s_nationkey"].to_numpy() != df["c_nationkey"].to_numpy()],
+        batch_format="pandas",
+    )
+    return grouped_agg(
+        joined, ["supp_nation", "cust_nation", "l_year"],
+        {"revenue_c4": "disc_c4"},
+    )
+
+
+def _q_q10_returned(sf_dir: str):
+    """TPC-H Q10-style returned-item report: top 20 customers by
+    revenue of returned ('R') lineitems on 1996-Q4 orders. Orders are
+    date-filtered before their one co-partitioned join with the 'R'
+    lineitems; the per-customer sum is a combiner groupby (one slim
+    row per customer per batch), and the final ranking is
+    `global_topk` — k rows per block move, never a global sort."""
+    from geotreehealth_ray.pipelines.relational import (
+        global_topk,
+        grouped_agg,
+        hash_join,
+    )
+
+    lo, hi = _day("1996-10-01"), _day("1997-01-01")
+
+    def order_prep(df):
+        day = (
+            pd.to_datetime(df["o_orderdate"]).astype("datetime64[us]")
+            .astype("int64") // 86_400_000_000
+        )
+        df = df[(day >= lo) & (day < hi)]
+        return df[["o_orderkey", "o_custkey"]]
+
+    orders = _read(sf_dir, "orders").map_batches(
+        order_prep, batch_format="pandas"
+    )
+
+    def li_prep(df):
+        df = df[df["l_returnflag"] == "R"]
+        disc = df["l_extendedprice"].to_numpy() * (
+            1.0 - df["l_discount"].to_numpy()
+        )
+        return pd.DataFrame({
+            "o_orderkey": df["l_orderkey"].astype("int64"),
+            "disc_c4": np.floor(disc * 10000 + 0.5).astype("int64"),
+        })
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"]
+    ).map_batches(li_prep, batch_format="pandas")
+
+    joined = hash_join(li, orders, on="o_orderkey")
+    per_cust = grouped_agg(
+        joined.map_batches(
+            lambda df: df.rename(columns={"o_custkey": "c_custkey"})[
+                ["c_custkey", "disc_c4"]
+            ],
+            batch_format="pandas",
+        ),
+        ["c_custkey"], {"revenue_c4": "disc_c4"},
+    )
+    return global_topk(per_cust, "revenue_c4", "c_custkey", 20)
+
+
+def _q_q14_promo(sf_dir: str):
+    """TPC-H Q14-style promotion effect for 1996-09 shipments: integer
+    numerator (revenue of parts with p_type = 'PROMO') and denominator
+    (all revenue) — the ratio is left to the consumer so the result
+    stays engine-independent exact. The part→is-promo map is two slim
+    columns broadcast once via ray.put; the lineitem side never
+    shuffles (zero all-to-all exchanges end to end)."""
+    from ray.data.aggregate import Sum
+
+    from geotreehealth_ray.pipelines.relational import broadcast_join
+
+    parts = _read(sf_dir, "part").map_batches(
+        lambda df: pd.DataFrame({
+            "l_partkey": df["p_partkey"].astype("int64"),
+            "is_promo": (df["p_type"] == "PROMO").astype("int64"),
+        }),
+        batch_format="pandas",
+    ).to_pandas()
+
+    lo, hi = _day("1996-09-01"), _day("1996-10-01")
+
+    def li_prep(df):
+        day = (
+            pd.to_datetime(df["l_shipdate"]).astype("datetime64[us]")
+            .astype("int64") // 86_400_000_000
+        )
+        df = df[(day >= lo) & (day < hi)]
+        disc = df["l_extendedprice"].to_numpy() * (
+            1.0 - df["l_discount"].to_numpy()
+        )
+        return pd.DataFrame({
+            "l_partkey": df["l_partkey"].astype("int64"),
+            "disc_c4": np.floor(disc * 10000 + 0.5).astype("int64"),
+        })
+
+    li = broadcast_join(
+        _read(sf_dir, "lineitem")
+        .select_columns(
+            ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"]
+        )
+        .map_batches(li_prep, batch_format="pandas"),
+        parts, on="l_partkey",
+    ).map_batches(
+        lambda df: pd.DataFrame({
+            "promo_c4": df["disc_c4"] * df["is_promo"],
+            "total_c4": df["disc_c4"],
+        }),
+        batch_format="pandas",
+    )
+    agg = li.aggregate(Sum("promo_c4"), Sum("total_c4"))
+    return pd.DataFrame({
+        "promo_revenue_c4": [int(agg["sum(promo_c4)"] or 0)],
+        "total_revenue_c4": [int(agg["sum(total_c4)"] or 0)],
+    })
+
+
+def _q_q16_supplier_cnt(sf_dir: str):
+    """TPC-H Q16-style supplier count per part descriptor (adapted:
+    the synth schema has no partsupp, so the observed (partkey,
+    suppkey) pairs in lineitem stand in for it): distinct suppliers
+    per (p_brand, p_type, p_size) for non-'PROMO', non-'Brand#45'
+    parts, excluding low-balance suppliers (s_acctbal < 1000 — the
+    complaints stand-in). Per-batch pair dedup is the combiner; part
+    attrs attach through one co-partitioned hash join; the final
+    distinct count dedups (brand, type, size, suppkey) inside its
+    bucket — the only full pair set that ever co-resides."""
+    from geotreehealth_ray.pipelines.relational import (
+        bucketed_reduce,
+        hash_join,
+    )
+
+    bad = _read(sf_dir, "supplier").to_pandas()
+    bad = set(bad[bad["s_acctbal"] < 1000]["s_suppkey"].tolist())
+
+    pairs = _read(sf_dir, "lineitem").select_columns(
+        ["l_partkey", "l_suppkey"]
+    ).map_batches(
+        lambda df: df[~df["l_suppkey"].isin(bad)].drop_duplicates(),
+        batch_format="pandas",
+    )
+    part = _read(sf_dir, "part").map_batches(
+        lambda df: df[
+            (df["p_brand"] != "Brand#45") & (df["p_type"] != "PROMO")
+        ][["p_partkey", "p_brand", "p_type", "p_size"]].rename(
+            columns={"p_partkey": "l_partkey"}
+        ),
+        batch_format="pandas",
+    )
+    attrs = hash_join(pairs, part, on="l_partkey")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        dd = df.drop_duplicates(["p_brand", "p_type", "p_size", "l_suppkey"])
+        g = dd.groupby(["p_brand", "p_type", "p_size"], sort=False)
+        return pd.DataFrame(
+            {"supplier_cnt": g["l_suppkey"].size().astype("int64")}
+        ).reset_index()
+
+    return bucketed_reduce(
+        attrs.select_columns(["p_brand", "p_type", "p_size", "l_suppkey"]),
+        ["p_brand", "p_type", "p_size"], per_bucket,
+    )
+
+
+def _q_q18_large_volume(sf_dir: str):
+    """TPC-H Q18-style large-volume orders: orders whose total lineitem
+    quantity exceeds 300, with their customer and total price, top 100
+    by price. The per-order quantity sum is a combiner groupby; only
+    the few surviving orderkeys join back to orders (co-partitioned),
+    and the ranking is `global_topk` over the tiny survivor set."""
+    from geotreehealth_ray.pipelines.relational import (
+        global_topk,
+        grouped_agg,
+        hash_join,
+    )
+
+    qty = grouped_agg(
+        _read(sf_dir, "lineitem").map_batches(
+            lambda df: pd.DataFrame({
+                "o_orderkey": df["l_orderkey"].astype("int64"),
+                "q": df["l_quantity"].astype("int64"),
+            }),
+            batch_format="pandas",
+        ),
+        ["o_orderkey"], {"sum_qty": "q"},
+    ).filter(expr="sum_qty > 300")
+
+    def order_prep(df):
+        day = (
+            pd.to_datetime(df["o_orderdate"]).astype("datetime64[us]")
+            .astype("int64") // 86_400_000_000
+        )
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "o_custkey": df["o_custkey"].astype("int64"),
+            "o_day": day.astype("int64"),
+            "total_c2": np.floor(
+                df["o_totalprice"].to_numpy() * 100 + 0.5
+            ).astype("int64"),
+        })
+
+    orders = _read(sf_dir, "orders").map_batches(
+        order_prep, batch_format="pandas"
+    )
+    joined = hash_join(qty, orders, on="o_orderkey")
+    return global_topk(joined, "total_c2", "o_orderkey", 100)
+
+
+def _q_q19_disjunct(sf_dir: str):
+    """TPC-H Q19-style disjunctive-predicate revenue: one scalar sum of
+    lineitems matching ANY of three (brand, size-range, qty-range)
+    branches. Part attrs attach through one co-partitioned hash join;
+    the three-branch OR folds to a single vectorized boolean mask per
+    batch — never row-at-a-time."""
+    from ray.data.aggregate import Sum
+
+    from geotreehealth_ray.pipelines.relational import hash_join
+
+    part = _read(sf_dir, "part").map_batches(
+        lambda df: df[["p_partkey", "p_brand", "p_size"]].rename(
+            columns={"p_partkey": "l_partkey"}
+        ),
+        batch_format="pandas",
+    )
+
+    def li_prep(df):
+        disc = df["l_extendedprice"].to_numpy() * (
+            1.0 - df["l_discount"].to_numpy()
+        )
+        return pd.DataFrame({
+            "l_partkey": df["l_partkey"].astype("int64"),
+            "q": df["l_quantity"].astype("int64"),
+            "disc_c4": np.floor(disc * 10000 + 0.5).astype("int64"),
+        })
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]
+    ).map_batches(li_prep, batch_format="pandas")
+
+    joined = hash_join(li, part, on="l_partkey")
+
+    def keep(df):
+        b = df["p_brand"].to_numpy()
+        s = df["p_size"].to_numpy()
+        q = df["q"].to_numpy()
+        m = (
+            ((b == "Brand#12") & (s >= 1) & (s <= 5) & (q >= 1) & (q <= 11))
+            | ((b == "Brand#23") & (s >= 1) & (s <= 10) & (q >= 10) & (q <= 20))
+            | ((b == "Brand#34") & (s >= 1) & (s <= 15) & (q >= 20) & (q <= 30))
+        )
+        return pd.DataFrame({"disc_c4": df["disc_c4"].to_numpy()[m]})
+
+    kept = joined.map_batches(keep, batch_format="pandas")
+    total = kept.aggregate(Sum("disc_c4"))["sum(disc_c4)"]
+    return pd.DataFrame({"revenue_c4": [int(total or 0)]})
+
+
+def _q_q22_idle_customers(sf_dir: str):
+    """TPC-H Q22-style global-relation anti-join: per nation, the
+    count and balance sum of customers whose balance exceeds the
+    global mean of positive balances AND who placed no orders since
+    2000-01-01 (the synth data gives every customer some historical
+    order, so the dormancy window keeps the anti-join non-vacuous —
+    same spirit as Q22's 7-year clause). The global mean is two exact
+    int64 scalars (Σ cents, n) from one combiner pass — the comparison
+    cross-multiplies (bal·n > Σ) so no float average ever exists; the
+    no-recent-orders test is the engine's ANTI hash join, whose probe
+    ships one deduped key column."""
+    from ray.data.aggregate import Count, Sum
+
+    from geotreehealth_ray.pipelines.relational import grouped_agg, hash_join
+
+    cust = _read(sf_dir, "customer").map_batches(
+        lambda df: pd.DataFrame({
+            "c_custkey": df["c_custkey"].astype("int64"),
+            "c_nationkey": df["c_nationkey"].astype("int64"),
+            "bal_c2": np.floor(
+                df["c_acctbal"].to_numpy() * 100 + 0.5
+            ).astype("int64"),
+        }),
+        batch_format="pandas",
+    )
+    pos = cust.filter(expr="bal_c2 > 0")
+    agg = pos.aggregate(Sum("bal_c2"), Count())
+    sum_c2, n = int(agg["sum(bal_c2)"] or 0), int(agg["count()"])
+
+    rich = cust.map_batches(
+        lambda df: df[df["bal_c2"].to_numpy() * n > sum_c2],
+        batch_format="pandas",
+    )
+    cutoff = _day("2000-01-01")
+
+    def recent(df):
+        day = (
+            pd.to_datetime(df["o_orderdate"]).astype("datetime64[us]")
+            .astype("int64") // 86_400_000_000
+        )
+        return pd.DataFrame(
+            {"c_custkey": df["o_custkey"].astype("int64")[day >= cutoff]}
+        )
+
+    orders = _read(sf_dir, "orders").map_batches(recent, batch_format="pandas")
+    idle = hash_join(rich, orders, on="c_custkey", how="anti")
+    return grouped_agg(
+        idle, ["c_nationkey"], {"sum_bal_c2": "bal_c2"},
+        count_alias="n_cust",
+    )
+
+
+def _q_acctbal_equidepth(sf_dir: str):
+    """Approximate quantiles of customer balance via the deterministic
+    sampled equi-depth histogram (sketch.equidepth_histogram): 64
+    md5-ranked sample boundaries + exact zero-shuffle cumulative
+    counts — unlike KLL/t-digest the output is a pure function of the
+    input multiset, so the SQL oracle rebuilds it bit-for-bit."""
+    from geotreehealth_ray.pipelines.sketch import equidepth_histogram
+
+    return equidepth_histogram(
+        _read(sf_dir, "customer"), "c_custkey", "c_acctbal",
+        bins=64, scale=100,
+    )
+
+
 def _q_doc_decontam(sf_dir: str):
     """Benchmark decontamination: ids of train documents (source !=
     'src0') sharing any word 6-gram with the 'src0' benchmark slice.
@@ -1967,6 +2371,14 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "q4_priority": _q_q4_priority,
         "q5_region_volume": _q_q5_region_volume,
         "q12_shipmode": _q_q12_shipmode,
+        "q7_nation_volume": _q_q7_nation_volume,
+        "q10_returned": _q_q10_returned,
+        "q14_promo": _q_q14_promo,
+        "q16_supplier_cnt": _q_q16_supplier_cnt,
+        "q18_large_volume": _q_q18_large_volume,
+        "q19_disjunct": _q_q19_disjunct,
+        "q22_idle_customers": _q_q22_idle_customers,
+        "acctbal_equidepth": _q_acctbal_equidepth,
         "doc_decontam": _q_doc_decontam,
         "qty_disc_corr": _q_qty_disc_corr,
         "supp_heavy_hitters": _q_supp_heavy_hitters,
@@ -2733,6 +3145,135 @@ def oracle_sql() -> dict[str, str]:
               AND epoch_us(l_shipdate) // 86400000000
                     < epoch_us(TIMESTAMP '1997-01-01') // 86400000000
             GROUP BY l_returnflag
+        """,
+        "q7_nation_volume": """
+            SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * 10000 + 0.5) AS BIGINT))
+                        AS BIGINT) AS revenue_c4
+            FROM lineitem, orders, customer, supplier,
+                 nation ns, nation nc
+            WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+              AND l_suppkey = s_suppkey
+              AND s_nationkey = ns.n_nationkey
+              AND c_nationkey = nc.n_nationkey
+              AND ns.n_name IN ('NATION_18', 'NATION_19')
+              AND nc.n_name IN ('NATION_18', 'NATION_19')
+              AND ns.n_name <> nc.n_name
+              AND epoch_us(l_shipdate) // 86400000000
+                    >= epoch_us(TIMESTAMP '1996-01-01') // 86400000000
+              AND epoch_us(l_shipdate) // 86400000000
+                    < epoch_us(TIMESTAMP '1998-01-01') // 86400000000
+            GROUP BY 1, 2, 3
+        """,
+        "q10_returned": """
+            WITH r AS (
+              SELECT c_custkey,
+                     CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                         * 10000 + 0.5) AS BIGINT))
+                          AS BIGINT) AS revenue_c4
+              FROM customer, orders, lineitem
+              WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+                AND l_returnflag = 'R'
+                AND epoch_us(o_orderdate) // 86400000000
+                      >= epoch_us(TIMESTAMP '1996-10-01') // 86400000000
+                AND epoch_us(o_orderdate) // 86400000000
+                      < epoch_us(TIMESTAMP '1997-01-01') // 86400000000
+              GROUP BY 1)
+            SELECT c_custkey, revenue_c4 FROM r
+            ORDER BY revenue_c4 DESC, c_custkey LIMIT 20
+        """,
+        "q14_promo": """
+            SELECT
+              CAST(coalesce(sum(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(floor(l_extendedprice * (1 - l_discount)
+                                         * 10000 + 0.5) AS BIGINT)
+                         ELSE 0 END), 0) AS BIGINT) AS promo_revenue_c4,
+              CAST(coalesce(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                  * 10000 + 0.5) AS BIGINT)), 0) AS BIGINT)
+                AS total_revenue_c4
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE epoch_us(l_shipdate) // 86400000000
+                    >= epoch_us(TIMESTAMP '1996-09-01') // 86400000000
+              AND epoch_us(l_shipdate) // 86400000000
+                    < epoch_us(TIMESTAMP '1996-10-01') // 86400000000
+        """,
+        "q16_supplier_cnt": """
+            SELECT p_brand, p_type, p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT)
+                     AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+              AND l_suppkey NOT IN
+                  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+            GROUP BY 1, 2, 3
+        """,
+        "q18_large_volume": """
+            WITH q AS (
+              SELECT l_orderkey AS o_orderkey,
+                     CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS sum_qty
+              FROM lineitem GROUP BY 1
+              HAVING sum(CAST(l_quantity AS BIGINT)) > 300)
+            SELECT q.o_orderkey, q.sum_qty, o_custkey,
+                   epoch_us(o_orderdate) // 86400000000 AS o_day,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                     AS total_c2
+            FROM q JOIN orders ON orders.o_orderkey = q.o_orderkey
+            ORDER BY total_c2 DESC, q.o_orderkey LIMIT 100
+        """,
+        "q19_disjunct": """
+            SELECT CAST(coalesce(sum(
+                     CAST(floor(l_extendedprice * (1 - l_discount)
+                                * 10000 + 0.5) AS BIGINT)), 0) AS BIGINT)
+                     AS revenue_c4
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q22_idle_customers": """
+            WITH c AS (
+              SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                     CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c2
+              FROM customer),
+            s AS (
+              SELECT CAST(sum(bal_c2) AS BIGINT) AS sum_c2,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM c WHERE bal_c2 > 0)
+            SELECT c_nationkey,
+                   CAST(sum(bal_c2) AS BIGINT) AS sum_bal_c2,
+                   CAST(count(*) AS BIGINT) AS n_cust
+            FROM c, s
+            WHERE bal_c2 * n > sum_c2
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND epoch_us(o_orderdate) // 86400000000
+                                    >= epoch_us(TIMESTAMP '2000-01-01')
+                                       // 86400000000)
+            GROUP BY 1
+        """,
+        "acctbal_equidepth": """
+            WITH samp AS (
+              SELECT CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS v
+              FROM customer
+              ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey
+              LIMIT 64),
+            b AS (
+              SELECT CAST(row_number() OVER (ORDER BY v) AS BIGINT)
+                       AS bin,
+                     v AS boundary_c
+              FROM samp)
+            SELECT bin, boundary_c,
+                   (SELECT CAST(count(*) AS BIGINT) FROM customer
+                    WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                          <= boundary_c) AS cum_count
+            FROM b
         """,
         "doc_decontam": """
             -- train docs sharing any word 6-gram with the src0 bench

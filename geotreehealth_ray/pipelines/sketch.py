@@ -24,7 +24,7 @@ import pandas as pd
 __all__ = ["hll_registers", "hll_estimate", "P_DEFAULT",
            "bloom_words", "bloom_might_contain", "BLOOM_BITS_LOG2",
            "BLOOM_K", "bloom_semi_join", "cms_cells", "cms_estimate",
-           "CMS_W_LOG2", "CMS_D", "heavy_hitters"]
+           "CMS_W_LOG2", "CMS_D", "heavy_hitters", "equidepth_histogram"]
 
 P_DEFAULT = 12  # 2^12 = 4096 registers → ~1.6% standard error
 
@@ -413,3 +413,72 @@ def heavy_hitters(ds, col: str, phi: float, key_alias: str = "key",
         key_alias: out.index.to_numpy().astype(np.int64),
         count_alias: out.to_numpy().astype(np.int64),
     }))
+
+
+def equidepth_histogram(ds, id_col: str, val_col: str, bins: int = 64,
+                        scale: int = 100):
+    """Approximate quantiles via a sampled equi-depth histogram —
+    parallelism-invariant AND exactly SQL-reconstructable (unlike
+    KLL/t-digest, whose merge state depends on block order):
+
+    pass 1 (sample): the ``bins`` rows with the smallest
+    ``(md5(id), id)`` rank form a deterministic uniform sample (the
+    md5-rank idiom of `split.weighted_sample`); its values, scaled to
+    integers and sorted, are the bin boundaries.
+
+    pass 2 (count): each batch sorts its values once and takes ONE
+    vectorized searchsorted against the boundary vector → a ``bins``-row
+    partial of cumulative counts. Zero shuffles touch the data; the
+    partials reduce through a tiny fixed-size groupby.
+
+    Output (bin, boundary_c, cum_count): ``cum_count`` is the EXACT
+    number of rows with scaled value ≤ that boundary, so the q-quantile
+    estimate — the first boundary with cum_count ≥ q·N — carries the
+    standard order-statistic error O(1/sqrt(bins)) from sampling alone,
+    never from the counting. The whole output is a pure function of the
+    input multiset: the driver's DuckDB oracle rebuilds it with ORDER BY
+    md5 LIMIT + a correlated count."""
+    from .crown_ops import md5_hex_hash
+    from .relational import global_topk, grouped_agg
+
+    def to_scaled(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.floor(
+            df[val_col].to_numpy(dtype=np.float64) * scale + 0.5
+        ).astype("int64")
+        return pd.DataFrame({id_col: df[id_col], "__v": v})
+
+    scaled = ds.select_columns([id_col, val_col]).map_batches(
+        to_scaled, batch_format="pandas"
+    )
+
+    def add_rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__h"] = md5_hex_hash(df[id_col].to_numpy())
+        return df
+
+    samp = global_topk(
+        scaled.map_batches(add_rank, batch_format="pandas"),
+        "__h", id_col, bins, descending=False,
+    ).to_pandas()
+    bounds = np.sort(samp["__v"].to_numpy())
+    m = len(bounds)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vs = np.sort(df["__v"].to_numpy())
+        cum = np.searchsorted(vs, bounds, side="right").astype("int64")
+        return pd.DataFrame({
+            "bin": np.arange(1, m + 1, dtype=np.int64), "cnt": cum,
+        })
+
+    counts = grouped_agg(
+        scaled.map_batches(partial, batch_format="pandas"),
+        ["bin"], {"cum_count": "cnt"},
+    )
+    bound_of = dict(zip(range(1, m + 1), bounds.tolist()))
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["boundary_c"] = df["bin"].map(bound_of).astype("int64")
+        return df[["bin", "boundary_c", "cum_count"]]
+
+    return counts.map_batches(attach, batch_format="pandas")

@@ -74,10 +74,7 @@ def test_decontaminate_random_matches_brute(ray_session):
         )
 
 
-@pytest.mark.parametrize("qname", ["q4_priority", "q12_shipmode"])
-def test_tpch_compositions_smoke(ray_session, qname, tmp_path):
-    """Tiny-sf smoke: runs end-to-end with a stable schema. (Exact
-    value equality vs DuckDB is the driver's oracle gate.)"""
+def _entry_mod():
     import importlib.util
 
     spec = importlib.util.spec_from_file_location(
@@ -85,6 +82,48 @@ def test_tpch_compositions_smoke(ray_session, qname, tmp_path):
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    res = mod.queries()[qname]("/root/testdata/sf0.001")
+    return mod
+
+
+@pytest.mark.parametrize("qname", ["q4_priority", "q12_shipmode"])
+def test_tpch_compositions_smoke(ray_session, qname, tmp_path):
+    """Tiny-sf smoke: runs end-to-end with a stable schema. (Exact
+    value equality vs DuckDB is the driver's oracle gate.)"""
+    res = _entry_mod().queries()[qname]("/root/testdata/sf0.001")
     df = res.to_pandas() if hasattr(res, "to_pandas") else res
     assert len(df) >= 1
+
+
+@pytest.mark.parametrize("qname", [
+    "q7_nation_volume", "q10_returned", "q14_promo", "q16_supplier_cnt",
+    "q18_large_volume", "q19_disjunct", "q22_idle_customers",
+])
+def test_tpch_compositions_match_duckdb(ray_session, qname):
+    """Exact value equality vs the query's own DuckDB oracle at
+    sf0.001 (the driver re-runs the same gate at sf0.01)."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    mod = _entry_mod()
+    res = mod.queries()[qname](sf)
+    got = res.to_pandas() if hasattr(res, "to_pandas") else res
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    want = con.execute(mod.oracle_sql()[qname]).df()
+
+    def norm(df):
+        df = df.reindex(sorted(df.columns), axis=1)
+        return df.sort_values(
+            list(df.columns), kind="stable"
+        ).reset_index(drop=True)
+
+    got, want = norm(got), norm(want)
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want) >= 1
+    for c in got.columns:
+        assert (
+            got[c].astype(str).to_numpy() == want[c].astype(str).to_numpy()
+        ).all(), c

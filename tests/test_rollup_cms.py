@@ -135,3 +135,47 @@ def test_heavy_hitters_exact_vs_bruteforce(ray_session):
         got = out.sort_values("k").reset_index(drop=True)
         assert list(got["k"]) == list(want.index)
         assert list(got["n"]) == list(want.values)
+
+
+def test_equidepth_histogram_exact_counts_and_invariance(ray_session):
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from geotreehealth_ray.pipelines.sketch import equidepth_histogram
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "id": np.arange(2000, dtype=np.int64),
+        "val": rng.normal(50.0, 20.0, 2000),
+    })
+    out = equidepth_histogram(
+        rd.from_pandas(df).repartition(6), "id", "val", bins=32, scale=100
+    ).to_pandas().sort_values("bin").reset_index(drop=True)
+
+    # brute-force reference: md5-ranked sample → sorted boundaries →
+    # exact cumulative counts
+    scaled = np.floor(df["val"].to_numpy() * 100 + 0.5).astype("int64")
+    rank = np.array([
+        hashlib.md5(str(i).encode()).hexdigest() for i in df["id"]
+    ])
+    samp_idx = np.lexsort((df["id"].to_numpy(), rank))[:32]
+    bounds = np.sort(scaled[samp_idx])
+    cum = np.searchsorted(np.sort(scaled), bounds, side="right")
+    assert list(out["boundary_c"]) == list(bounds)
+    assert list(out["cum_count"]) == list(cum)
+
+    # parallelism invariance: different block structure, same rows
+    out2 = equidepth_histogram(
+        rd.from_pandas(df).repartition(13), "id", "val", bins=32, scale=100
+    ).to_pandas().sort_values("bin").reset_index(drop=True)
+    assert out.equals(out2)
+
+    # the q-quantile estimate lands within O(1/sqrt(bins)) rank error
+    n = len(scaled)
+    for q in (0.25, 0.5, 0.9):
+        est = out[out["cum_count"] >= q * n]["boundary_c"].iloc[0]
+        rank_err = abs((scaled <= est).sum() - q * n) / n
+        assert rank_err < 2.0 / np.sqrt(32)
