@@ -298,6 +298,18 @@ def _q_events_hourly(sf_dir: str):
     return hourly_window_agg(_read(sf_dir, "events"))
 
 
+def _q_events_hopping(sf_dir: str):
+    """Hopping event-time windows (1 h windows every 15 min): each
+    event contributes to 4 overlapping windows via one vectorized
+    replicate-and-combine per batch (relational.hopping_window_agg);
+    totals in exact integer micro-units."""
+    from geotreehealth_ray.pipelines.relational import hopping_window_agg
+
+    return hopping_window_agg(
+        _read(sf_dir, "events"), size_s=3600, hop_s=900
+    )
+
+
 def _q_latest_event(sf_dir: str):
     from geotreehealth_ray.pipelines.relational import latest_per_key
 
@@ -597,6 +609,29 @@ def _q_price_p90(sf_dir: str):
     return grouped_quantile(
         _read(sf_dir, "orders"), "o_orderpriority", "o_totalprice",
         num=9, den=10, alias="p90_price",
+    )
+
+
+def _q_price_p95_cont(sf_dir: str):
+    """Exact interpolated p95 (PERCENTILE_CONT) of order price cents
+    per priority, scaled ×100 so the interpolation stays int64
+    (relational.grouped_quantile_cont; q = q_scaled/100 for the
+    consumer — division left out so the engine and SQL agree
+    bit-for-bit)."""
+    from geotreehealth_ray.pipelines.relational import grouped_quantile_cont
+
+    cents = _read(sf_dir, "orders").map_batches(
+        lambda df: pd.DataFrame({
+            "o_orderpriority": df["o_orderpriority"],
+            "price_c2": np.floor(
+                df["o_totalprice"].to_numpy() * 100 + 0.5
+            ).astype("int64"),
+        }),
+        batch_format="pandas",
+    )
+    return grouped_quantile_cont(
+        cents, "o_orderpriority", "price_c2", num=95, den=100,
+        alias="p95_scaled",
     )
 
 
@@ -2326,6 +2361,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "top_orders": _q_top_orders,
         "revenue_by_nation": _q_revenue_by_nation,
         "events_hourly": _q_events_hourly,
+        "events_hopping": _q_events_hopping,
         "latest_event": _q_latest_event,
         "sessions": _q_sessions,
         "asof_join": _q_asof_join,
@@ -2395,6 +2431,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "lineitem_unpivot": _q_lineitem_unpivot,
         "user_top_event": _q_user_top_event,
         "price_p90": _q_price_p90,
+        "price_p95_cont": _q_price_p95_cont,
         "doc_term_stats": _q_doc_term_stats,
         "doc_tfidf": _q_doc_tfidf,
         # text / training-data operators
@@ -2680,6 +2717,15 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation   ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "events_hopping": """
+            SELECT (epoch_us(ts) // 1000000 // 900 - s.i) * 900
+                     AS window_start,
+                   CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                        AS BIGINT) AS total_c6,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events CROSS JOIN generate_series(0, 3) AS s(i)
+            GROUP BY 1
         """,
         "events_hourly": """
             SELECT user_id,
@@ -3457,6 +3503,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT p >> 5 AS word,
                    bit_or(1::BIGINT << CAST(p & 31 AS INTEGER)) AS bits
             FROM pos GROUP BY 1
+        """,
+        "price_p95_cont": """
+            WITH t AS (
+              SELECT o_orderpriority AS k,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+              FROM orders),
+            s AS (
+              SELECT k, v,
+                     row_number() OVER (PARTITION BY k ORDER BY v) - 1
+                       AS r,
+                     count(*) OVER (PARTITION BY k) AS n
+              FROM t)
+            SELECT k AS o_orderpriority,
+                   CAST(sum(CASE
+                     WHEN r = (n - 1) * 95 // 100
+                       THEN v * (100 - (n - 1) * 95 % 100)
+                     WHEN r = (n - 1) * 95 // 100 + 1
+                       THEN v * ((n - 1) * 95 % 100)
+                     ELSE 0 END) AS BIGINT) AS p95_scaled
+            FROM s GROUP BY k
         """,
         "price_p90": """
             SELECT o_orderpriority, p90_price FROM (

@@ -705,6 +705,42 @@ def grouped_quantile(ds, key: str, val_col: str, num: int, den: int,
     return bucketed_reduce(ds.select_columns([key, val_col]), key, per_bucket)
 
 
+def grouped_quantile_cont(ds, key: str, val_col: str, num: int, den: int,
+                          alias: str = "q_scaled"):
+    """Exact interpolated p-quantile per key (PERCENTILE_CONT
+    semantics) for rational p = num/den, kept in integers end to end:
+    with 0-indexed sorted values v_0..v_{n-1}, the continuous position
+    is pos = (n−1)·num/den; writing lo = ⌊pos⌋ and rem = (n−1)·num mod
+    den, the result ×den is
+
+        q_scaled = v_lo·(den − rem) + v_{lo+1}·rem
+
+    — the linear interpolation scaled by den so it stays an exact
+    int64 (the consumer divides by den; SQL reconstructs the identical
+    integer with two CASE-summed row_number probes, no float ever).
+    Holistic like :func:`grouped_quantile`: one hash-bucket
+    co-location, one vectorized sort + gather per bucket. ``val_col``
+    must already be integer-scaled (cents / micro-units)."""
+    if not (0 <= num <= den) or den <= 0:
+        raise ValueError("need 0 <= num <= den, den > 0")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, val_col], kind="stable").reset_index(drop=True)
+        sizes = df.groupby(key, sort=False).size().to_numpy()
+        starts = np.r_[0, np.cumsum(sizes)[:-1]]
+        p_num = (sizes - 1) * num
+        lo = p_num // den
+        rem = p_num % den
+        v = df[val_col].to_numpy()
+        v_lo = v[starts + lo]
+        v_hi = v[starts + np.minimum(lo + 1, sizes - 1)]
+        q = v_lo * (den - rem) + v_hi * rem
+        keys = df[key].to_numpy()[starts]
+        return pd.DataFrame({key: keys, alias: q.astype("int64")})
+
+    return bucketed_reduce(ds.select_columns([key, val_col]), key, per_bucket)
+
+
 def global_topk(ds, order_col: str, id_col: str, k: int,
                 descending: bool = True):
     """Global ORDER BY + LIMIT k without the global sort: each block
@@ -1567,6 +1603,55 @@ def hourly_window_agg(events, ts_col: str = "ts", key: str = "user_id",
         return out
 
     return bucketed_reduce(partials, key, final_bucket,
+                           partitions=combiner_partitions())
+
+
+def hopping_window_agg(events, ts_col: str = "ts",
+                       value_col: str = "value",
+                       size_s: int = 3600, hop_s: int = 900):
+    """Hopping (sliding) event-time windows — the window family between
+    tumbling (`hourly_window_agg`) and gap sessions (`sessionize`):
+    every window has length ``size_s`` and starts on a ``hop_s``
+    boundary, so each event belongs to exactly k = size_s // hop_s
+    overlapping windows. The per-batch combiner replicates events into
+    their k windows with ONE vectorized outer subtraction + np.repeat
+    (never a per-row loop) and pre-aggregates, so the single hash
+    shuffle moves (window_start, Σ, n) partials — k slim rows per
+    distinct window per batch, not k× the event stream. Sums are exact
+    integer micro-units (matches SQL sum(floor(v·1e6+0.5))).
+
+    Output: (window_start epoch-s, total_c6, n_events)."""
+    if size_s % hop_s != 0:
+        raise ValueError("size_s must be a multiple of hop_s")
+    k = size_s // hop_s
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        epoch = _epoch_seconds(df[ts_col]).to_numpy()
+        v = np.floor(
+            df[value_col].to_numpy() * 1e6 + 0.5
+        ).astype(np.int64)
+        base = (epoch // hop_s) * hop_s
+        ws = (
+            base[:, None]
+            - np.arange(k, dtype=np.int64)[None, :] * hop_s
+        ).ravel()
+        out = pd.DataFrame({"window_start": ws, "__v": np.repeat(v, k)})
+        g = out.groupby("window_start", sort=False)
+        agg = g["__v"].agg(["sum", "size"]).reset_index()
+        return agg.rename(columns={"sum": "__s", "size": "__n"})
+
+    partials = events.map_batches(explode, batch_format="pandas")
+
+    def final_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("window_start", sort=False)
+        out = pd.DataFrame(index=g.size().index)
+        out["total_c6"] = g["__s"].sum().astype("int64")
+        out["n_events"] = g["__n"].sum().astype("int64")
+        out = out.reset_index()
+        out["window_start"] = out["window_start"].astype("int64")
+        return out
+
+    return bucketed_reduce(partials, "window_start", final_bucket,
                            partitions=combiner_partitions())
 
 

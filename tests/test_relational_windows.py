@@ -329,3 +329,40 @@ def test_global_topk_matches_full_sort(ray_session):
     exp = df.sort_values(["val", "id"], ascending=[False, True]).head(10)
     np.testing.assert_array_equal(out["id"].to_numpy(), exp["id"].to_numpy())
     np.testing.assert_array_equal(out["val"].to_numpy(), exp["val"].to_numpy())
+
+
+def test_hopping_window_matches_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from geotreehealth_ray.pipelines.relational import hopping_window_agg
+
+    rng = np.random.default_rng(5)
+    n = 500
+    epoch = rng.integers(1_700_000_000, 1_700_050_000, n)
+    df = pd.DataFrame({
+        "ts": pd.to_datetime(epoch, unit="s"),
+        "value": rng.normal(10.0, 3.0, n),
+    })
+    out = hopping_window_agg(
+        rd.from_pandas(df).repartition(7), size_s=600, hop_s=200
+    ).to_pandas().sort_values("window_start").reset_index(drop=True)
+
+    # brute force: every window start w on a 200 s boundary aggregates
+    # events with w <= t < w + 600
+    v6 = np.floor(df["value"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    rows = {}
+    for t, v in zip(epoch, v6):
+        base = (t // 200) * 200
+        for i in range(3):
+            w = base - i * 200
+            s, c = rows.get(w, (0, 0))
+            rows[w] = (s + v, c + 1)
+    want = pd.DataFrame(
+        [(w, s, c) for w, (s, c) in sorted(rows.items())],
+        columns=["window_start", "total_c6", "n_events"],
+    )
+    assert len(out) == len(want)
+    for c in want.columns:
+        assert (out[c].to_numpy() == want[c].to_numpy()).all(), c

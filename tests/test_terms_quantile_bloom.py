@@ -167,3 +167,25 @@ def test_bloom_words_match_duckdb_and_probe(orders_ds):
     m = 1 << sketch.BLOOM_BITS_LOG2
     expected = (1.0 - np.exp(-sketch.BLOOM_K * n_distinct / m)) ** sketch.BLOOM_K
     assert fpr <= max(5 * expected, 1e-3)
+
+
+def test_grouped_quantile_cont_matches_numpy(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from geotreehealth_ray.pipelines.relational import grouped_quantile_cont
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 5, 800),
+        "v": rng.integers(-1000, 100000, 800).astype("int64"),
+    })
+    for num, den in ((50, 100), (95, 100), (1, 3), (0, 1), (1, 1)):
+        out = grouped_quantile_cont(
+            rd.from_pandas(df).repartition(6), "k", "v", num, den
+        ).to_pandas().sort_values("k").reset_index(drop=True)
+        for _, row in out.iterrows():
+            vals = np.sort(df[df["k"] == row["k"]]["v"].to_numpy())
+            want = np.quantile(vals, num / den, method="linear")
+            assert abs(row["q_scaled"] / den - want) < 1e-9, (num, den)
