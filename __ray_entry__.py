@@ -635,6 +635,62 @@ def _q_price_p95_cont(sf_dir: str):
     )
 
 
+def _q_part_pairs(sf_dir: str):
+    """Market-basket co-occurrence: part pairs bought together in ≥2
+    orders (relational.cooccurrence_pairs — basket co-location, pair
+    partial counts, pair re-aggregation; the frequent-itemset
+    candidate pass)."""
+    from geotreehealth_ray.pipelines.relational import cooccurrence_pairs
+
+    return cooccurrence_pairs(
+        _read(sf_dir, "lineitem"), "l_orderkey", "l_partkey",
+        min_count=2,
+    )
+
+
+def _q_nation_rev_share(sf_dir: str):
+    """RATIO_TO_REPORT: per-nation revenue next to the grand total,
+    both exact int cents ×100 (ratio = revenue_c4/total_revenue_c4
+    left to the consumer). Customer→nation broadcast; one combiner
+    groupby; total folded over the 25-row grouped result."""
+    from geotreehealth_ray.pipelines.relational import (
+        broadcast_join,
+        ratio_to_report,
+    )
+
+    nat = _read(sf_dir, "nation").to_pandas()[["n_nationkey", "n_name"]]
+    cust = (
+        _read(sf_dir, "customer").to_pandas()[["c_custkey", "c_nationkey"]]
+        .rename(columns={"c_custkey": "o_custkey"})
+    )
+    nat_of_cust = cust.merge(
+        nat, left_on="c_nationkey", right_on="n_nationkey"
+    )[["o_custkey", "n_name"]]
+
+    orders = broadcast_join(
+        _read(sf_dir, "orders").map_batches(
+            lambda df: pd.DataFrame({
+                "o_custkey": df["o_custkey"].astype("int64"),
+                "price_c2": np.floor(
+                    df["o_totalprice"].to_numpy() * 100 + 0.5
+                ).astype("int64"),
+            }),
+            batch_format="pandas",
+        ),
+        nat_of_cust, on="o_custkey",
+    )
+    return ratio_to_report(orders, ["n_name"], {"revenue_c2": "price_c2"})
+
+
+def _q_doc_normalized(sf_dir: str):
+    """Canonical text normalization (lowercase, collapse whitespace,
+    trim) — the zero-shuffle preprocessing stage dedup/fingerprint
+    pipelines key on (text.normalize_text)."""
+    from geotreehealth_ray.pipelines.text import normalize_text
+
+    return normalize_text(_read(sf_dir, "documents"))
+
+
 def _q_doc_term_stats(sf_dir: str):
     """Inverted-index statistics: (term, df, cf) for terms in ≥3 docs —
     the vocabulary/posting-size pass of an index build."""
@@ -2000,6 +2056,34 @@ def _q_synth_image_stats(sf_dir: str):
     return image_stats(_rd().read_parquet(p["images"]))
 
 
+def _q_synth_pyramid(sf_dir: str):
+    """Multi-resolution tile pyramid over the north-rule image table
+    (stages/raster.py PyramidBuilder): 3 box-mean overview levels per
+    image, built from one decode, then a slim projection (bytes never
+    leave the stage). Deterministic integer downsampling — identical
+    rows at any parallelism."""
+    import pyarrow as pa
+
+    from geotreehealth_ray.stages.raster import build_tile_pyramid
+
+    p = _synth_paths()
+    pyr = build_tile_pyramid(
+        _rd().read_parquet(p["images"]), levels=3
+    )
+
+    def stats(t: pa.Table) -> pa.Table:
+        nb = [len(t["bytes"][i].as_py()) for i in range(len(t))]
+        return pa.table({
+            "image_id": t["image_id"],
+            "level": t["level"],
+            "w": t["w"],
+            "h": t["h"],
+            "n_bytes": pa.array(np.array(nb, np.int64)),
+        })
+
+    return pyr.map_batches(stats, batch_format="pyarrow")
+
+
 def _q_synth_thumbnails(sf_dir: str):
     """Thumbnail pipeline over the north-rule image table: actor-pool
     decode → bilinear resize to 32×32 → re-encode in the source fmt,
@@ -2432,6 +2516,9 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "user_top_event": _q_user_top_event,
         "price_p90": _q_price_p90,
         "price_p95_cont": _q_price_p95_cont,
+        "part_pairs": _q_part_pairs,
+        "nation_rev_share": _q_nation_rev_share,
+        "doc_normalized": _q_doc_normalized,
         "doc_term_stats": _q_doc_term_stats,
         "doc_tfidf": _q_doc_tfidf,
         # text / training-data operators
@@ -2468,6 +2555,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "stem_rebalance": _q_stem_rebalance,
         "synth_image_stats": _q_synth_image_stats,
         "synth_thumbnails": _q_synth_thumbnails,
+        "synth_pyramid": _q_synth_pyramid,
     }
 
 
@@ -3503,6 +3591,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT p >> 5 AS word,
                    bit_or(1::BIGINT << CAST(p & 31 AS INTEGER)) AS bits
             FROM pos GROUP BY 1
+        """,
+        "part_pairs": """
+            WITH d AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                       FROM lineitem)
+            SELECT a.i AS item_a, b.i AS item_b,
+                   CAST(count(*) AS BIGINT) AS n_baskets
+            FROM d a JOIN d b ON a.b = b.b AND a.i < b.i
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "nation_rev_share": """
+            WITH r AS (
+              SELECT n_name,
+                     CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS revenue_c2
+              FROM orders, customer, nation
+              WHERE o_custkey = c_custkey
+                AND c_nationkey = n_nationkey
+              GROUP BY 1)
+            SELECT n_name, revenue_c2,
+                   CAST(sum(revenue_c2) OVER () AS BIGINT)
+                     AS total_revenue_c2
+            FROM r
+        """,
+        "doc_normalized": """
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+                     AS norm_text
+            FROM documents
         """,
         "price_p95_cont": """
             WITH t AS (

@@ -1655,6 +1655,79 @@ def hopping_window_agg(events, ts_col: str = "ts",
                            partitions=combiner_partitions())
 
 
+def ratio_to_report(ds, keys: list[str], sum_cols: dict[str, str],
+                    total_prefix: str = "total_"):
+    """Percent-of-total (SQL ``sum(x) OVER ()`` next to ``GROUP BY``,
+    Oracle's RATIO_TO_REPORT): per-key combiner sums plus the grand
+    total carried as a constant column, both exact integers — the
+    ratio itself is left to the consumer so no float division enters
+    the engine. The grouped result is one row per key, so the grand
+    total folds over THAT (driver-side, tiny), never over the data
+    again."""
+    per_key = grouped_agg(ds, keys, sum_cols)
+    totals = {
+        name: 0 for name in sum_cols
+    }
+    small = per_key.to_pandas()
+    for name in sum_cols:
+        totals[name] = int(small[name].sum())
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        for name, tot in totals.items():
+            df[f"{total_prefix}{name}"] = np.int64(tot)
+        return df
+
+    import ray.data as rd
+
+    return rd.from_pandas(attach(small))
+
+
+def cooccurrence_pairs(ds, basket_col: str, item_col: str,
+                       min_count: int = 2):
+    """Market-basket co-occurrence: unordered item pairs appearing
+    together in ≥ min_count baskets (the candidate-generation core of
+    frequent-itemset mining). Two shuffles, both slim:
+
+    1. (basket, item) pairs dedupe per batch (combiner), then
+       co-locate by BASKET; per bucket a vectorized self-merge emits
+       each basket's pairs (item_a < item_b) and pre-counts them —
+       the k² expansion is bounded by the max basket size, a data
+       contract documented here (salt huge baskets upstream if one
+       key's k² exceeds a worker's heap).
+    2. the (pair, partial-count) rows — one per distinct pair per
+       bucket — re-aggregate by PAIR and threshold.
+
+    Output: (item_a, item_b, n_baskets), item_a < item_b."""
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df[[basket_col, item_col]].drop_duplicates()
+
+    pairs_in = ds.select_columns([basket_col, item_col]).map_batches(
+        dedup, batch_format="pandas"
+    )
+
+    def per_basket_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        dd = df.drop_duplicates()
+        m = dd.merge(dd, on=basket_col, suffixes=("_a", "_b"))
+        a = m[f"{item_col}_a"].to_numpy()
+        b = m[f"{item_col}_b"].to_numpy()
+        m = m[a < b]
+        g = m.groupby([f"{item_col}_a", f"{item_col}_b"], sort=False)
+        out = g.size().rename("cnt").reset_index()
+        return out.rename(columns={f"{item_col}_a": "item_a",
+                                   f"{item_col}_b": "item_b"})
+
+    partials = bucketed_reduce(pairs_in, basket_col, per_basket_bucket)
+    counted = grouped_agg(
+        partials, ["item_a", "item_b"], {"n_baskets": "cnt"}
+    )
+    return counted.map_batches(
+        lambda df: df[df["n_baskets"] >= min_count],
+        batch_format="pandas",
+    )
+
+
 # ----------------------------------------------------- bag set ops (ALL)
 
 def set_op_all(left, right, op: str = "intersect_all"):

@@ -393,6 +393,13 @@ def heavy_hitters(ds, col: str, phi: float, key_alias: str = "key",
     # thresh − floor(N/(k+1))
     cut = thresh - n_total // (k + 1)
     cands = est[est >= max(cut, 1)].index.to_numpy()
+    empty = pd.DataFrame(
+        {key_alias: pd.Series([], dtype=np.int64),
+         count_alias: pd.Series([], dtype=np.int64)})
+    if len(cands) == 0:
+        # no key can reach the threshold (uniform-ish data) — skip
+        # the recount pass entirely
+        return rd.from_pandas(empty)
     cand_ref = ray.put(set(cands.tolist()))
 
     def recount(df: pd.DataFrame) -> pd.DataFrame:
@@ -401,12 +408,12 @@ def heavy_hitters(ds, col: str, phi: float, key_alias: str = "key",
         return pd.DataFrame({"key": c.index.to_numpy(),
                              "cnt": c.to_numpy()})
 
-    exact = pd.concat(
-        list(ds.select_columns([col]).map_batches(
-            recount, batch_format="pandas"
-        ).iter_batches(batch_size=None, batch_format="pandas")),
-        ignore_index=True,
-    )
+    batches = list(ds.select_columns([col]).map_batches(
+        recount, batch_format="pandas"
+    ).iter_batches(batch_size=None, batch_format="pandas"))
+    if not batches:  # every batch empty → Ray yields nothing
+        return rd.from_pandas(empty)
+    exact = pd.concat(batches, ignore_index=True)
     tot = exact.groupby("key", sort=False)["cnt"].sum()
     out = tot[tot >= thresh].sort_index()
     return rd.from_pandas(pd.DataFrame({

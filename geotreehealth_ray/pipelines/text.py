@@ -588,3 +588,26 @@ def duplicate_ngrams(docs, n: int = 5, id_col: str = "doc_id",
     # exploded gram rows are slim (16 B hash + id) but one per token
     return bucketed_reduce(pairs, "gram", per_bucket,
                            partitions=auto_partitions(docs, scale=2.0))
+
+
+def normalize_text(docs, id_col: str = "doc_id", text_col: str = "text",
+                   out_col: str = "norm_text"):
+    """Canonical text normalization for dedup/fingerprint pipelines:
+    lowercase → collapse every whitespace run to one space → trim.
+    Pure per-batch vectorized pandas str kernels — zero shuffle, zero
+    state, streams at any scale. ASCII-exact against SQL
+    ``trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))``; full
+    Unicode case-folding/accent-stripping would need an agreed
+    mapping table on both sides (the synth corpus is ASCII)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        t = (
+            df[text_col].str.lower()
+            .str.replace(r"\s+", " ", regex=True)
+            .str.strip()
+        )
+        return pd.DataFrame({id_col: df[id_col], out_col: t})
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pandas"
+    )

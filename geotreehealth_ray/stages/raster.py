@@ -360,3 +360,116 @@ class ImageStretcher:
             out.append(codec.encode(img, fmt))
         idx = batch.schema.get_field_index("bytes")
         return batch.set_column(idx, "bytes", pa.array(out, pa.binary()))
+
+
+class PyramidBuilder:
+    """Actor-pool stage: emit a multi-resolution tile pyramid per image
+    row — level k is the 2^k× box-mean (2×2 average, round-half-up
+    in integer arithmetic) downsample of level k−1, the overview /
+    COG-style reduced-resolution chain a tiling engine serves zooms
+    from. One input row → ``levels`` output rows (image_id, level, w,
+    h, bytes, fmt); odd trailing rows/cols are cropped (documented
+    floor semantics). All levels of one image are built in one decode
+    — the 4/3 total-pixel overhead never re-reads the source."""
+
+    def __init__(self, levels: int = 3, fmt: str = "png"):
+        if levels < 1:
+            raise ValueError("levels >= 1")
+        self.levels = levels
+        self.fmt = fmt
+
+    @staticmethod
+    def _down2(img: np.ndarray) -> np.ndarray:
+        h2, w2 = img.shape[0] // 2, img.shape[1] // 2
+        c = img[: 2 * h2, : 2 * w2].astype(np.uint32)
+        s = (
+            c[0::2, 0::2] + c[0::2, 1::2] + c[1::2, 0::2] + c[1::2, 1::2]
+        )
+        return ((s + 2) // 4).astype(np.uint8)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in ("image_id", "level", "w", "h",
+                               "bytes", "fmt")}
+        ids = batch["image_id"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        for i, (iid, fmt) in enumerate(zip(ids, fmts)):
+            img = codec.decode(batch["bytes"][i].as_py(), fmt)
+            if img.ndim == 2:
+                img = img[:, :, None]
+            cur = img
+            for lvl in range(self.levels):
+                if lvl > 0:
+                    if cur.shape[0] < 2 or cur.shape[1] < 2:
+                        break
+                    cur = self._down2(cur)
+                out["image_id"].append(iid)
+                out["level"].append(lvl)
+                out["w"].append(cur.shape[1])
+                out["h"].append(cur.shape[0])
+                out["bytes"].append(codec.encode(cur, self.fmt))
+                out["fmt"].append(self.fmt)
+        return pa.table({
+            "image_id": pa.array(out["image_id"], pa.string()),
+            "level": pa.array(out["level"], pa.int32()),
+            "w": pa.array(out["w"], pa.int32()),
+            "h": pa.array(out["h"], pa.int32()),
+            "bytes": pa.array(out["bytes"], pa.binary()),
+            "fmt": pa.array(out["fmt"], pa.string()),
+        })
+
+
+def build_tile_pyramid(images, levels: int = 3,
+                       concurrency: int | None = None,
+                       batch_size: int = 8):
+    """Dataset stage: image rows → pyramid-level rows (one per level).
+    Small batch_size — megapixel payloads (ray_guide)."""
+    kwargs = {}
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    return images.map_batches(
+        PyramidBuilder(levels),
+        batch_format="pyarrow", batch_size=batch_size, **kwargs,
+    )
+
+
+def stitch_tiles(tiles, out_fmt: str = "png"):
+    """Mosaic: re-assemble `split_images` subtile rows into whole
+    images — the inverse of the tiler, used to write composited
+    rasters back out. All tiles of one image must co-reside: one hash
+    shuffle on image_id (the tiles of one image are bounded —
+    tile-count × tile-bytes ≪ worker heap — the same contract the
+    reference's per-site GPKG merge assumes), then each group pastes
+    its decoded tiles at (y_off, x_off). Overlap pixels come from
+    tiles with identical source content, so paste order cannot change
+    the result; ties are still written in deterministic tile_idx order.
+
+    Output: (image_id, w, h, bytes, fmt)."""
+    import pandas as pd
+
+    from ..pipelines.relational import bucketed_reduce
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {k: [] for k in ("image_id", "w", "h", "bytes", "fmt")}
+        for iid, g in df.groupby("image_id", sort=False):
+            g = g.sort_values("tile_idx", kind="stable")
+            full_h = int((g["y_off"] + g["h"]).max())
+            full_w = int((g["x_off"] + g["w"]).max())
+            canvas = None
+            for r in g.itertuples():
+                tile = codec.decode(r.bytes, r.fmt)
+                if tile.ndim == 2:
+                    tile = tile[:, :, None]
+                if canvas is None:
+                    canvas = np.zeros(
+                        (full_h, full_w, tile.shape[2]), np.uint8
+                    )
+                canvas[r.y_off:r.y_off + tile.shape[0],
+                       r.x_off:r.x_off + tile.shape[1]] = tile
+            rows["image_id"].append(iid)
+            rows["w"].append(full_w)
+            rows["h"].append(full_h)
+            rows["bytes"].append(codec.encode(canvas, out_fmt))
+            rows["fmt"].append(out_fmt)
+        return pd.DataFrame(rows)
+
+    return bucketed_reduce(tiles, "image_id", per_bucket)

@@ -116,3 +116,59 @@ def test_image_tiler_covers_everything(ray_session):
         np.testing.assert_array_equal(got, exp)
     else:
         assert codec.psnr(exp, got) >= 40.0
+
+
+def test_tile_pyramid_levels(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (96, 64, 3), dtype=np.uint8)
+    import pyarrow as pa
+    images = pa.table({
+        "image_id": pa.array(["a"], pa.string()),
+        "bytes": pa.array([codec.encode(img, "png")], pa.binary()),
+        "fmt": pa.array(["png"], pa.string()),
+    })
+    out = raster.build_tile_pyramid(
+        rd.from_arrow(images), levels=3
+    ).to_pandas().sort_values("level").reset_index(drop=True)
+    assert list(out["level"]) == [0, 1, 2]
+    assert list(zip(out["h"], out["w"])) == [(96, 64), (48, 32), (24, 16)]
+    # level 0 is the source; level 1 equals the 2x2 round-half-up mean
+    np.testing.assert_array_equal(
+        codec.decode(out.iloc[0]["bytes"], "png"), img
+    )
+    c = img.astype(np.uint32)
+    want1 = ((c[0::2, 0::2] + c[0::2, 1::2] + c[1::2, 0::2]
+              + c[1::2, 1::2] + 2) // 4).astype(np.uint8)
+    np.testing.assert_array_equal(
+        codec.decode(out.iloc[1]["bytes"], "png"), want1
+    )
+
+
+def test_split_then_stitch_roundtrip(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    rng = np.random.default_rng(23)
+    imgs = {
+        f"img{i}": rng.integers(0, 256, (70 + 7 * i, 90 - 5 * i, 3),
+                                dtype=np.uint8)
+        for i in range(3)
+    }
+    images = pa.table({
+        "image_id": pa.array(list(imgs), pa.string()),
+        "bytes": pa.array(
+            [codec.encode(v, "png") for v in imgs.values()], pa.binary()
+        ),
+        "fmt": pa.array(["png"] * len(imgs), pa.string()),
+    })
+    tiles = raster.split_images(
+        rd.from_arrow(images).repartition(2), tile_px=48, overlap_px=8
+    )
+    whole = raster.stitch_tiles(tiles).to_pandas()
+    assert len(whole) == len(imgs)
+    for r in whole.itertuples():
+        np.testing.assert_array_equal(
+            codec.decode(r.bytes, r.fmt), imgs[r.image_id]
+        )

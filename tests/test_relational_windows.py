@@ -366,3 +366,39 @@ def test_hopping_window_matches_bruteforce(ray_session):
     assert len(out) == len(want)
     for c in want.columns:
         assert (out[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_cooccurrence_pairs_matches_bruteforce(ray_session):
+    from itertools import combinations
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from geotreehealth_ray.pipelines.relational import cooccurrence_pairs
+
+    rng = np.random.default_rng(21)
+    rows = []
+    for b in range(120):
+        items = rng.choice(30, size=rng.integers(1, 6), replace=False)
+        rows += [(b, int(i)) for i in items]
+        if b % 3 == 0:  # duplicate rows must not double-count
+            rows += [(b, int(items[0]))]
+    df = pd.DataFrame(rows, columns=["basket", "item"])
+
+    out = cooccurrence_pairs(
+        rd.from_pandas(df).repartition(7), "basket", "item", min_count=2
+    ).to_pandas().sort_values(["item_a", "item_b"]).reset_index(drop=True)
+
+    from collections import Counter
+    cnt = Counter()
+    for _, g in df.drop_duplicates().groupby("basket"):
+        for a, b in combinations(sorted(g["item"]), 2):
+            cnt[(a, b)] += 1
+    want = pd.DataFrame(
+        [(a, b, n) for (a, b), n in sorted(cnt.items()) if n >= 2],
+        columns=["item_a", "item_b", "n_baskets"],
+    )
+    assert len(out) == len(want) >= 1
+    for c in want.columns:
+        assert (out[c].to_numpy() == want[c].to_numpy()).all(), c

@@ -179,3 +179,23 @@ def test_equidepth_histogram_exact_counts_and_invariance(ray_session):
         est = out[out["cum_count"] >= q * n]["boundary_c"].iloc[0]
         rank_err = abs((scaled <= est).sum() - q * n) / n
         assert rank_err < 2.0 / np.sqrt(32)
+
+
+def test_heavy_hitters_no_hitters_returns_empty(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from geotreehealth_ray.pipelines.sketch import heavy_hitters
+
+    # uniform keys: nobody reaches phi=0.1 of 1000 rows (regression:
+    # the empty-candidate path used to pd.concat an empty batch list)
+    df = pd.DataFrame({"k": np.arange(1000, dtype=np.int64)})
+    out = heavy_hitters(
+        rd.from_pandas(df).repartition(5), "k", 0.1,
+        key_alias="k", count_alias="n",
+    ).to_pandas()
+    assert len(out) == 0
+    # (Ray Data does not preserve column metadata through an empty
+    # from_pandas → to_pandas round trip, so only emptiness is
+    # asserted — the crash regression is the point.)
