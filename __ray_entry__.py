@@ -2056,6 +2056,62 @@ def _q_synth_image_stats(sf_dir: str):
     return image_stats(_rd().read_parquet(p["images"]))
 
 
+def _q_lineitem_audit(sf_dir: str):
+    """Declarative data-quality audit (pipelines/quality.py): two
+    row-level range checks (combiner partials — k ints per batch),
+    a uniqueness count, and a referential-integrity anti-join against
+    orders, all exact."""
+    from geotreehealth_ray.pipelines.quality import Check, audit
+
+    li = _read(sf_dir, "lineitem")
+    return audit(
+        li,
+        checks=[
+            Check("discount_gt_8pct",
+                  lambda df: df["l_discount"] > 0.08),
+            Check("qty_gt_40", lambda df: df["l_quantity"] > 40),
+        ],
+        key_col="l_orderkey",
+        fk=("l_orderkey", _read(sf_dir, "orders"), "o_orderkey"),
+    )
+
+
+def _q_orders_upsert(sf_dir: str):
+    """CDC latest-wins upsert (pipelines/quality.py upsert_latest):
+    a synthetic update stream (every 5th order, +1000.00 price,
+    status 'U', version bumped) merges onto the base orders — per key
+    the highest (version, side) row survives. Exact row_number
+    reconstruction in SQL."""
+    from geotreehealth_ray.pipelines.quality import upsert_latest
+
+    def base_prep(df):
+        day = (
+            pd.to_datetime(df["o_orderdate"]).astype("datetime64[us]")
+            .astype("int64") // 86_400_000_000
+        )
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "o_orderstatus": df["o_orderstatus"],
+            "total_c2": np.floor(
+                df["o_totalprice"].to_numpy() * 100 + 0.5
+            ).astype("int64"),
+            "version": day.astype("int64"),
+        })
+
+    base = _read(sf_dir, "orders").map_batches(
+        base_prep, batch_format="pandas"
+    )
+    updates = base.map_batches(
+        lambda df: df[df["o_orderkey"] % 5 == 0].assign(
+            o_orderstatus="U",
+            total_c2=lambda d: d["total_c2"] + 100000,
+            version=lambda d: d["version"] + 100,
+        ),
+        batch_format="pandas",
+    )
+    return upsert_latest(base, updates, "o_orderkey", "version")
+
+
 def _q_synth_pyramid(sf_dir: str):
     """Multi-resolution tile pyramid over the north-rule image table
     (stages/raster.py PyramidBuilder): 3 box-mean overview levels per
@@ -2556,6 +2612,8 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "synth_image_stats": _q_synth_image_stats,
         "synth_thumbnails": _q_synth_thumbnails,
         "synth_pyramid": _q_synth_pyramid,
+        "lineitem_audit": _q_lineitem_audit,
+        "orders_upsert": _q_orders_upsert,
     }
 
 
@@ -3591,6 +3649,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT p >> 5 AS word,
                    bit_or(1::BIGINT << CAST(p & 31 AS INTEGER)) AS bits
             FROM pos GROUP BY 1
+        """,
+        "lineitem_audit": """
+            SELECT 'discount_gt_8pct' AS check_name,
+                   CAST(sum(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_violations
+            FROM lineitem
+            UNION ALL
+            SELECT 'qty_gt_40',
+                   CAST(sum(CASE WHEN l_quantity > 40 THEN 1 ELSE 0
+                            END) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'unique_l_orderkey',
+                   CAST(count(*) - count(DISTINCT l_orderkey) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'fk_l_orderkey',
+                   CAST(count(*) AS BIGINT)
+            FROM lineitem
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_orderkey = l_orderkey)
+        """,
+        "orders_upsert": """
+            WITH base AS (
+              SELECT o_orderkey, o_orderstatus,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS total_c2,
+                     epoch_us(o_orderdate) // 86400000000 AS version,
+                     0 AS side
+              FROM orders),
+            upd AS (
+              SELECT o_orderkey, 'U' AS o_orderstatus,
+                     total_c2 + 100000 AS total_c2,
+                     version + 100 AS version, 1 AS side
+              FROM base WHERE o_orderkey % 5 = 0),
+            u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+            r AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY o_orderkey
+                       ORDER BY version DESC, side DESC) AS rn
+              FROM u)
+            SELECT o_orderkey, o_orderstatus, total_c2, version
+            FROM r WHERE rn = 1
         """,
         "part_pairs": """
             WITH d AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i

@@ -1,0 +1,121 @@
+"""Data-quality audit + upsert primitives — the validation / mutation
+edges of a production ingest pipeline (no analogue in the reference,
+which swallows per-polygon errors silently, main.py:126-134; the
+engine's poison-row quarantine covers runtime errors, this module
+covers DECLARED contracts).
+
+Every check is a combiner aggregate or a slim-probe semi/anti join —
+raw rows never shuffle for counting."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+__all__ = ["audit", "Check", "upsert_latest"]
+
+
+class Check:
+    """One declarative constraint: ``name`` + a per-batch pandas
+    predicate returning a boolean Series (True = VIOLATION)."""
+
+    def __init__(self, name: str, violated):
+        self.name = name
+        self.violated = violated
+
+
+def audit(ds, checks: list[Check], key_col: str | None = None,
+          fk: tuple | None = None):
+    """Run row-level checks plus optional table-level uniqueness and
+    referential-integrity checks, returning one (check, n_violations)
+    row per check.
+
+    - row checks: one shared pass; each batch evaluates every
+      predicate and emits a k-row partial — the shuffle moves k ints
+      per batch.
+    - ``key_col``: uniqueness — rows beyond the first per key value
+      count as violations (pair-combiner → per-bucket recount, the
+      distinct_count shape).
+    - ``fk``: (fk_col, dim_ds, pk_col) — child rows whose key has no
+      match in the dimension (anti-join count; the probe ships one
+      deduped key column)."""
+    from .relational import bucketed_reduce, hash_join
+
+    names = [c.name for c in checks]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "check_name": names,
+            "cnt": [int(c.violated(df).sum()) for c in checks],
+        })
+
+    outs = []
+    if checks:
+        p = ds.map_batches(partial, batch_format="pandas").to_pandas()
+        outs.append(p.groupby("check_name", sort=False)["cnt"].sum().reset_index())
+
+    if key_col is not None:
+        def dedup(df: pd.DataFrame) -> pd.DataFrame:
+            c = df[key_col].value_counts(sort=False)
+            return pd.DataFrame({"k": c.index, "n": c.to_numpy()})
+
+        def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("k", sort=False)["n"].sum()
+            return pd.DataFrame({"extra": [int((g - 1).clip(lower=0).sum())]})
+
+        dups = bucketed_reduce(
+            ds.select_columns([key_col]).map_batches(
+                dedup, batch_format="pandas"
+            ),
+            "k", per_bucket,
+        ).to_pandas()
+        outs.append(pd.DataFrame({
+            "check_name": [f"unique_{key_col}"],
+            "cnt": [int(dups["extra"].sum())],
+        }))
+
+    if fk is not None:
+        fk_col, dim, pk_col = fk
+        child = ds.select_columns([fk_col]).map_batches(
+            lambda df: df.rename(columns={fk_col: pk_col}),
+            batch_format="pandas",
+        )
+        orphans = hash_join(
+            child, dim.select_columns([pk_col]), on=pk_col, how="anti"
+        )
+        outs.append(pd.DataFrame({
+            "check_name": [f"fk_{fk_col}"],
+            "cnt": [orphans.count()],
+        }))
+
+    res = pd.concat(outs, ignore_index=True)
+    res["cnt"] = res["cnt"].astype("int64")
+    return res.rename(columns={"cnt": "n_violations"})
+
+
+def upsert_latest(base, updates, key: str, version_col: str):
+    """SCD-style latest-wins merge (MERGE INTO / CDC apply): rows of
+    ``updates`` replace same-key rows of ``base`` when their version
+    is higher; ties prefer the update (update wins at equal version —
+    the CDC convention). One union + one hash co-location; per bucket
+    a vectorized sort + keep-last. Deterministic: total order is
+    (version, side), side ∈ {0 base, 1 update}."""
+    from .relational import bucketed_reduce
+
+    def tag(side):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["__side"] = np.int8(side)
+            return df
+        return fn
+
+    u = base.map_batches(tag(0), batch_format="pandas").union(
+        updates.map_batches(tag(1), batch_format="pandas")
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, version_col, "__side"], kind="stable")
+        keep = df.drop_duplicates(key, keep="last")
+        return keep.drop(columns="__side")
+
+    return bucketed_reduce(u, key, per_bucket)
