@@ -2056,6 +2056,19 @@ def _q_synth_image_stats(sf_dir: str):
     return image_stats(_rd().read_parquet(p["images"]))
 
 
+def _q_hll_parts_by_flag(sf_dir: str):
+    """Grouped HLL: per-returnflag approximate-distinct-partkey
+    register tables (key, bucket, reg) — COUNT(DISTINCT) GROUP BY with
+    O(2^p) state per key, raw values never shuffling
+    (sketch.hll_registers_by_key; same integer-exact FNV/rank formula
+    as hll_custkeys, so the oracle rebuilds every register)."""
+    from geotreehealth_ray.pipelines.sketch import hll_registers_by_key
+
+    return hll_registers_by_key(
+        _read(sf_dir, "lineitem"), "l_returnflag", "l_partkey"
+    )
+
+
 def _q_lineitem_audit(sf_dir: str):
     """Declarative data-quality audit (pipelines/quality.py): two
     row-level range checks (combiner partials — k ints per batch),
@@ -2613,6 +2626,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "synth_thumbnails": _q_synth_thumbnails,
         "synth_pyramid": _q_synth_pyramid,
         "lineitem_audit": _q_lineitem_audit,
+        "hll_parts_by_flag": _q_hll_parts_by_flag,
         "orders_upsert": _q_orders_upsert,
     }
 
@@ -3649,6 +3663,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT p >> 5 AS word,
                    bit_or(1::BIGINT << CAST(p & 31 AS INTEGER)) AS bits
             FROM pos GROUP BY 1
+        """,
+        "hll_parts_by_flag": """
+            WITH h AS (
+              SELECT l_returnflag,
+                     list_reduce(
+                       list_prepend(14695981039346656037::UBIGINT,
+                         list_transform(range(0, 8),
+                           i -> ((l_partkey >> (8*i)) & 255)::UBIGINT)),
+                       (acc, b) -> ((xor(acc, b)::UHUGEINT
+                                     * 1099511628211::UHUGEINT)
+                                    % 18446744073709551616::UHUGEINT)::UBIGINT
+                     ) AS hv
+              FROM lineitem),
+            f1 AS (
+              SELECT l_returnflag,
+                     ((xor(hv, hv >> 30)::UHUGEINT
+                       * 13787848793156543929::UHUGEINT)
+                      % 18446744073709551616::UHUGEINT)::UBIGINT AS hv
+              FROM h),
+            f2 AS (
+              SELECT l_returnflag,
+                     ((xor(hv, hv >> 27)::UHUGEINT
+                       * 10723151780598845931::UHUGEINT)
+                      % 18446744073709551616::UHUGEINT)::UBIGINT AS hv
+              FROM f1),
+            f3 AS (
+              SELECT l_returnflag, xor(hv, hv >> 31) AS hv FROM f2),
+            r AS (
+              SELECT l_returnflag,
+                     CAST(hv >> 52 AS BIGINT) AS bucket,
+                     hv & 4503599627370495::UBIGINT AS rest
+              FROM f3)
+            SELECT l_returnflag, bucket,
+                   CAST(max(CASE WHEN rest = 0 THEN 53
+                                 ELSE 53 - length(bin(rest)) END)
+                        AS BIGINT) AS reg
+            FROM r GROUP BY l_returnflag, bucket
         """,
         "lineitem_audit": """
             SELECT 'discount_gt_8pct' AS check_name,

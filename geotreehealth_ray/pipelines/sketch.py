@@ -24,7 +24,8 @@ import pandas as pd
 __all__ = ["hll_registers", "hll_estimate", "P_DEFAULT",
            "bloom_words", "bloom_might_contain", "BLOOM_BITS_LOG2",
            "BLOOM_K", "bloom_semi_join", "cms_cells", "cms_estimate",
-           "CMS_W_LOG2", "CMS_D", "heavy_hitters", "equidepth_histogram"]
+           "CMS_W_LOG2", "CMS_D", "heavy_hitters", "equidepth_histogram",
+           "hll_registers_by_key", "hll_estimate_by_key"]
 
 P_DEFAULT = 12  # 2^12 = 4096 registers → ~1.6% standard error
 
@@ -489,3 +490,75 @@ def equidepth_histogram(ds, id_col: str, val_col: str, bins: int = 64,
         return df[["bin", "boundary_c", "cum_count"]]
 
     return counts.map_batches(attach, batch_format="pandas")
+
+
+def _splitmix_fin(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer on top of FNV-1a: sequential int64 keys
+    leave FNV's HIGH bits strongly clustered (each trailing zero byte
+    is a fixed bijective multiply — no avalanche), which starves HLL
+    buckets (top-p bits) and wrecks the estimate. Two xorshift-multiply
+    rounds restore avalanche; every step is >> / xor / mod-2^64
+    multiply, so a SQL oracle reproduces it exactly."""
+    with np.errstate(over="ignore"):
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return h ^ (h >> np.uint64(31))
+
+
+def hll_registers_by_key(ds, key: str, col: str, p: int = P_DEFAULT):
+    """Per-key HLL register tables — approximate COUNT(DISTINCT col)
+    GROUP BY key with O(2^p) state per key instead of a distinct-pair
+    shuffle: (key, bucket, reg) rows under the integer-exact FNV-1a +
+    splitmix64-finalizer / leading-zero-rank formula (finalizer
+    rationale in :func:`_splitmix_fin`), so the whole output remains a
+    pure function of the input multiset (DuckDB oracle reconstructs it
+    bit-for-bit). Combiner: per-batch (key, bucket) max — ≤ 2^p slim
+    rows per key per batch — then one hash co-location on the key and
+    a vectorized grouped max. The raw ``col`` values never shuffle.
+    Feed the result to :func:`hll_estimate_by_key`."""
+    from .relational import bucketed_reduce
+
+    w = 64 - p
+    mask = (np.uint64(1) << np.uint64(w)) - np.uint64(1)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = _splitmix_fin(_fnv1a_u64(df[col].to_numpy()))
+        bucket = (h >> np.uint64(w)).astype(np.int64)
+        rest = h & mask
+        reg = np.where(
+            rest == 0, w + 1, w + 1 - _bit_length_u64(rest)
+        ).astype(np.int64)
+        out = pd.DataFrame({key: df[key], "bucket": bucket, "reg": reg})
+        return out.groupby([key, "bucket"], sort=False,
+                           as_index=False)["reg"].max()
+
+    partials = ds.select_columns([key, col]).map_batches(
+        partial, batch_format="pandas"
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby([key, "bucket"], sort=False,
+                          as_index=False)["reg"].max()
+
+    return bucketed_reduce(partials, key, per_bucket)
+
+
+def hll_estimate_by_key(registers: pd.DataFrame, key: str,
+                        p: int = P_DEFAULT) -> pd.DataFrame:
+    """Fold a (key, bucket, reg) table to per-key cardinality
+    estimates (same raw + small-range estimator as
+    :func:`hll_estimate`; absent buckets are zero registers)."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    out = []
+    for k, g in registers.groupby(key, sort=False):
+        regs = np.zeros(m)
+        regs[g["bucket"].to_numpy()] = g["reg"].to_numpy()
+        raw = alpha * m * m / np.sum(2.0 ** -regs)
+        zeros = m - len(g)
+        est = (
+            m * np.log(m / zeros)
+            if (raw <= 2.5 * m and zeros > 0) else raw
+        )
+        out.append((k, float(est)))
+    return pd.DataFrame(out, columns=[key, "est_distinct"])

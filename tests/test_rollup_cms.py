@@ -199,3 +199,34 @@ def test_heavy_hitters_no_hitters_returns_empty(ray_session):
     # (Ray Data does not preserve column metadata through an empty
     # from_pandas → to_pandas round trip, so only emptiness is
     # asserted — the crash regression is the point.)
+
+
+def test_grouped_hll_accuracy_sequential_and_random(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from geotreehealth_ray.pipelines.sketch import (
+        hll_estimate_by_key,
+        hll_registers_by_key,
+    )
+
+    rng = np.random.default_rng(41)
+    # sequential keys are the adversarial case for raw FNV (clustered
+    # high bits) — the splitmix finalizer must hold ~2% error here too
+    df = pd.DataFrame({
+        "grp": np.r_[np.zeros(6000, np.int64), np.ones(9000, np.int64)],
+        "val": np.r_[
+            np.arange(3000, dtype=np.int64)[
+                rng.integers(0, 3000, 6000)
+            ],
+            rng.integers(0, 10**12, 9000),
+        ],
+    })
+    regs = hll_registers_by_key(
+        rd.from_pandas(df).repartition(6), "grp", "val"
+    ).to_pandas()
+    est = hll_estimate_by_key(regs, "grp").set_index("grp")["est_distinct"]
+    for g in (0, 1):
+        exact = df[df["grp"] == g]["val"].nunique()
+        assert abs(est[g] - exact) / exact < 0.05, (g, est[g], exact)
