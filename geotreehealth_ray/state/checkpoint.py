@@ -31,7 +31,8 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["partition_of_cells", "write_partitioned", "completed_partitions",
-           "resume_filter", "stage_metrics"]
+           "resume_filter", "stage_metrics", "compact_partitions",
+           "output_files"]
 
 
 def partition_of_cells(cell: np.ndarray, bits: int = 8,
@@ -158,3 +159,102 @@ def stage_metrics(out_dir: str) -> dict:
             nbytes += e["bytes"]
             parts.append(e["partition"])
     return {"partitions": sorted(parts), "rows": rows, "bytes": nbytes}
+
+
+def output_files(out_dir: str) -> list[str]:
+    """Current data files of a checkpointed stage, resolved through the
+    manifests (post-compaction entries point several partitions at one
+    shared file — deduped here). Feed to ray.data.read_parquet."""
+    mdir = os.path.join(out_dir, "_manifest")
+    files = []
+    for f in sorted(os.listdir(mdir)) if os.path.isdir(mdir) else []:
+        if f.endswith(".json") and not f.startswith("_"):
+            with open(os.path.join(mdir, f)) as fh:
+                e = json.load(fh)
+            rel = e.get("file", f"part={e['partition']}/part-{e['partition']}.parquet")
+            files.append(os.path.join(out_dir, rel))
+    return sorted(set(files))
+
+
+def compact_partitions(out_dir: str, target_bytes: int = 128 << 20) -> dict:
+    """Small-file compaction: greedily bin-pack ADJACENT partitions
+    (ascending pid — spatial contiguity survives, so range reads stay
+    range reads) into ~``target_bytes`` files, rewrite each group in
+    one parallel Ray task, and repoint the member manifests at the
+    shared file. Per-partition manifests REMAIN the resume contract —
+    `completed_partitions` / `resume_filter` are untouched by
+    compaction; only the data-file layout changes. Compaction is
+    atomic per group (tmp → os.replace, manifests repointed after the
+    data lands) and idempotent: already-compacted groups re-pack by
+    their current byte size.
+
+    At 100 TB this is the maintenance pass that keeps a
+    many-partition stage (e.g. 2^16 Hilbert partitions × a few MB
+    after a sparse filter) from handing the next reader a
+    small-file storm."""
+    import ray
+
+    mdir = os.path.join(out_dir, "_manifest")
+    entries = []
+    for f in sorted(os.listdir(mdir)) if os.path.isdir(mdir) else []:
+        if f.endswith(".json") and not f.startswith("_"):
+            with open(os.path.join(mdir, f)) as fh:
+                entries.append(json.load(fh))
+    entries.sort(key=lambda e: e["partition"])
+
+    groups, cur, cur_bytes = [], [], 0
+    for e in entries:
+        cur.append(e)
+        cur_bytes += e["bytes"]
+        if cur_bytes >= target_bytes:
+            groups.append(cur)
+            cur, cur_bytes = [], 0
+    if cur:
+        groups.append(cur)
+
+    @ray.remote
+    def compact_group(group: list[dict]) -> dict:
+        import pyarrow.parquet as pq
+
+        lo = group[0]["partition"]
+        hi = group[-1]["partition"]
+        srcs = sorted({
+            os.path.join(
+                out_dir,
+                e.get("file", f"part={e['partition']}/part-{e['partition']}.parquet"),
+            )
+            for e in group
+        })
+        if len(srcs) == 1:
+            return {"lo": lo, "hi": hi, "files_in": 1, "skipped": True}
+        cdir = os.path.join(out_dir, "compact")
+        os.makedirs(cdir, exist_ok=True)
+        rel = f"compact/part-{lo}-{hi}.parquet"
+        final = os.path.join(out_dir, rel)
+        tmp = final + ".tmp"
+        t = pa.concat_tables([pq.read_table(s) for s in srcs])
+        pq.write_table(t, tmp)
+        os.replace(tmp, final)
+        for e in group:  # repoint manifests AFTER the data landed
+            e2 = dict(e)
+            e2["file"] = rel
+            mtmp = os.path.join(mdir, f"{e['partition']}.json.tmp")
+            with open(mtmp, "w") as fh:
+                json.dump(e2, fh)
+            os.replace(mtmp, os.path.join(mdir, f"{e['partition']}.json"))
+        for s in srcs:  # old files are garbage once nothing points at them
+            os.remove(s)
+        return {"lo": lo, "hi": hi, "files_in": len(srcs), "skipped": False}
+
+    results = ray.get([compact_group.remote(g) for g in groups])
+    done = [r for r in results if not r["skipped"]]
+    rollup = {
+        "groups": len(groups),
+        "groups_compacted": len(done),
+        "files_before": int(sum(r["files_in"] for r in results)),
+        "files_after": len(results),
+        "target_bytes": target_bytes,
+    }
+    with open(os.path.join(mdir, "_compaction.json"), "w") as f:
+        json.dump(rollup, f)
+    return rollup

@@ -114,3 +114,45 @@ def test_partition_of_cells_hilbert_compact():
         return np.mean(areas)
 
     assert mean_area(pid_h) <= mean_area(pid_m) * 1.05
+
+
+def test_compaction_preserves_rows_and_resume_contract(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from geotreehealth_ray.state import checkpoint as cp
+
+    out = str(tmp_path / "stage_out")
+    n = 5000
+    df = pd.DataFrame({
+        "partition_id": (np.arange(n) % 40).astype(np.int64),
+        "v": np.arange(n, dtype=np.int64),
+    })
+    cp.write_partitioned(rd.from_pandas(df).repartition(8), out,
+                         stage="s1", input_tag="t1")
+    before_files = cp.output_files(out)
+    assert len(before_files) == 40
+    done_before = cp.completed_partitions(out)
+
+    # pack ~8 small partitions per compacted file
+    one = os.path.getsize(before_files[0])
+    roll = cp.compact_partitions(out, target_bytes=8 * one)
+    after_files = cp.output_files(out)
+    assert len(after_files) < len(before_files) / 3
+
+    # data identical through the manifest-resolved reader
+    got = rd.read_parquet(after_files).to_pandas().sort_values("v")
+    assert (got["v"].to_numpy() == np.arange(n)).all()
+
+    # the resume contract is untouched: same done-set, rows metric
+    assert cp.completed_partitions(out) == done_before
+    assert cp.stage_metrics(out)["rows"] == n
+    filtered = cp.resume_filter(rd.from_pandas(df), out)
+    assert filtered.count() == 0
+
+    # idempotent: second pass finds single-file groups and skips
+    roll2 = cp.compact_partitions(out, target_bytes=8 * one)
+    assert roll2["groups_compacted"] == 0
+    got2 = rd.read_parquet(cp.output_files(out)).to_pandas()
+    assert len(got2) == n
