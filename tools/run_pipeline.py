@@ -4,6 +4,7 @@
     python tools/run_pipeline.py chips   --data DIR --out DIR [--resume]
     python tools/run_pipeline.py health  --data DIR --out DIR
     python tools/run_pipeline.py synth   --out DIR [--stems N --extent M]
+    python tools/run_pipeline.py compact --out DIR [--target-bytes N]
 
 `--data` is a directory holding the engine tables (stems/ crowns/
 tiles/ images/ lidar/ parquet dirs, e.g. from the `synth` command).
@@ -23,7 +24,7 @@ sys.path.insert(0, ".")
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("command", choices=["assign", "chips", "health", "synth"])
+    ap.add_argument("command", choices=["assign", "chips", "health", "synth", "compact"])
     ap.add_argument("--data", default="/tmp/geotreehealth_data")
     ap.add_argument("--out", required=True)
     ap.add_argument("--stems", type=int, default=10_000)
@@ -31,6 +32,8 @@ def main():
     ap.add_argument("--num-cpus", type=int, default=None)
     ap.add_argument("--resume", action="store_true",
                     help="(chips) informational — resume is automatic via the manifest")
+    ap.add_argument("--target-bytes", type=int, default=128 << 20,
+                    help="(compact) bin-pack adjacent partitions to this file size")
     args = ap.parse_args()
 
     import ray
@@ -45,6 +48,13 @@ def main():
     import ray.data as rd
 
     from geotreehealth_ray.sources import synth as synth_mod
+
+    if args.command == "compact":
+        from geotreehealth_ray.state import checkpoint as cp
+
+        print(json.dumps(cp.compact_partitions(args.out, args.target_bytes)))
+        ray.shutdown()
+        return
 
     if args.command == "synth":
         cfg = synth_mod.SynthConfig(n_stems=args.stems, extent_m=args.extent)
