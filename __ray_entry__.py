@@ -2056,6 +2056,15 @@ def _q_synth_image_stats(sf_dir: str):
     return image_stats(_rd().read_parquet(p["images"]))
 
 
+def _q_doc_chunks(sf_dir: str):
+    """Concat-and-chunk LLM training prep: 50-token windows every 40
+    tokens per document (text.chunk_documents; single-space token
+    contract). Zero-shuffle flat map."""
+    from geotreehealth_ray.pipelines.text import chunk_documents
+
+    return chunk_documents(_read(sf_dir, "documents"), size=50, stride=40)
+
+
 def _q_hll_parts_by_flag(sf_dir: str):
     """Grouped HLL: per-returnflag approximate-distinct-partkey
     register tables (key, bucket, reg) — COUNT(DISTINCT) GROUP BY with
@@ -2627,6 +2636,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "synth_pyramid": _q_synth_pyramid,
         "lineitem_audit": _q_lineitem_audit,
         "hll_parts_by_flag": _q_hll_parts_by_flag,
+        "doc_chunks": _q_doc_chunks,
         "orders_upsert": _q_orders_upsert,
     }
 
@@ -3663,6 +3673,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT p >> 5 AS word,
                    bit_or(1::BIGINT << CAST(p & 31 AS INTEGER)) AS bits
             FROM pos GROUP BY 1
+        """,
+        "doc_chunks": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents),
+            s AS (
+              SELECT doc_id, w, unnest(range(0, len(w), 40)) AS start
+              FROM toks)
+            SELECT doc_id,
+                   CAST(start // 40 AS BIGINT) AS chunk_idx,
+                   array_to_string(w[start + 1 : start + 50], ' ')
+                     AS chunk_text,
+                   CAST(len(w[start + 1 : start + 50]) AS BIGINT)
+                     AS n_tokens
+            FROM s
         """,
         "hll_parts_by_flag": """
             WITH h AS (

@@ -611,3 +611,42 @@ def normalize_text(docs, id_col: str = "doc_id", text_col: str = "text",
     return docs.select_columns([id_col, text_col]).map_batches(
         fn, batch_format="pandas"
     )
+
+
+def chunk_documents(docs, size: int = 50, stride: int = 40,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """Fixed-length token chunking with overlap — the concat-and-chunk
+    prep that turns variable-length documents into model-sized
+    training windows: chunk k of a doc covers tokens
+    [k·stride, k·stride + size) (single-space tokenization, the same
+    contract as dup_ngrams/decontaminate), emitted while k·stride <
+    n_tokens. Pure per-batch flat map — zero shuffle, streams at any
+    scale; the k-windows-per-doc expansion is the output itself, not
+    an intermediate. Output: (doc_id, chunk_idx, chunk_text,
+    n_tokens)."""
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        out_id, out_idx, out_txt, out_n = [], [], [], []
+        for did, text in zip(df[id_col], df[text_col]):
+            toks = text.split(" ")
+            n = len(toks)
+            k = 0
+            while k * stride < n:
+                piece = toks[k * stride: k * stride + size]
+                out_id.append(did)
+                out_idx.append(k)
+                out_txt.append(" ".join(piece))
+                out_n.append(len(piece))
+                k += 1
+        return pd.DataFrame({
+            id_col: out_id,
+            "chunk_idx": np.array(out_idx, np.int64),
+            "chunk_text": out_txt,
+            "n_tokens": np.array(out_n, np.int64),
+        })
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pandas"
+    )

@@ -175,3 +175,32 @@ def test_grouped_corr_stats_matches_numpy(ray_session):
         got = r["corr_num"] / np.sqrt(r["var_x_num"] * r["var_y_num"])
         want = np.corrcoef(xi, yi)[0, 1]
         assert abs(got - want) < 1e-12
+
+
+def test_chunk_documents_windows(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from geotreehealth_ray.pipelines.text import chunk_documents
+
+    toks = [f"t{i}" for i in range(95)]
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [" ".join(toks), "one two", ""],
+    })
+    out = chunk_documents(
+        rd.from_pandas(df).repartition(2), size=50, stride=40
+    ).to_pandas().sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+    d1 = out[out["doc_id"] == 1]
+    # starts 0, 40, 80 — the last window is the 15-token tail
+    assert list(d1["chunk_idx"]) == [0, 1, 2]
+    assert list(d1["n_tokens"]) == [50, 50, 15]
+    assert d1.iloc[0]["chunk_text"] == " ".join(toks[0:50])
+    assert d1.iloc[2]["chunk_text"] == " ".join(toks[80:95])
+    # overlap: consecutive windows share size - stride = 10 tokens
+    assert d1.iloc[0]["chunk_text"].split(" ")[40:] == \
+        d1.iloc[1]["chunk_text"].split(" ")[:10]
+    assert list(out[out["doc_id"] == 2]["n_tokens"]) == [2]
+    # empty text: split(' ') gives one empty token — one 1-token chunk
+    assert list(out[out["doc_id"] == 3]["n_tokens"]) == [1]
