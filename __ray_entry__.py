@@ -2056,6 +2056,28 @@ def _q_synth_image_stats(sf_dir: str):
     return image_stats(_rd().read_parquet(p["images"]))
 
 
+def _q_hourly_active_users(sf_dir: str):
+    """Windowed COUNT(DISTINCT): distinct active users per tumbling
+    hour — the composition of event-time bucketing with the
+    distinct-pair combiner (`relational.distinct_count`): each batch
+    dedups its local (hour, user) pairs, so the one hash shuffle moves
+    unique pairs per batch, never raw events."""
+    from geotreehealth_ray.pipelines.relational import distinct_count
+
+    ev = _read(sf_dir, "events").map_batches(
+        lambda df: pd.DataFrame({
+            "window_start": (
+                pd.to_datetime(df["ts"]).astype("datetime64[us]")
+                .astype("int64") // 10**6 // 3600 * 3600
+            ).astype("int64"),
+            "user_id": df["user_id"].astype("int64"),
+        }),
+        batch_format="pandas",
+    )
+    return distinct_count(ev, "window_start", "user_id",
+                          alias="active_users")
+
+
 def _q_doc_chunks(sf_dir: str):
     """Concat-and-chunk LLM training prep: 50-token windows every 40
     tokens per document (text.chunk_documents; single-space token
@@ -2637,6 +2659,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "lineitem_audit": _q_lineitem_audit,
         "hll_parts_by_flag": _q_hll_parts_by_flag,
         "doc_chunks": _q_doc_chunks,
+        "hourly_active_users": _q_hourly_active_users,
         "orders_upsert": _q_orders_upsert,
     }
 
@@ -3673,6 +3696,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT p >> 5 AS word,
                    bit_or(1::BIGINT << CAST(p & 31 AS INTEGER)) AS bits
             FROM pos GROUP BY 1
+        """,
+        "hourly_active_users": """
+            SELECT epoch_us(ts) // 1000000 // 3600 * 3600
+                     AS window_start,
+                   CAST(count(DISTINCT user_id) AS BIGINT)
+                     AS active_users
+            FROM events GROUP BY 1
         """,
         "doc_chunks": """
             WITH toks AS (
