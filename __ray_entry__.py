@@ -2056,6 +2056,41 @@ def _q_synth_image_stats(sf_dir: str):
     return image_stats(_rd().read_parquet(p["images"]))
 
 
+def _q_orders_diff(sf_dir: str):
+    """Table-version diff (quality.table_diff): the base orders vs a
+    synthetic next version (every 7th key dropped, every surviving 5th
+    key repriced, a shifted key range appended) → one (key, change)
+    row per added / removed / changed key, classified in a single
+    co-location shuffle."""
+    from geotreehealth_ray.pipelines.quality import table_diff
+
+    def slim(df):
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "o_orderstatus": df["o_orderstatus"],
+            "total_c2": np.floor(
+                df["o_totalprice"].to_numpy() * 100 + 0.5
+            ).astype("int64"),
+        })
+
+    old = _read(sf_dir, "orders").map_batches(slim, batch_format="pandas")
+    surviving = old.map_batches(
+        lambda df: df[df["o_orderkey"] % 7 != 0].assign(
+            total_c2=lambda d: d["total_c2"]
+            + 100000 * (d["o_orderkey"] % 5 == 0).astype("int64"),
+        ),
+        batch_format="pandas",
+    )
+    appended = old.map_batches(
+        lambda df: df[df["o_orderkey"] % 11 == 0].assign(
+            o_orderkey=lambda d: d["o_orderkey"] + 1_000_000_000,
+        ),
+        batch_format="pandas",
+    )
+    return table_diff(old, surviving.union(appended), "o_orderkey",
+                      ["o_orderstatus", "total_c2"])
+
+
 def _q_hourly_active_users(sf_dir: str):
     """Windowed COUNT(DISTINCT): distinct active users per tumbling
     hour — the composition of event-time bucketing with the
@@ -2660,6 +2695,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "hll_parts_by_flag": _q_hll_parts_by_flag,
         "doc_chunks": _q_doc_chunks,
         "hourly_active_users": _q_hourly_active_users,
+        "orders_diff": _q_orders_diff,
         "orders_upsert": _q_orders_upsert,
     }
 
@@ -3696,6 +3732,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT p >> 5 AS word,
                    bit_or(1::BIGINT << CAST(p & 31 AS INTEGER)) AS bits
             FROM pos GROUP BY 1
+        """,
+        "orders_diff": """
+            WITH old AS (
+              SELECT o_orderkey, o_orderstatus,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS total_c2
+              FROM orders),
+            new AS (
+              SELECT o_orderkey, o_orderstatus,
+                     total_c2 + CASE WHEN o_orderkey % 5 = 0
+                                     THEN 100000 ELSE 0 END AS total_c2
+              FROM old WHERE o_orderkey % 7 <> 0
+              UNION ALL
+              SELECT o_orderkey + 1000000000, o_orderstatus, total_c2
+              FROM old WHERE o_orderkey % 11 = 0),
+            j AS (
+              SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                     CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                          WHEN n.o_orderkey IS NULL THEN 'removed'
+                          WHEN o.o_orderstatus = n.o_orderstatus
+                           AND o.total_c2 = n.total_c2 THEN 'same'
+                          ELSE 'changed' END AS change
+              FROM old o FULL OUTER JOIN new n
+                ON o.o_orderkey = n.o_orderkey)
+            SELECT o_orderkey, change FROM j WHERE change <> 'same'
         """,
         "hourly_active_users": """
             SELECT epoch_us(ts) // 1000000 // 3600 * 3600

@@ -12,7 +12,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-__all__ = ["audit", "Check", "upsert_latest"]
+__all__ = ["audit", "Check", "upsert_latest", "table_diff"]
 
 
 class Check:
@@ -117,5 +117,52 @@ def upsert_latest(base, updates, key: str, version_col: str):
         df = df.sort_values([key, version_col, "__side"], kind="stable")
         keep = df.drop_duplicates(key, keep="last")
         return keep.drop(columns="__side")
+
+    return bucketed_reduce(u, key, per_bucket)
+
+
+def table_diff(old, new, key: str, value_cols: list[str]):
+    """Version diff of two keyed tables (the regression check after a
+    backfill / engine change): one row per key whose state changed,
+    labeled 'added' (key only in ``new``), 'removed' (only in
+    ``old``) or 'changed' (present in both, any value column
+    differs); unchanged keys are dropped. Both sides project to
+    key + value columns before the single co-location shuffle; per
+    bucket one vectorized outer merge classifies every key.
+
+    Output: (key, change)."""
+    from .relational import bucketed_reduce
+
+    cols = [key, *value_cols]
+
+    def tag(side):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[cols].copy()
+            df["__side"] = np.int8(side)
+            return df
+        return fn
+
+    u = old.map_batches(tag(0), batch_format="pandas").union(
+        new.map_batches(tag(1), batch_format="pandas")
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        lhs = df[df["__side"] == 0][cols]
+        rhs = df[df["__side"] == 1][cols]
+        m = lhs.merge(rhs, on=key, how="outer", suffixes=("_o", "_n"),
+                      indicator=True)
+        change = np.where(
+            m["_merge"] == "left_only", "removed",
+            np.where(m["_merge"] == "right_only", "added", "changed"),
+        )
+        same = np.ones(len(m), dtype=bool)
+        for c in value_cols:
+            same &= (
+                m[f"{c}_o"].to_numpy() == m[f"{c}_n"].to_numpy()
+            ) | (m["_merge"] != "both").to_numpy()
+        keep = ~((m["_merge"] == "both").to_numpy() & same)
+        out = pd.DataFrame({key: m[key].to_numpy()[keep],
+                            "change": change[keep]})
+        return out
 
     return bucketed_reduce(u, key, per_bucket)

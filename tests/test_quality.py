@@ -59,3 +59,24 @@ def test_upsert_latest_matches_bruteforce(ray_session):
     assert len(out) == len(want)
     for c in ("k", "val", "version"):
         assert (out[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_table_diff_classifies_all_changes(ray_session):
+    import ray.data as rd
+
+    from geotreehealth_ray.pipelines.quality import table_diff
+
+    old = pd.DataFrame({
+        "k": [1, 2, 3, 4], "a": ["x", "y", "z", "w"], "b": [10, 20, 30, 40],
+    })
+    new = pd.DataFrame({
+        "k": [1, 2, 5], "a": ["x", "y", "q"], "b": [10, 99, 50],
+    })
+    out = table_diff(
+        rd.from_pandas(old).repartition(2),
+        rd.from_pandas(new).repartition(2), "k", ["a", "b"],
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    want = {1: None, 2: "changed", 3: "removed", 4: "removed", 5: "added"}
+    got = dict(zip(out["k"], out["change"]))
+    assert 1 not in got  # unchanged keys are dropped
+    assert got == {k: v for k, v in want.items() if v}
