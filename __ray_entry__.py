@@ -2056,6 +2056,21 @@ def _q_synth_image_stats(sf_dir: str):
     return image_stats(_rd().read_parquet(p["images"]))
 
 
+def _q_user_event_attach(sf_dir: str):
+    """Composite-key hash join (on=[user_id, event_type]): each event
+    row gets its (user, type) group count attached — the aggregate
+    computed by a combiner groupby, joined back on the two-column key
+    (SQL COUNT(*) OVER (PARTITION BY user_id, event_type))."""
+    from geotreehealth_ray.pipelines.relational import grouped_agg, hash_join
+
+    ev = _read(sf_dir, "events").select_columns(
+        ["event_id", "user_id", "event_type"]
+    )
+    counts = grouped_agg(ev, ["user_id", "event_type"], {},
+                         count_alias="type_count")
+    return hash_join(ev, counts, on=["user_id", "event_type"])
+
+
 def _q_orders_diff(sf_dir: str):
     """Table-version diff (quality.table_diff): the base orders vs a
     synthetic next version (every 7th key dropped, every surviving 5th
@@ -2696,6 +2711,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": _q_doc_chunks,
         "hourly_active_users": _q_hourly_active_users,
         "orders_diff": _q_orders_diff,
+        "user_event_attach": _q_user_event_attach,
         "orders_upsert": _q_orders_upsert,
     }
 
@@ -3732,6 +3748,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT p >> 5 AS word,
                    bit_or(1::BIGINT << CAST(p & 31 AS INTEGER)) AS bits
             FROM pos GROUP BY 1
+        """,
+        "user_event_attach": """
+            SELECT event_id, user_id, event_type,
+                   CAST(count(*) OVER (
+                     PARTITION BY user_id, event_type) AS BIGINT)
+                     AS type_count
+            FROM events
         """,
         "orders_diff": """
             WITH old AS (

@@ -381,7 +381,7 @@ def broadcast_join(ds, small_df: pd.DataFrame, on: str | list[str],
     return ds.map_batches(fn, batch_format="pandas")
 
 
-def hash_join(left, right, on: str, how: str = "inner",
+def hash_join(left, right, on: str | list[str], how: str = "inner",
               num_buckets: int = NUM_BUCKETS,
               lsuffix: str = "", rsuffix: str = "_r",
               partitions: int | None = None):
@@ -403,13 +403,20 @@ def hash_join(left, right, on: str, how: str = "inner",
     — left rows with ≥1 / 0 key matches on the right, LEFT COLUMNS
     ONLY, never duplicated by multiple right matches (SQL EXISTS /
     NOT EXISTS). The right side is projected to its key column before
-    the shuffle, so a semi/anti probe moves one slim column."""
+    the shuffle, so a semi/anti probe moves one slim column.
+
+    ``on`` may be one column name or a list (composite key): the
+    bucket hash uses the first key column (all rows of a composite
+    key still co-locate — equal composites share the first
+    component), and every per-bucket merge/probe matches on the full
+    column list."""
+    keys = [on] if isinstance(on, str) else list(on)
 
     if how in ("semi", "anti"):
         # the probe only needs key presence: dedup per batch (combiner)
-        # and ship the key column alone
+        # and ship the key columns alone
         def slim(df: pd.DataFrame) -> pd.DataFrame:
-            return df[[on]].drop_duplicates()
+            return df[keys].drop_duplicates()
 
         right = right.map_batches(slim, batch_format="pandas")
 
@@ -444,11 +451,16 @@ def hash_join(left, right, on: str, how: str = "inner",
         lhs = df[df["__side"] == 0][lcols].infer_objects()
         rhs = df[df["__side"] == 1][rcols].infer_objects()
         if how in ("semi", "anti"):
-            present = lhs[on].isin(rhs[on].to_numpy())
+            if len(keys) == 1:
+                present = lhs[keys[0]].isin(rhs[keys[0]].to_numpy())
+            else:
+                m = lhs.merge(rhs.drop_duplicates(), on=keys, how="left",
+                              indicator=True)
+                present = (m["_merge"] == "both").to_numpy()
             return lhs[present if how == "semi" else ~present]
-        return lhs.merge(rhs, on=on, how=how, suffixes=(lsuffix, rsuffix))
+        return lhs.merge(rhs, on=keys, how=how, suffixes=(lsuffix, rsuffix))
 
-    return bucketed_reduce(u, on, merge, num_buckets, partitions=partitions)
+    return bucketed_reduce(u, keys, merge, num_buckets, partitions=partitions)
 
 
 def sessionize(events, key: str = "user_id", ts_col: str = "ts",

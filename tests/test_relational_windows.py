@@ -402,3 +402,49 @@ def test_cooccurrence_pairs_matches_bruteforce(ray_session):
     assert len(out) == len(want) >= 1
     for c in want.columns:
         assert (out[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_hash_join_composite_key_all_modes(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from geotreehealth_ray.pipelines.relational import hash_join
+
+    rng = np.random.default_rng(13)
+    left = pd.DataFrame({
+        "a": rng.integers(0, 6, 300).astype(np.int64),
+        "b": rng.choice(["x", "y", "z"], 300),
+        "lv": np.arange(300, dtype=np.int64),
+    })
+    right = pd.DataFrame({
+        "a": rng.integers(0, 8, 120).astype(np.int64),
+        "b": rng.choice(["x", "y", "w"], 120),
+        "rv": np.arange(120, dtype=np.int64),
+    })
+    l = rd.from_pandas(left).repartition(4)
+    r = rd.from_pandas(right).repartition(3)
+    keys = ["a", "b"]
+
+    for how in ("inner", "left", "outer"):
+        got = hash_join(l, r, on=keys, how=how).to_pandas()
+        want = left.merge(right, on=keys, how=how)
+        gs = got.sort_values(["a", "b", "lv", "rv"], na_position="last",
+                             kind="stable").reset_index(drop=True)
+        ws = want.sort_values(["a", "b", "lv", "rv"], na_position="last",
+                              kind="stable").reset_index(drop=True)
+        assert len(gs) == len(ws), how
+        for c in ("a", "lv", "rv"):
+            assert (
+                gs[c].fillna(-1).to_numpy() == ws[c].fillna(-1).to_numpy()
+            ).all(), (how, c)
+
+    match_keys = set(map(tuple, right[keys].itertuples(index=False)))
+    in_right = left.apply(
+        lambda row: (row["a"], row["b"]) in match_keys, axis=1
+    )
+    semi = hash_join(l, r, on=keys, how="semi").to_pandas()
+    anti = hash_join(l, r, on=keys, how="anti").to_pandas()
+    assert sorted(semi["lv"]) == sorted(left[in_right]["lv"])
+    assert sorted(anti["lv"]) == sorted(left[~in_right]["lv"])
+    assert list(semi.columns) == list(left.columns)
