@@ -1667,6 +1667,30 @@ def hopping_window_agg(events, ts_col: str = "ts",
                            partitions=combiner_partitions())
 
 
+AUTO_BROADCAST_BYTES = 256 << 20  # right side under this → broadcast
+
+
+def auto_join(left, right, on: str | list[str], how: str = "inner",
+              broadcast_bytes: int = AUTO_BROADCAST_BYTES):
+    """Size-based join strategy selection (the planner decision every
+    SQL engine makes): when the RIGHT side's estimated in-memory size
+    (file metadata × expansion — never executes the plan) fits under
+    ``broadcast_bytes``, it collects once, ships via ray.put and joins
+    per batch with ZERO shuffle; otherwise both sides co-partition
+    through :func:`hash_join`. Unknown size (lineage erased by
+    transforms) falls back to the safe hash path. Outputs are
+    identical either way — only the exchange plan differs.
+
+    Broadcast covers inner/left (a broadcast side cannot drive the
+    null-extension of its own unmatched rows); other modes always
+    co-partition."""
+    est = input_bytes_estimate(right)
+    if (est is not None and est <= broadcast_bytes
+            and how in ("inner", "left")):
+        return broadcast_join(left, right.to_pandas(), on=on, how=how)
+    return hash_join(left, right, on=on, how=how)
+
+
 def ratio_to_report(ds, keys: list[str], sum_cols: dict[str, str],
                     total_prefix: str = "total_"):
     """Percent-of-total (SQL ``sum(x) OVER ()`` next to ``GROUP BY``,

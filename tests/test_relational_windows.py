@@ -448,3 +448,37 @@ def test_hash_join_composite_key_all_modes(ray_session):
     assert sorted(semi["lv"]) == sorted(left[in_right]["lv"])
     assert sorted(anti["lv"]) == sorted(left[~in_right]["lv"])
     assert list(semi.columns) == list(left.columns)
+
+
+def test_auto_join_both_paths_identical(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from geotreehealth_ray.pipelines.relational import auto_join, hash_join
+
+    rng = np.random.default_rng(19)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 50, 400).astype(np.int64),
+        "lv": np.arange(400, dtype=np.int64),
+    })
+    right = pd.DataFrame({
+        "k": np.arange(60, dtype=np.int64),
+        "rv": rng.integers(0, 9, 60).astype(np.int64),
+    })
+    rpath = str(tmp_path / "right.parquet")
+    right.to_parquet(rpath)
+    l = rd.from_pandas(left).repartition(4)
+
+    # file-backed right side, tiny → broadcast path
+    bc = auto_join(l, rd.read_parquet(rpath), "k").to_pandas()
+    # forced hash path (threshold 0)
+    hj = auto_join(l, rd.read_parquet(rpath), "k",
+                   broadcast_bytes=0).to_pandas()
+    ref = hash_join(l, rd.read_parquet(rpath), "k").to_pandas()
+    for out in (bc, hj):
+        a = out.sort_values(["k", "lv"]).reset_index(drop=True)
+        b = ref.sort_values(["k", "lv"]).reset_index(drop=True)
+        assert len(a) == len(b)
+        for c in ("k", "lv", "rv"):
+            assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
