@@ -2071,6 +2071,23 @@ def _q_user_event_attach(sf_dir: str):
     return hash_join(ev, counts, on=["user_id", "event_type"])
 
 
+def _q_user_event_attach_salted(sf_dir: str):
+    """The same composite attach as user_event_attach, executed through
+    the skew-resistant salted join (relational.salted_join): hot user
+    keys auto-detected by the Misra-Gries pass split across 8 salts,
+    the counts side replicates per salt — output bit-identical to the
+    plain hash join, verified by the same SQL oracle."""
+    from geotreehealth_ray.pipelines.relational import (
+        grouped_agg,
+        salted_join,
+    )
+
+    ev = _read(sf_dir, "events").select_columns(["event_id", "user_id"])
+    counts = grouped_agg(ev, ["user_id"], {}, count_alias="n_events")
+    return salted_join(ev, counts, "user_id", salt_col="event_id",
+                       n_salt=8, phi=0.01)
+
+
 def _q_orders_diff(sf_dir: str):
     """Table-version diff (quality.table_diff): the base orders vs a
     synthetic next version (every 7th key dropped, every surviving 5th
@@ -2712,6 +2729,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "hourly_active_users": _q_hourly_active_users,
         "orders_diff": _q_orders_diff,
         "user_event_attach": _q_user_event_attach,
+        "user_event_attach_salted": _q_user_event_attach_salted,
         "orders_upsert": _q_orders_upsert,
     }
 
@@ -3754,6 +3772,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) OVER (
                      PARTITION BY user_id, event_type) AS BIGINT)
                      AS type_count
+            FROM events
+        """,
+        "user_event_attach_salted": """
+            SELECT event_id, user_id,
+                   CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+                     AS n_events
             FROM events
         """,
         "orders_diff": """

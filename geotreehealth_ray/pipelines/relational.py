@@ -1691,6 +1691,71 @@ def auto_join(left, right, on: str | list[str], how: str = "inner",
     return hash_join(left, right, on=on, how=how)
 
 
+def salted_join(left, right, on: str, salt_col: str, n_salt: int = 8,
+                phi: float = 0.01, how: str = "inner",
+                hot_keys: set | None = None):
+    """Skew-resistant hash join for hot keys (the relational twin of
+    assign.py's salted cells): a plain hash join sends EVERY row of a
+    hot key to one bucket — one straggler task owns the whole key.
+    Here the hot keys' left rows split across ``n_salt`` sub-keys
+    (salt = deterministic hash of ``salt_col``, so any parallelism
+    produces the same split) while the right side replicates its hot
+    rows once per salt; cold keys pay nothing. Output rows are
+    IDENTICAL to `hash_join` — each (left, right) pair still meets
+    exactly once, under key·S+salt.
+
+    ``hot_keys``: pass the known hot set, or leave None to auto-detect
+    with the Misra-Gries heavy-hitter pass (`sketch.heavy_hitters`,
+    exact, never a full groupby) at threshold ``phi``. int64 keys;
+    how ∈ inner | left (right's null-extension would need unsalted
+    ownership)."""
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left")
+    if hot_keys is None:
+        from .sketch import heavy_hitters
+
+        hot = heavy_hitters(left, on, phi).to_pandas()
+        # an all-cold input yields an empty result (and Ray drops the
+        # column metadata of an empty dataset) — no key salts
+        hot_keys = (
+            set(int(k) for k in hot["key"]) if "key" in hot.columns else set()
+        )
+    S = np.int64(n_salt)
+
+    def prep_left(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        k = df[on].to_numpy().astype(np.int64)
+        is_hot = df[on].isin(hot_keys).to_numpy()
+        salt = (
+            pd.util.hash_pandas_object(df[salt_col], index=False)
+            .to_numpy().astype(np.uint64) % np.uint64(n_salt)
+        ).astype(np.int64)
+        df["__sk"] = k * S + np.where(is_hot, salt, 0)
+        return df
+
+    def prep_right(df: pd.DataFrame) -> pd.DataFrame:
+        k = df[on].to_numpy().astype(np.int64)
+        is_hot = df[on].isin(hot_keys).to_numpy()
+        cold = df[~is_hot].copy()
+        cold["__sk"] = cold[on].to_numpy().astype(np.int64) * S
+        hot_df = df[is_hot]
+        reps = []
+        for s in range(n_salt):
+            r = hot_df.copy()
+            r["__sk"] = r[on].to_numpy().astype(np.int64) * S + np.int64(s)
+            reps.append(r)
+        return pd.concat([cold, *reps], ignore_index=True)
+
+    l = left.map_batches(prep_left, batch_format="pandas")
+    r = right.map_batches(prep_right, batch_format="pandas").map_batches(
+        lambda df: df.drop(columns=[on]), batch_format="pandas"
+    )
+    joined = hash_join(l, r, on="__sk", how=how)
+    return joined.map_batches(
+        lambda df: df.drop(columns="__sk"), batch_format="pandas"
+    )
+
+
 def ratio_to_report(ds, keys: list[str], sum_cols: dict[str, str],
                     total_prefix: str = "total_"):
     """Percent-of-total (SQL ``sum(x) OVER ()`` next to ``GROUP BY``,

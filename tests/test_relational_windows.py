@@ -482,3 +482,42 @@ def test_auto_join_both_paths_identical(ray_session, tmp_path):
         assert len(a) == len(b)
         for c in ("k", "lv", "rv"):
             assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
+
+
+def test_salted_join_matches_plain_hash_join(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from geotreehealth_ray.pipelines.relational import hash_join, salted_join
+
+    rng = np.random.default_rng(29)
+    # zipf-ish: key 7 owns ~40% of the left side
+    keys = np.r_[
+        np.full(800, 7, np.int64), rng.integers(0, 200, 1200),
+    ]
+    rng.shuffle(keys)
+    left = pd.DataFrame({
+        "k": keys, "lv": np.arange(len(keys), dtype=np.int64),
+    })
+    right = pd.DataFrame({
+        "k": np.arange(200, dtype=np.int64),
+        "rv": rng.integers(0, 9, 200).astype(np.int64),
+    })
+    l = rd.from_pandas(left).repartition(5)
+    r = rd.from_pandas(right).repartition(3)
+
+    for how in ("inner", "left"):
+        for hk in (None, {7}):
+            got = salted_join(
+                l, r, "k", salt_col="lv", n_salt=4, phi=0.05,
+                how=how, hot_keys=hk,
+            ).to_pandas()
+            want = hash_join(l, r, "k", how=how).to_pandas()
+            a = got.sort_values(["k", "lv"]).reset_index(drop=True)
+            b = want.sort_values(["k", "lv"]).reset_index(drop=True)
+            assert len(a) == len(b), (how, hk)
+            for c in ("k", "lv", "rv"):
+                assert (
+                    a[c].fillna(-1).to_numpy() == b[c].fillna(-1).to_numpy()
+                ).all(), (how, hk, c)
