@@ -428,12 +428,26 @@ def hash_join(left, right, on: str | list[str], how: str = "inner",
 
         return fn
 
+    # a fully-empty side can lose its schema entirely (Ray returns
+    # None); the join is still total — resolve it by semantics. The
+    # null-extended columns of the schema-less side are unknowable, so
+    # the surviving side passes through as-is (documented degradation).
+    lcols_raw, rcols_raw = left.columns(), right.columns()
+    if rcols_raw is None:
+        if how in ("inner", "semi"):
+            return left.limit(0)
+        return left  # left / anti / outer: every left row is unmatched
+    if lcols_raw is None:
+        if how == "outer":
+            return right
+        return left.limit(0)
+
     l = left.map_batches(tag(0), batch_format="pandas")
     r = right.map_batches(tag(1), batch_format="pandas")
 
     # align schemas for the union: collect column names lazily per batch
-    lcols = [c for c in left.columns()]
-    rcols = [c for c in right.columns()]
+    lcols = list(lcols_raw)
+    rcols = list(rcols_raw)
     all_cols = list(dict.fromkeys(lcols + [c for c in rcols]))
 
     def pad(df: pd.DataFrame) -> pd.DataFrame:

@@ -377,12 +377,14 @@ def heavy_hitters(ds, col: str, phi: float, key_alias: str = "key",
             ignore_index=True,
         ))
 
-    summ = pd.concat(
-        list(ds.select_columns([col]).map_batches(
-            partial, batch_format="pandas"
-        ).iter_batches(batch_size=None, batch_format="pandas")),
-        ignore_index=True,
-    )
+    summ_batches = list(ds.select_columns([col]).map_batches(
+        partial, batch_format="pandas"
+    ).iter_batches(batch_size=None, batch_format="pandas"))
+    if not summ_batches:  # fully-empty input yields no batches at all
+        return rd.from_pandas(pd.DataFrame(
+            {key_alias: pd.Series([], dtype=np.int64),
+             count_alias: pd.Series([], dtype=np.int64)}))
+    summ = pd.concat(summ_batches, ignore_index=True)
     n_total = int(summ["nrows"].sum())
     est = summ[summ["nrows"] == 0].groupby("key", sort=False)["cnt"].sum()
     if n_total == 0:
@@ -468,6 +470,14 @@ def equidepth_histogram(ds, id_col: str, val_col: str, bins: int = 64,
         scaled.map_batches(add_rank, batch_format="pandas"),
         "__h", id_col, bins, descending=False,
     ).to_pandas()
+    if samp.empty:  # empty input: no boundaries, empty histogram
+        import ray.data as rd
+
+        return rd.from_pandas(pd.DataFrame({
+            "bin": pd.Series([], dtype=np.int64),
+            "boundary_c": pd.Series([], dtype=np.int64),
+            "cum_count": pd.Series([], dtype=np.int64),
+        }))
     bounds = np.sort(samp["__v"].to_numpy())
     m = len(bounds)
 

@@ -1,0 +1,111 @@
+"""Edge-shape robustness: every core relational op on EMPTY and
+single-row inputs — the shapes a sparse filter hands every operator in
+production (two real empty-input crashes were found this way:
+heavy_hitters' empty-candidate concat and salted_join's empty
+hot-set)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _empty():
+    import ray.data as rd
+
+    return rd.from_pandas(pd.DataFrame({
+        "k": pd.Series([], dtype=np.int64),
+        "v": pd.Series([], dtype=np.int64),
+        "id": pd.Series([], dtype=np.int64),
+    }))
+
+
+def _one():
+    import ray.data as rd
+
+    return rd.from_pandas(pd.DataFrame({
+        "k": [3], "v": [7], "id": [1],
+    }))
+
+
+def test_grouped_aggs_on_edge_shapes(ray_session):
+    from geotreehealth_ray.pipelines.relational import (
+        distinct_count,
+        grouped_agg,
+        grouped_median,
+        grouped_quantile,
+        grouped_quantile_cont,
+    )
+
+    for mk, n in ((_empty, 0), (_one, 1)):
+        assert len(grouped_agg(mk(), ["k"], {"s": "v"}).to_pandas()) == n
+        assert len(grouped_median(mk(), "k", "v").to_pandas()) == n
+        assert len(grouped_quantile(mk(), "k", "v", 1, 2).to_pandas()) == n
+        assert len(
+            grouped_quantile_cont(mk(), "k", "v", 1, 2).to_pandas()
+        ) == n
+        assert len(distinct_count(mk(), "k", "v").to_pandas()) == n
+
+
+def test_joins_on_edge_shapes(ray_session):
+    from geotreehealth_ray.pipelines.relational import hash_join
+
+    for how in ("inner", "left", "outer", "semi", "anti"):
+        out = hash_join(_empty(), _one(), on="k", how=how).to_pandas()
+        expect = 1 if how == "outer" else 0
+        assert len(out) == expect, how
+        out = hash_join(_one(), _empty(), on="k", how=how).to_pandas()
+        expect = 0 if how in ("inner", "semi") else 1
+        assert len(out) == expect, how
+        out = hash_join(_empty(), _empty(), on="k", how=how).to_pandas()
+        assert len(out) == 0, how
+
+
+def test_windows_and_topk_on_edge_shapes(ray_session):
+    from geotreehealth_ray.pipelines.relational import (
+        global_topk,
+        group_ranks,
+        topk_per_group,
+    )
+
+    assert len(global_topk(_empty(), "v", "id", 5).to_pandas()) == 0
+    assert len(global_topk(_one(), "v", "id", 5).to_pandas()) == 1
+    assert len(topk_per_group(_empty(), "k", "v", "id", 3).to_pandas()) == 0
+    assert len(topk_per_group(_one(), "k", "v", "id", 3).to_pandas()) == 1
+    assert len(group_ranks(_empty(), "k", "v", ["id"]).to_pandas()) == 0
+    assert len(group_ranks(_one(), "k", "v", ["id"]).to_pandas()) == 1
+
+
+def test_sketches_on_edge_shapes(ray_session):
+    from geotreehealth_ray.pipelines.sketch import (
+        bloom_words,
+        cms_cells,
+        equidepth_histogram,
+        heavy_hitters,
+        hll_registers,
+        hll_registers_by_key,
+    )
+
+    assert len(heavy_hitters(_empty(), "v", 0.1).to_pandas()) == 0
+    assert len(hll_registers(_empty(), "v").to_pandas()) == 0
+    assert len(hll_registers(_one(), "v").to_pandas()) == 1
+    assert len(hll_registers_by_key(_empty(), "k", "v").to_pandas()) == 0
+    assert len(hll_registers_by_key(_one(), "k", "v").to_pandas()) == 1
+    assert len(bloom_words(_empty(), "v").to_pandas()) == 0
+    assert len(cms_cells(_empty(), "v").to_pandas()) == 0
+    assert len(equidepth_histogram(_empty(), "id", "v").to_pandas()) == 0
+    one = equidepth_histogram(_one(), "id", "v").to_pandas()
+    assert len(one) == 1 and int(one["cum_count"].iloc[0]) == 1
+
+
+def test_dedup_and_setops_on_edge_shapes(ray_session):
+    from geotreehealth_ray.pipelines.relational import set_op, set_op_all
+
+    for op in ("intersect", "except_", "union"):
+        kw = {"op": op.rstrip("_")}
+        out = set_op(_empty(), _one(), **kw).to_pandas()
+        if op == "union":
+            assert len(out) == 1
+        else:
+            assert len(out) == 0 if op == "intersect" else len(out) == 0
+    assert len(set_op_all(_one(), _empty(), op="except_all").to_pandas()) == 1
+    assert len(set_op_all(_empty(), _one(), op="intersect_all").to_pandas()) == 0
