@@ -151,6 +151,10 @@ def _hot_cells(stems, res: int):
     if frac < 1.0:
         sample = sample.random_sample(frac, seed=0)
     df = sample.to_pandas()
+    if df.empty:  # empty input (may arrive schema-less): no hot cells
+        return ray.put(
+            (np.array([], np.uint64), np.array([], np.int64))
+        ), 0.0
     key = cells.cell_of(df["x"].to_numpy(), df["y"].to_numpy(), res)
     uniq, cnt = np.unique(key, return_counts=True)
     est = cnt / frac

@@ -109,3 +109,80 @@ def test_dedup_and_setops_on_edge_shapes(ray_session):
             assert len(out) == 0 if op == "intersect" else len(out) == 0
     assert len(set_op_all(_one(), _empty(), op="except_all").to_pandas()) == 1
     assert len(set_op_all(_empty(), _one(), op="intersect_all").to_pandas()) == 0
+
+
+def _empty_docs():
+    import ray.data as rd
+
+    return rd.from_pandas(pd.DataFrame({
+        "doc_id": pd.Series([], dtype=np.int64),
+        "text": pd.Series([], dtype=str),
+    }))
+
+
+def _one_doc():
+    import ray.data as rd
+
+    return rd.from_pandas(pd.DataFrame({
+        "doc_id": [1], "text": ["alpha beta gamma delta"],
+    }))
+
+
+def test_text_ops_on_edge_shapes(ray_session):
+    from geotreehealth_ray.pipelines.text import (
+        chunk_documents,
+        duplicate_ngrams,
+        fingerprints,
+        normalize_text,
+        term_stats,
+        token_counts,
+    )
+
+    for mk, n in ((_empty_docs, 0), (_one_doc, 1)):
+        assert len(token_counts(mk()).to_pandas()) == n
+        assert len(fingerprints(mk()).to_pandas()) == n
+        assert len(normalize_text(mk()).to_pandas()) == n
+        assert len(chunk_documents(mk(), size=3, stride=2).to_pandas()) \
+            == (0 if n == 0 else 2)
+        assert len(term_stats(mk(), min_df=1).to_pandas()) \
+            == (0 if n == 0 else 4)
+        assert len(duplicate_ngrams(mk(), n=2).to_pandas()) == 0
+
+
+def test_dedup_ops_on_edge_shapes(ray_session):
+    from geotreehealth_ray.pipelines.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+
+    for mk, n in ((_empty_docs, 0), (_one_doc, 1)):
+        assert len(exact_dedup(mk()).to_pandas()) == n
+        assert len(minhash_lsh_pairs(mk()).to_pandas()) == 0
+        assert len(simhash_pairs(mk()).to_pandas()) == 0
+        assert len(ngram_jaccard_pairs(mk()).to_pandas()) == 0
+
+
+def test_spatial_ops_on_edge_shapes(ray_session):
+    import ray.data as rd
+
+    from geotreehealth_ray.pipelines.assign import assign_stems_to_crowns
+    from geotreehealth_ray.pipelines.knn import knn_points
+
+    stems = rd.from_pandas(pd.DataFrame({
+        "stem_id": pd.Series([], dtype=str),
+        "x": pd.Series([], dtype=np.float64),
+        "y": pd.Series([], dtype=np.float64),
+    }))
+    crowns = rd.from_pandas(pd.DataFrame({
+        "crown_id": pd.Series([], dtype=str),
+        "minx": pd.Series([], dtype=np.float64),
+        "miny": pd.Series([], dtype=np.float64),
+        "maxx": pd.Series([], dtype=np.float64),
+        "maxy": pd.Series([], dtype=np.float64),
+        "ring": pd.Series([], dtype=object),
+    }))
+    assigned, unassigned = assign_stems_to_crowns(stems, crowns)
+    assert assigned.count() == 0 and unassigned.count() == 0
+    assert knn_points(stems, k=2).count() == 0
