@@ -2251,6 +2251,33 @@ def _q_synth_pyramid(sf_dir: str):
     return pyr.map_batches(stats, batch_format="pyarrow")
 
 
+def _q_synth_stitch(sf_dir: str):
+    """Tiler → mosaic roundtrip over the north-rule image table:
+    split_images subtiles each image, stitch_tiles re-assembles them
+    (one image_id co-location), and a slim projection reports the
+    reconstructed dimensions (golden test asserts pixel-exact
+    equality; here the driver sees deterministic shape rows)."""
+    import pyarrow as pa
+
+    from geotreehealth_ray.stages.raster import split_images, stitch_tiles
+
+    p = _synth_paths()
+    tiles = split_images(
+        _rd().read_parquet(p["images"]), tile_px=128, overlap_px=16
+    )
+    whole = stitch_tiles(tiles)
+
+    def slim(df):
+        return pd.DataFrame({
+            "image_id": df["image_id"],
+            "w": df["w"].astype("int64"),
+            "h": df["h"].astype("int64"),
+            "n_bytes": df["bytes"].map(len).astype("int64"),
+        })
+
+    return whole.map_batches(slim, batch_format="pandas")
+
+
 def _q_synth_thumbnails(sf_dir: str):
     """Thumbnail pipeline over the north-rule image table: actor-pool
     decode → bilinear resize to 32×32 → re-encode in the source fmt,
@@ -2723,6 +2750,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "synth_image_stats": _q_synth_image_stats,
         "synth_thumbnails": _q_synth_thumbnails,
         "synth_pyramid": _q_synth_pyramid,
+        "synth_stitch": _q_synth_stitch,
         "lineitem_audit": _q_lineitem_audit,
         "hll_parts_by_flag": _q_hll_parts_by_flag,
         "doc_chunks": _q_doc_chunks,

@@ -194,7 +194,8 @@ def run_queries(sf_dir: str) -> dict:
              "doc_exact_dedup", "minhash_pairs", "jaccard_pairs",
              "phash_pairs", "ann_topk", "running_total", "label_centroids",
              "lineitem_ranks", "cust_semi_bloom", "q5_region_volume",
-             "doc_decontam", "supp_heavy_hitters"]
+             "doc_decontam", "supp_heavy_hitters", "part_pairs",
+             "hll_parts_by_flag", "user_event_attach_salted"]
     out = {}
     for name in picks:
         t0 = time.perf_counter()
