@@ -2223,6 +2223,22 @@ def _q_orders_upsert(sf_dir: str):
     return upsert_latest(base, updates, "o_orderkey", "version")
 
 
+def _q_cell_hulls(sf_dir: str):
+    """Per-cell convex-hull footprints over the derived stem points
+    (pipelines/knn.py cell_hulls + functions/geom.py convex_hull —
+    monotone chain, canonical CCW): one slim row per Morton cell with
+    exact integer-scaled shoelace area. Deterministic at any
+    parallelism; validated by a single-process equality golden."""
+    from geotreehealth_ray.pipelines.derive import derive_points
+    from geotreehealth_ray.pipelines.knn import cell_hulls
+
+    pts = derive_points(_read(sf_dir, "orders"))
+    return cell_hulls(pts, res=12).map_batches(
+        lambda df: df.assign(cell=df["cell"].astype("int64")),
+        batch_format="pandas",
+    )
+
+
 def _q_synth_pyramid(sf_dir: str):
     """Multi-resolution tile pyramid over the north-rule image table
     (stages/raster.py PyramidBuilder): 3 box-mean overview levels per
@@ -2751,6 +2767,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "synth_thumbnails": _q_synth_thumbnails,
         "synth_pyramid": _q_synth_pyramid,
         "synth_stitch": _q_synth_stitch,
+        "cell_hulls": _q_cell_hulls,
         "lineitem_audit": _q_lineitem_audit,
         "hll_parts_by_flag": _q_hll_parts_by_flag,
         "doc_chunks": _q_doc_chunks,

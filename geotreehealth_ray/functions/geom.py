@@ -19,6 +19,7 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = [
+    "convex_hull",
     "ring_area",
     "ring_centroid",
     "ring_bbox",
@@ -507,3 +508,40 @@ def make_star_ring(
     ang = np.linspace(0, 2 * np.pi, n_vertices, endpoint=False)
     radii = mean_radius * (1.0 + jitter * (rng.random(n_vertices) * 2 - 1))
     return np.column_stack([cx + radii * np.cos(ang), cy + radii * np.sin(ang)])
+
+
+def convex_hull(xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+    """Convex hull via Andrew's monotone chain, O(n log n): returns
+    the INDICES of hull vertices in counter-clockwise order starting
+    at the lexicographically smallest point. Strict turns — collinear
+    points interior to an edge are excluded — so the vertex set is
+    canonical and deterministic for any input order. (The reference
+    leans on shapely for every hull-adjacent need; this is the
+    from-scratch equivalent for per-group footprints.)"""
+    n = len(xs)
+    if n == 0:
+        return np.array([], np.int64)
+    order = np.lexsort((ys, xs))
+    if n <= 2:
+        return order.astype(np.int64)
+    x, y = xs[order], ys[order]
+
+    def chain(idx_range):
+        out = []
+        for i in idx_range:
+            while len(out) >= 2:
+                ax, ay = x[out[-2]], y[out[-2]]
+                bx, by = x[out[-1]], y[out[-1]]
+                if (bx - ax) * (y[i] - ay) - (by - ay) * (x[i] - ax) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append(i)
+        return out
+
+    lower = chain(range(n))
+    upper = chain(range(n - 1, -1, -1))
+    hull_sorted = lower[:-1] + upper[:-1]
+    if len(hull_sorted) == 0:  # all points coincide
+        hull_sorted = [0]
+    return order[np.array(hull_sorted, np.int64)]

@@ -27,10 +27,10 @@ import pyarrow as pa
 
 from .relational import sorted_group_map
 
-from ..functions import cells
+from ..functions import cells, geom
 from ..stages.spatial import scramble_cell
 
-__all__ = ["knn_points", "knn_cardinal", "radius_pairs"]
+__all__ = ["knn_points", "knn_cardinal", "radius_pairs", "cell_hulls"]
 
 
 def _halo_explode(batch: pa.Table, res: int, halo_m: float | None = None) -> pa.Table:
@@ -322,3 +322,51 @@ def radius_pairs(points, radius: float, res: int = cells.DEFAULT_RES,
         exploded.map_batches(scramble_cell, batch_format="pyarrow"),
         ["cell"], _radius_cell, fn_kwargs={"radius": radius},
     )
+
+
+def cell_hulls(points, res: int = cells.DEFAULT_RES,
+               x_col: str = "x", y_col: str = "y"):
+    """Per-cell convex-hull footprints (the grouped spatial aggregate a
+    plot-summary layer serves): points co-locate once by Morton cell,
+    each group runs the monotone-chain kernel, and the output is one
+    slim row per cell — (cell, n_points, n_vertices, hull_area_c4
+    int ×1e4, canonical CCW vertex count) — exact shoelace area on the
+    canonical hull so rows are bit-identical at any parallelism."""
+    from .relational import bucketed_reduce
+
+    def add_cell(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["cell"] = cells.cell_of(
+            df[x_col].to_numpy(), df[y_col].to_numpy(), res
+        ).astype(np.uint64)
+        return df
+
+    pts = points.select_columns([x_col, y_col]).map_batches(
+        add_cell, batch_format="pandas"
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"cell": [], "n_points": [], "n_vertices": [],
+                "hull_area_c4": []}
+        for cell, g in df.groupby("cell", sort=False):
+            xs = g[x_col].to_numpy()
+            ys = g[y_col].to_numpy()
+            h = geom.convex_hull(xs, ys)
+            hx, hy = xs[h], ys[h]
+            area2 = float(
+                np.dot(hx, np.roll(hy, -1)) - np.dot(hy, np.roll(hx, -1))
+            )
+            rows["cell"].append(np.uint64(cell))
+            rows["n_points"].append(len(g))
+            rows["n_vertices"].append(len(h))
+            rows["hull_area_c4"].append(
+                np.int64(np.floor(abs(area2) / 2.0 * 10000 + 0.5))
+            )
+        return pd.DataFrame({
+            "cell": np.array(rows["cell"], np.uint64),
+            "n_points": np.array(rows["n_points"], np.int64),
+            "n_vertices": np.array(rows["n_vertices"], np.int64),
+            "hull_area_c4": np.array(rows["hull_area_c4"], np.int64),
+        })
+
+    return bucketed_reduce(pts, "cell", per_bucket)

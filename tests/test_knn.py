@@ -130,3 +130,71 @@ def test_radius_pairs_bruteforce(ray_session):
     }
     assert got_pairs == want
     assert len(got) == len(got_pairs)  # no halo duplicates
+
+
+def test_convex_hull_kernel_invariants(ray_session):
+    import numpy as np
+
+    from geotreehealth_ray.functions import geom
+
+    rng = np.random.default_rng(47)
+    for n in (1, 2, 3, 10, 200):
+        xs = rng.uniform(0, 100, n)
+        ys = rng.uniform(0, 100, n)
+        h = geom.convex_hull(xs, ys)
+        assert 1 <= len(h) <= n
+        if n >= 3 and len(h) >= 3:
+            hx, hy = xs[h], ys[h]
+            # CCW orientation: positive signed area
+            area2 = np.dot(hx, np.roll(hy, -1)) - np.dot(hy, np.roll(hx, -1))
+            assert area2 > 0
+            # every point inside or on the hull: all cross products >= 0
+            for i in range(len(h)):
+                ax, ay = hx[i], hy[i]
+                bx, by = hx[(i + 1) % len(h)], hy[(i + 1) % len(h)]
+                cross = (bx - ax) * (ys - ay) - (by - ay) * (xs - ax)
+                assert (cross >= -1e-9).all()
+    # input-order invariance (canonical vertex cycle)
+    xs = rng.uniform(0, 10, 50); ys = rng.uniform(0, 10, 50)
+    h1 = geom.convex_hull(xs, ys)
+    perm = rng.permutation(50)
+    h2 = geom.convex_hull(xs[perm], ys[perm])
+    assert set(map(tuple, zip(xs[h1], ys[h1]))) == \
+        set(map(tuple, zip(xs[perm][h2], ys[perm][h2])))
+
+
+def test_cell_hulls_matches_single_process(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from geotreehealth_ray.functions import cells, geom
+    from geotreehealth_ray.pipelines.knn import cell_hulls
+
+    rng = np.random.default_rng(53)
+    df = pd.DataFrame({
+        "x": rng.uniform(0, 1000, 3000),
+        "y": rng.uniform(0, 1000, 3000),
+    })
+    res = 10
+    out = cell_hulls(
+        rd.from_pandas(df).repartition(6), res=res
+    ).to_pandas().sort_values("cell").reset_index(drop=True)
+
+    key = cells.cell_of(df["x"].to_numpy(), df["y"].to_numpy(), res)
+    want_rows = []
+    for c in np.unique(key):
+        m = key == c
+        xs, ys = df["x"].to_numpy()[m], df["y"].to_numpy()[m]
+        h = geom.convex_hull(xs, ys)
+        hx, hy = xs[h], ys[h]
+        a2 = abs(np.dot(hx, np.roll(hy, -1)) - np.dot(hy, np.roll(hx, -1)))
+        want_rows.append((c, int(m.sum()), len(h),
+                          int(np.floor(a2 / 2 * 10000 + 0.5))))
+    want = pd.DataFrame(want_rows, columns=["cell", "n_points",
+                                            "n_vertices", "hull_area_c4"])
+    want = want.sort_values("cell").reset_index(drop=True)
+    assert len(out) == len(want)
+    for c in want.columns:
+        assert (out[c].to_numpy().astype(np.int64)
+                == want[c].to_numpy().astype(np.int64)).all(), c
