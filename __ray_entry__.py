@@ -2239,6 +2239,117 @@ def _q_cell_hulls(sf_dir: str):
     )
 
 
+def _q_synth_delineation(sf_dir: str):
+    """Entry point §3.1 as a driver query: the full delineation
+    composition (filter → kNN prompts → NMS selected flag → crown↔stem
+    attribute join) over the deterministic synthetic tables
+    (pipelines/flagship.py delineation_pipeline). Slim projection —
+    rings stay in the pipeline."""
+    p = _synth_paths()
+
+    from geotreehealth_ray.pipelines.flagship import delineation_pipeline
+
+    stems = _rd().read_parquet(p["stems"])
+    crowns = _rd().read_parquet(
+        p["crowns"],
+        columns=["crown_id", "stem_id", "ring", "score", "area",
+                 "cx", "cy", "minx", "miny", "maxx", "maxy"],
+    )
+    out, _ = delineation_pipeline(stems, crowns)
+    return out.map_batches(
+        lambda df: df[["crown_id", "stem_id", "selected", "species"]],
+        batch_format="pandas",
+    )
+
+
+def _q_synth_health_dataset(sf_dir: str):
+    """Entry point §3.3 as a driver query: chip dataset build (area/
+    selected filters → storage-join chip extraction → label rows →
+    deterministic stratified split) — flagship.health_dataset_pipeline.
+    Chip bytes dropped in the projection (never shuffle)."""
+    p = _synth_paths()
+
+    from geotreehealth_ray.pipelines.chips import GridSpec
+    from geotreehealth_ray.pipelines.flagship import health_dataset_pipeline
+    from geotreehealth_ray.sources import synth
+
+    crowns = _rd().read_parquet(p["crowns"])
+    images = _rd().read_parquet(p["images"])
+    out, _ = health_dataset_pipeline(
+        crowns, p["tiles"], images, GridSpec.from_synth(synth.TINY)
+    )
+    return out.map_batches(
+        lambda df: df[["crown_id", "split", "mask_px_count"]],
+        batch_format="pandas",
+    )
+
+
+def _q_synth_alignment(sf_dir: str):
+    """Entry point §3.4 as a driver query: field→reference coordinate
+    alignment (control-point match, driver-side model fit, broadcast
+    apply) — flagship.alignment_pipeline over a deterministic shifted
+    copy of the synthetic stems."""
+    p = _synth_paths()
+
+    from geotreehealth_ray.pipelines.flagship import alignment_pipeline
+
+    ref = _rd().read_parquet(p["stems"])
+    field = ref.map_batches(
+        lambda df: df.assign(x=df["x"] + 1.5, y=df["y"] - 0.75),
+        batch_format="pandas",
+    )
+    out, _ = alignment_pipeline(field, ref)
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "stem_id": df["stem_id"],
+            "x_c3": np.floor(df["x"].to_numpy() * 1000 + 0.5).astype("int64"),
+            "y_c3": np.floor(df["y"].to_numpy() * 1000 + 0.5).astype("int64"),
+        }),
+        batch_format="pandas",
+    )
+
+
+def _q_synth_pansharpen(sf_dir: str):
+    """LAB pansharpening as a distributed stage (stages/raster.py
+    pansharpen — from-scratch LAB conversion): per image, a
+    deterministic low-res RGB (2× box mean) is fused with the
+    full-res gray pan; output slim per-image stats of the sharpened
+    pixels."""
+    import pyarrow as pa
+
+    from geotreehealth_ray.functions import codec
+    from geotreehealth_ray.stages.raster import pansharpen
+
+    p = _synth_paths()
+
+    def fuse(t: pa.Table) -> pa.Table:
+        ids, sums, h_out, w_out = [], [], [], []
+        for i in range(len(t)):
+            img = codec.decode(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+            if img.ndim == 2:
+                img = np.repeat(img[:, :, None], 3, axis=2)
+            h2, w2 = img.shape[0] // 2 * 2, img.shape[1] // 2 * 2
+            c = img[:h2, :w2].astype(np.uint32)
+            low = ((c[0::2, 0::2] + c[0::2, 1::2] + c[1::2, 0::2]
+                    + c[1::2, 1::2] + 2) // 4).astype(np.uint8)
+            pan = img[:h2, :w2].mean(axis=2)
+            sharp = pansharpen(low, pan)
+            ids.append(t["image_id"][i].as_py())
+            sums.append(int(sharp.astype(np.int64).sum()))
+            h_out.append(sharp.shape[0])
+            w_out.append(sharp.shape[1])
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "px_sum": pa.array(np.array(sums, np.int64)),
+            "h": pa.array(np.array(h_out, np.int64)),
+            "w": pa.array(np.array(w_out, np.int64)),
+        })
+
+    return _rd().read_parquet(p["images"]).map_batches(
+        fuse, batch_format="pyarrow", batch_size=16
+    )
+
+
 def _q_synth_pyramid(sf_dir: str):
     """Multi-resolution tile pyramid over the north-rule image table
     (stages/raster.py PyramidBuilder): 3 box-mean overview levels per
@@ -2768,6 +2879,10 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "synth_pyramid": _q_synth_pyramid,
         "synth_stitch": _q_synth_stitch,
         "cell_hulls": _q_cell_hulls,
+        "synth_delineation": _q_synth_delineation,
+        "synth_health_dataset": _q_synth_health_dataset,
+        "synth_alignment": _q_synth_alignment,
+        "synth_pansharpen": _q_synth_pansharpen,
         "lineitem_audit": _q_lineitem_audit,
         "hll_parts_by_flag": _q_hll_parts_by_flag,
         "doc_chunks": _q_doc_chunks,
