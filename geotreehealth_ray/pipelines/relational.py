@@ -841,6 +841,17 @@ def rollup_sum(ds, keys: list[str], val_col: str, scale: int = 100,
     # each subtotal level run once, not once per consumer branch
     finest = bucketed_reduce(partials, keys[0], reducer(keys),
                              partitions=combiner_partitions()).materialize()
+    if finest.count() == 0:
+        # SQL grouping sets on an EMPTY input still emit the () set:
+        # one grand-total row (keys NULL, sum NULL, n 0) — DuckDB
+        # semantics
+        import ray.data as rd
+
+        return rd.from_pandas(pd.DataFrame({
+            **{k: [None] for k in keys},
+            sum_alias: [np.nan],
+            count_alias: [0],
+        }))
     levels = [finest.map_batches(widen(keys), batch_format="pandas")]
     prev = finest
     for i in range(len(keys) - 1, 0, -1):
@@ -929,6 +940,17 @@ def cube_sum(ds, keys: list[str], val_col: str, scale: int = 100,
     # data pass runs once instead of once per branch
     finest = bucketed_reduce(partials, keys[0], reducer(keys),
                              partitions=combiner_partitions()).materialize()
+    if finest.count() == 0:
+        # SQL grouping sets on an EMPTY input still emit the () set:
+        # one grand-total row (keys NULL, sum NULL, n 0) — DuckDB
+        # semantics
+        import ray.data as rd
+
+        return rd.from_pandas(pd.DataFrame({
+            **{k: [None] for k in keys},
+            sum_alias: [np.nan],
+            count_alias: [0],
+        }))
     levels = [finest.map_batches(widen(keys), batch_format="pandas")]
     for r in range(len(keys) - 1, 0, -1):
         for cols in combinations(keys, r):
@@ -1012,6 +1034,22 @@ def grouping_sets_sum(ds, sets: list[list[str]], val_col: str,
 
     finest = bucketed_reduce(partials, keys[0], reducer(keys),
                              partitions=combiner_partitions()).materialize()
+    if finest.count() == 0:
+        # SQL semantics on an EMPTY input: only the () grouping set
+        # emits a row (grand total, keys NULL, sum NULL, n 0); without
+        # it the result is empty — DuckDB-verified
+        import ray.data as rd
+
+        if not any(len(s) == 0 for s in sets):
+            return rd.from_pandas(pd.DataFrame(
+                {**{k: pd.Series([], dtype=object) for k in keys},
+                 sum_alias: pd.Series([], dtype=np.float64),
+                 count_alias: pd.Series([], dtype=np.int64)}))
+        return rd.from_pandas(pd.DataFrame({
+            **{k: [None] for k in keys},
+            sum_alias: [np.nan],
+            count_alias: [0],
+        }))
     import ray.data as rd
 
     levels = []

@@ -186,3 +186,66 @@ def test_spatial_ops_on_edge_shapes(ray_session):
     assigned, unassigned = assign_stems_to_crowns(stems, crowns)
     assert assigned.count() == 0 and unassigned.count() == 0
     assert knn_points(stems, k=2).count() == 0
+
+
+def _events(n):
+    import ray.data as rd
+
+    return rd.from_pandas(pd.DataFrame({
+        "event_id": pd.Series(range(n), dtype=np.int64),
+        "user_id": pd.Series([1] * n, dtype=np.int64),
+        "ts": pd.Series(
+            pd.to_datetime(np.arange(n) * 10**9 + 1_700_000_000 * 10**9)),
+        "event_type": pd.Series(["view"] * n, dtype=str),
+        "value": pd.Series([1.0] * n, dtype=np.float64),
+    }).head(n))
+
+
+def test_window_ops_on_edge_shapes(ray_session):
+    from geotreehealth_ray.pipelines.relational import (
+        asof_join,
+        hopping_window_agg,
+        hourly_window_agg,
+        lag_delta,
+        sessionize,
+    )
+
+    for n in (0, 1):
+        assert len(hourly_window_agg(_events(n)).to_pandas()) == n
+        assert len(hopping_window_agg(_events(n)).to_pandas()) == \
+            (0 if n == 0 else 4)
+        assert len(sessionize(_events(n)).to_pandas()) == n
+        assert len(lag_delta(_events(n)).to_pandas()) == 0
+        assert len(
+            asof_join(_events(n), _events(n)).to_pandas()
+        ) in (0, n)
+
+
+def test_rollup_pivot_on_edge_shapes(ray_session):
+    import ray.data as rd
+
+    from geotreehealth_ray.pipelines.relational import (
+        pivot_counts,
+        rollup_sum,
+        unpivot,
+    )
+
+    df = pd.DataFrame({
+        "a": pd.Series([], dtype=str),
+        "b": pd.Series([], dtype=str),
+        "v": pd.Series([], dtype=np.float64),
+    })
+    empty = rd.from_pandas(df)
+    # SQL ROLLUP on an empty table still emits the () grouping set:
+    # one grand-total row (NULL, NULL, NULL, 0) — DuckDB-verified
+    r = rollup_sum(empty, ["a", "b"], "v").to_pandas()
+    assert len(r) == 1 and int(r["n"].iloc[0]) == 0
+    assert len(
+        pivot_counts(empty, "a", "b", ["x", "y"]).to_pandas()
+    ) == 0
+    one = rd.from_pandas(pd.DataFrame({
+        "a": ["p"], "b": ["x"], "v": [2.0],
+    }))
+    # rollup of one row: finest + per-a + grand total
+    assert len(rollup_sum(one, ["a", "b"], "v").to_pandas()) == 3
+    assert len(unpivot(one, ["a"], ["v"]).to_pandas()) == 1
