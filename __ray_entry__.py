@@ -259,16 +259,30 @@ def _q_top_orders(sf_dir: str):
 
 
 def _q_revenue_by_nation(sf_dir: str):
-    from geotreehealth_ray.pipelines.relational import broadcast_join, grouped_agg
+    """Per-nation lineitem revenue with NO driver-side fact
+    materialization: lineitem pre-aggregates per orderkey (combiner),
+    co-partitions with orders on orderkey (both SF-linear — always a
+    hash join), the orders-sized result re-aggregates per custkey and
+    attaches customer through the size-gated auto_join (broadcast at
+    test scale, co-partition at 100 TB); only the 25-row nation dim
+    is ever collected."""
+    from geotreehealth_ray.pipelines.relational import (
+        auto_join,
+        broadcast_join,
+        grouped_agg,
+        hash_join,
+        input_bytes_estimate,
+    )
 
-    # dimension sides are small → broadcast once (ray_guide joins);
-    # the lineitem fact side streams.
-    orders = _read(sf_dir, "orders").select_columns(["o_orderkey", "o_custkey"]).to_pandas()
-    cust = _read(sf_dir, "customer").select_columns(["c_custkey", "c_nationkey"]).to_pandas()
-    nation = _read(sf_dir, "nation").select_columns(["n_nationkey", "n_name"]).to_pandas()
-    dim = orders.merge(cust, left_on="o_custkey", right_on="c_custkey").merge(
-        nation, left_on="c_nationkey", right_on="n_nationkey"
-    )[["o_orderkey", "n_name"]]
+    nation = _read(sf_dir, "nation").select_columns(
+        ["n_nationkey", "n_name"]
+    ).to_pandas().rename(columns={"n_nationkey": "c_nationkey"})
+    cust_raw = _read(sf_dir, "customer")
+    cust_bytes = input_bytes_estimate(cust_raw)
+    cust = cust_raw.select_columns(["c_custkey", "c_nationkey"]).map_batches(
+        lambda df: df.rename(columns={"c_custkey": "o_custkey"}),
+        batch_format="pandas",
+    )
 
     def prep(t: pa.Table) -> pa.Table:
         disc = t["l_extendedprice"].to_numpy() * (1.0 - t["l_discount"].to_numpy())
@@ -282,8 +296,15 @@ def _q_revenue_by_nation(sf_dir: str):
     li = _read(sf_dir, "lineitem").select_columns(
         ["l_orderkey", "l_extendedprice", "l_discount"]
     ).map_batches(prep, batch_format="pyarrow")
-    joined = broadcast_join(li, dim, on="o_orderkey")
-    out = grouped_agg(joined, ["n_name"], {"disc_c4": "disc_c4"})
+    per_order = grouped_agg(li, ["o_orderkey"], {"disc_c4": "disc_c4"})
+    orders = _read(sf_dir, "orders").select_columns(["o_orderkey", "o_custkey"])
+    joined = hash_join(per_order, orders, on="o_orderkey")
+    per_cust = grouped_agg(joined, ["o_custkey"], {"disc_c4": "disc_c4"})
+    with_nat = broadcast_join(
+        auto_join(per_cust, cust, on="o_custkey", right_bytes=cust_bytes),
+        nation, on="c_nationkey",
+    )
+    out = grouped_agg(with_nat, ["n_name"], {"disc_c4": "disc_c4"})
     return out.map_batches(
         lambda df: pd.DataFrame(
             {"n_name": df["n_name"], "revenue": df["disc_c4"] / 10000.0}
@@ -658,16 +679,25 @@ def _q_nation_rev_share(sf_dir: str):
         ratio_to_report,
     )
 
-    nat = _read(sf_dir, "nation").to_pandas()[["n_nationkey", "n_name"]]
-    cust = (
-        _read(sf_dir, "customer").to_pandas()[["c_custkey", "c_nationkey"]]
-        .rename(columns={"c_custkey": "o_custkey"})
+    from geotreehealth_ray.pipelines.relational import (
+        auto_join,
+        input_bytes_estimate,
     )
-    nat_of_cust = cust.merge(
-        nat, left_on="c_nationkey", right_on="n_nationkey"
-    )[["o_custkey", "n_name"]]
 
-    orders = broadcast_join(
+    nat = _read(sf_dir, "nation").to_pandas()[["n_nationkey", "n_name"]]
+    cust_raw = _read(sf_dir, "customer")
+    cust_bytes = input_bytes_estimate(cust_raw)
+    # customer is SF-linear: stays a Dataset (nation — 25 rows — is
+    # the only collected dim), attached through the size-gated join
+    nat_of_cust = broadcast_join(
+        cust_raw.select_columns(["c_custkey", "c_nationkey"]).map_batches(
+            lambda df: df.rename(columns={"c_custkey": "o_custkey"}),
+            batch_format="pandas",
+        ),
+        nat.rename(columns={"n_nationkey": "c_nationkey"}), on="c_nationkey",
+    ).select_columns(["o_custkey", "n_name"])
+
+    orders = auto_join(
         _read(sf_dir, "orders").map_batches(
             lambda df: pd.DataFrame({
                 "o_custkey": df["o_custkey"].astype("int64"),
@@ -677,7 +707,7 @@ def _q_nation_rev_share(sf_dir: str):
             }),
             batch_format="pandas",
         ),
-        nat_of_cust, on="o_custkey",
+        nat_of_cust, on="o_custkey", right_bytes=cust_bytes,
     )
     return ratio_to_report(orders, ["n_name"], {"revenue_c2": "price_c2"})
 
@@ -995,12 +1025,21 @@ def _q_q3_shipping(sf_dir: str):
     cutoff_us = int(pd.Timestamp("1998-01-01").value // 1000)
     cutoff_day = cutoff_us // 86_400_000_000
 
+    from geotreehealth_ray.pipelines.relational import (
+        auto_join,
+        input_bytes_estimate,
+    )
+
+    cust_raw = _read(sf_dir, "customer")
+    cust_bytes = input_bytes_estimate(cust_raw)
     cust = (
-        _read(sf_dir, "customer")
+        cust_raw
         .filter(expr="c_mktsegment == 'BUILDING'")
         .select_columns(["c_custkey"])
-        .to_pandas()
-        .rename(columns={"c_custkey": "o_custkey"})
+        .map_batches(
+            lambda df: df.rename(columns={"c_custkey": "o_custkey"}),
+            batch_format="pandas",
+        )
     )
 
     def order_prep(df):
@@ -1015,9 +1054,9 @@ def _q_q3_shipping(sf_dir: str):
         })
         return out[out["date_day"] < cutoff_day]
 
-    orders = broadcast_join(
+    orders = auto_join(
         _read(sf_dir, "orders").map_batches(order_prep, batch_format="pandas"),
-        cust, on="o_custkey",
+        cust, on="o_custkey", right_bytes=cust_bytes,
     ).select_columns(["o_orderkey", "date_day"])
 
     def li_prep(df):
@@ -1134,16 +1173,18 @@ def _q_q5_region_volume(sf_dir: str):
     """TPC-H Q5-style five-table composition: revenue per nation for
     1996 orders where the lineitem's supplier and the order's customer
     sit in the SAME nation of one region. nation⋈region folds on the
-    driver (tiny); supplier→nationkey broadcasts once via ray.put;
-    customer attaches to date-filtered orders through one co-partitioned
-    hash join on custkey, lineitem attaches through a second on
-    orderkey (the only two all-to-all exchanges — both keyed on join
-    keys the data already carries); the final per-nation sum is a
-    combiner groupby over ~25 groups."""
+    driver (tiny); supplier→nationkey attaches through the size-gated
+    auto_join (broadcast at test scale, co-partitioned at 100 TB —
+    supplier is SF-linear, never collected driver-side); customer
+    attaches to date-filtered orders through one co-partitioned hash
+    join on custkey, lineitem attaches through a second on orderkey;
+    the final per-nation sum is a combiner groupby over ~25 groups."""
     from geotreehealth_ray.pipelines.relational import (
+        auto_join,
         broadcast_join,
         grouped_agg,
         hash_join,
+        input_bytes_estimate,
     )
 
     nat = _read(sf_dir, "nation").to_pandas()
@@ -1177,9 +1218,11 @@ def _q_q5_region_volume(sf_dir: str):
         cust, on="o_custkey",
     ).select_columns(["o_orderkey", "c_nationkey"])
 
-    supp = (
-        _read(sf_dir, "supplier").to_pandas()[["s_suppkey", "s_nationkey"]]
-        .rename(columns={"s_suppkey": "l_suppkey"})
+    supp_raw = _read(sf_dir, "supplier")
+    supp_bytes = input_bytes_estimate(supp_raw)
+    supp = supp_raw.select_columns(["s_suppkey", "s_nationkey"]).map_batches(
+        lambda df: df.rename(columns={"s_suppkey": "l_suppkey"}),
+        batch_format="pandas",
     )
 
     def li_prep(df):
@@ -1192,13 +1235,13 @@ def _q_q5_region_volume(sf_dir: str):
             "disc_c4": np.floor(disc * 10000 + 0.5).astype("int64"),
         })
 
-    li = broadcast_join(
+    li = auto_join(
         _read(sf_dir, "lineitem")
         .select_columns(
             ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
         )
         .map_batches(li_prep, batch_format="pandas"),
-        supp, on="l_suppkey",
+        supp, on="l_suppkey", right_bytes=supp_bytes,
     )
     joined = hash_join(li, orders, on="o_orderkey").map_batches(
         lambda df: df[df["s_nationkey"] == df["c_nationkey"]][
@@ -1274,26 +1317,31 @@ def _q_q7_nation_volume(sf_dir: str):
     """TPC-H Q7-style bidirectional nation-pair trade volume: revenue
     shipped 1996–1997 between NATION_18 and NATION_19 in either
     direction, grouped by (supplier nation, customer nation, ship
-    year). The supplier→nation and nation-name maps fold on the driver
-    and broadcast once; the customer nation reaches the order through
-    one co-partitioned hash join on custkey and the lineitem attaches
-    through a second on orderkey — the same two exchanges Q5 pays, on
-    keys the rows already carry."""
+    year). Only the 25-row nation dim folds on the driver; the
+    SF-linear supplier→nation map stays a Dataset and attaches through
+    the size-gated auto_join (pre-filter bytes gate the plan —
+    broadcast at test scale, co-partitioned at 100 TB); the customer
+    nation reaches the order through one co-partitioned hash join on
+    custkey and the lineitem attaches through a second on orderkey."""
     from geotreehealth_ray.pipelines.relational import (
-        broadcast_join,
+        auto_join,
         grouped_agg,
         hash_join,
+        input_bytes_estimate,
     )
 
     nat = _read(sf_dir, "nation").to_pandas()
     name_of = dict(zip(nat["n_nationkey"], nat["n_name"]))
     pair = {k for k, v in name_of.items() if v in ("NATION_18", "NATION_19")}
 
-    supp = (
-        _read(sf_dir, "supplier").to_pandas()[["s_suppkey", "s_nationkey"]]
-        .rename(columns={"s_suppkey": "l_suppkey"})
+    supp_raw = _read(sf_dir, "supplier")
+    supp_bytes = input_bytes_estimate(supp_raw)
+    supp = supp_raw.select_columns(["s_suppkey", "s_nationkey"]).map_batches(
+        lambda df: df[df["s_nationkey"].isin(pair)].rename(
+            columns={"s_suppkey": "l_suppkey"}
+        ),
+        batch_format="pandas",
     )
-    supp = supp[supp["s_nationkey"].isin(pair)]
 
     cust = _read(sf_dir, "customer").map_batches(
         lambda df: df[df["c_nationkey"].isin(pair)][
@@ -1328,14 +1376,14 @@ def _q_q7_nation_volume(sf_dir: str):
             "disc_c4": np.floor(disc * 10000 + 0.5).astype("int64"),
         })
 
-    li = broadcast_join(
+    li = auto_join(
         _read(sf_dir, "lineitem")
         .select_columns(
             ["l_orderkey", "l_suppkey", "l_shipdate",
              "l_extendedprice", "l_discount"]
         )
         .map_batches(li_prep, batch_format="pandas"),
-        supp, on="l_suppkey",
+        supp, on="l_suppkey", right_bytes=supp_bytes,
     )
     joined = hash_join(li, orders, on="o_orderkey").map_batches(
         lambda df: pd.DataFrame({
@@ -1411,19 +1459,25 @@ def _q_q14_promo(sf_dir: str):
     numerator (revenue of parts with p_type = 'PROMO') and denominator
     (all revenue) — the ratio is left to the consumer so the result
     stays engine-independent exact. The part→is-promo map is two slim
-    columns broadcast once via ray.put; the lineitem side never
-    shuffles (zero all-to-all exchanges end to end)."""
+    columns attached through the size-gated auto_join (broadcast while
+    it fits — zero all-to-all exchanges — co-partitioned at 100 TB;
+    part is SF-linear, never collected driver-side)."""
     from ray.data.aggregate import Sum
 
-    from geotreehealth_ray.pipelines.relational import broadcast_join
+    from geotreehealth_ray.pipelines.relational import (
+        auto_join,
+        input_bytes_estimate,
+    )
 
-    parts = _read(sf_dir, "part").map_batches(
+    part_raw = _read(sf_dir, "part")
+    part_bytes = input_bytes_estimate(part_raw)
+    parts = part_raw.select_columns(["p_partkey", "p_type"]).map_batches(
         lambda df: pd.DataFrame({
             "l_partkey": df["p_partkey"].astype("int64"),
             "is_promo": (df["p_type"] == "PROMO").astype("int64"),
         }),
         batch_format="pandas",
-    ).to_pandas()
+    )
 
     lo, hi = _day("1996-09-01"), _day("1996-10-01")
 
@@ -1441,13 +1495,13 @@ def _q_q14_promo(sf_dir: str):
             "disc_c4": np.floor(disc * 10000 + 0.5).astype("int64"),
         })
 
-    li = broadcast_join(
+    li = auto_join(
         _read(sf_dir, "lineitem")
         .select_columns(
             ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"]
         )
         .map_batches(li_prep, batch_format="pandas"),
-        parts, on="l_partkey",
+        parts, on="l_partkey", right_bytes=part_bytes,
     ).map_batches(
         lambda df: pd.DataFrame({
             "promo_c4": df["disc_c4"] * df["is_promo"],
@@ -1468,23 +1522,31 @@ def _q_q16_supplier_cnt(sf_dir: str):
     suppkey) pairs in lineitem stand in for it): distinct suppliers
     per (p_brand, p_type, p_size) for non-'PROMO', non-'Brand#45'
     parts, excluding low-balance suppliers (s_acctbal < 1000 — the
-    complaints stand-in). Per-batch pair dedup is the combiner; part
-    attrs attach through one co-partitioned hash join; the final
-    distinct count dedups (brand, type, size, suppkey) inside its
-    bucket — the only full pair set that ever co-resides."""
+    complaints stand-in). Per-batch pair dedup is the combiner; the
+    low-balance exclusion is an ANTI hash join (ships one slim deduped
+    suppkey column — supplier is SF-linear, never collected
+    driver-side); part attrs attach through one co-partitioned hash
+    join; the final distinct count dedups (brand, type, size, suppkey)
+    inside its bucket — the only full pair set that ever co-resides."""
     from geotreehealth_ray.pipelines.relational import (
         bucketed_reduce,
         hash_join,
     )
 
-    bad = _read(sf_dir, "supplier").to_pandas()
-    bad = set(bad[bad["s_acctbal"] < 1000]["s_suppkey"].tolist())
-
-    pairs = _read(sf_dir, "lineitem").select_columns(
-        ["l_partkey", "l_suppkey"]
-    ).map_batches(
-        lambda df: df[~df["l_suppkey"].isin(bad)].drop_duplicates(),
+    bad = _read(sf_dir, "supplier").map_batches(
+        lambda df: df[df["s_acctbal"] < 1000][["s_suppkey"]].rename(
+            columns={"s_suppkey": "l_suppkey"}
+        ),
         batch_format="pandas",
+    )
+
+    pairs = hash_join(
+        _read(sf_dir, "lineitem").select_columns(
+            ["l_partkey", "l_suppkey"]
+        ).map_batches(
+            lambda df: df.drop_duplicates(), batch_format="pandas",
+        ),
+        bad, on="l_suppkey", how="anti",
     )
     part = _read(sf_dir, "part").map_batches(
         lambda df: df[
@@ -2752,7 +2814,95 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def _queries_raw() -> dict[str, Callable[[str], Any]]:
     return {
-        # spatial operators (derived coordinates — SQL-oracled)
+        # --- tier 1: spatial / raster / lidar flagship family (r1 driver-unchecked) ---
+        "synth_assign": _q_synth_assign,
+        "synth_nms": _q_synth_nms,
+        "synth_chips": _q_synth_chips,
+        "synth_lidar_stats": _q_synth_lidar_stats,
+        "synth_treetops": _q_synth_treetops,
+        "synth_knn_cardinal": _q_synth_knn_cardinal,
+        "synth_median_polygon": _q_synth_median_polygon,
+        "synth_stem_dedup": _q_synth_stem_dedup,
+        "synth_radius_pairs": _q_synth_radius_pairs,
+        "synth_zonal_stats": _q_synth_zonal_stats,
+        "stem_rebalance": _q_stem_rebalance,
+        "synth_image_stats": _q_synth_image_stats,
+        "synth_thumbnails": _q_synth_thumbnails,
+        "synth_pyramid": _q_synth_pyramid,
+        "synth_stitch": _q_synth_stitch,
+        "cell_hulls": _q_cell_hulls,
+        "synth_delineation": _q_synth_delineation,
+        "synth_health_dataset": _q_synth_health_dataset,
+        "synth_alignment": _q_synth_alignment,
+        "synth_pansharpen": _q_synth_pansharpen,
+        # --- tier 2: dedup / ANN / text training-data family ---
+        "doc_exact_dedup": _q_doc_dedup,
+        "minhash_pairs": _q_minhash_pairs,
+        "minhash_clusters": _q_minhash_clusters,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "emb_near_dup": _q_emb_near_dup,
+        "phash_pairs": _q_phash_pairs,
+        "ann_topk": _q_ann_topk,
+        "ann_ivf": _q_ann_ivf,
+        "kmeans_clusters": _q_kmeans_clusters,
+        "doc_token_counts": _q_doc_tokens,
+        "doc_bpe_tokens": _q_doc_bpe_tokens,
+        "doc_quality": _q_doc_quality,
+        "doc_content_hash": _q_doc_hash,
+        "doc_lang_id": _q_doc_lang,
+        "lang_confusion": _q_lang_confusion,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "doc_split": _q_doc_split,
+        # --- tier 3: TPC-H compositions ---
+        "q3_shipping": _q_q3_shipping,
+        "q17_small_qty": _q_q17_small_qty,
+        "q4_priority": _q_q4_priority,
+        "q5_region_volume": _q_q5_region_volume,
+        "q12_shipmode": _q_q12_shipmode,
+        "q7_nation_volume": _q_q7_nation_volume,
+        "q10_returned": _q_q10_returned,
+        "q14_promo": _q_q14_promo,
+        "q16_supplier_cnt": _q_q16_supplier_cnt,
+        "q18_large_volume": _q_q18_large_volume,
+        "q19_disjunct": _q_q19_disjunct,
+        "q22_idle_customers": _q_q22_idle_customers,
+        # --- tier 4: remaining r1-unchecked queries ---
+        "funnel_vcp": _q_funnel,
+        "order_rank_fracs": _q_order_rank_fracs,
+        "name_editdist": _q_name_editdist,
+        "acctbal_equidepth": _q_acctbal_equidepth,
+        "doc_decontam": _q_doc_decontam,
+        "qty_disc_corr": _q_qty_disc_corr,
+        "supp_heavy_hitters": _q_supp_heavy_hitters,
+        "order_grouping_sets": _q_order_grouping_sets,
+        "set_intersect_all": _q_set_intersect_all,
+        "set_except_all": _q_set_except_all,
+        "order_first_last": _q_order_first_last,
+        "ship_overlap": _q_ship_overlap,
+        "order_skyline": _q_order_skyline,
+        "cohort_retention": _q_cohort_retention,
+        "dup_ngrams": _q_dup_ngrams,
+        "cms_custkeys": _q_cms_custkeys,
+        "user_event_pivot": _q_user_event_pivot,
+        "lineitem_unpivot": _q_lineitem_unpivot,
+        "user_top_event": _q_user_top_event,
+        "price_p90": _q_price_p90,
+        "price_p95_cont": _q_price_p95_cont,
+        "part_pairs": _q_part_pairs,
+        "nation_rev_share": _q_nation_rev_share,
+        "doc_normalized": _q_doc_normalized,
+        "doc_term_stats": _q_doc_term_stats,
+        "doc_tfidf": _q_doc_tfidf,
+        "lineitem_audit": _q_lineitem_audit,
+        "hll_parts_by_flag": _q_hll_parts_by_flag,
+        "doc_chunks": _q_doc_chunks,
+        "hourly_active_users": _q_hourly_active_users,
+        "orders_diff": _q_orders_diff,
+        "user_event_attach": _q_user_event_attach,
+        "user_event_attach_salted": _q_user_event_attach_salted,
+        "orders_upsert": _q_orders_upsert,
+        # --- tier 5: r1 driver-green queries (CORRECTNESS_r01.json) ---
         "pip_join": _q_pip_join,
         "crown_assign": _q_crown_assign,
         "unassigned_stems": _q_unassigned,
@@ -2761,7 +2911,6 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "cardinal_join": _q_cardinal_join,
         "median_box": _q_median_box,
         "cell_counts": _q_cell_counts,
-        # relational operators
         "q1_pricing": _q_q1,
         "top_orders": _q_top_orders,
         "revenue_by_nation": _q_revenue_by_nation,
@@ -2804,93 +2953,6 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "emb_explode": _q_emb_explode,
         "user_value_1h": _q_user_value_1h,
         "phash_clusters": _q_phash_clusters,
-        "funnel_vcp": _q_funnel,
-        "order_rank_fracs": _q_order_rank_fracs,
-        "name_editdist": _q_name_editdist,
-        "q3_shipping": _q_q3_shipping,
-        "q17_small_qty": _q_q17_small_qty,
-        "q4_priority": _q_q4_priority,
-        "q5_region_volume": _q_q5_region_volume,
-        "q12_shipmode": _q_q12_shipmode,
-        "q7_nation_volume": _q_q7_nation_volume,
-        "q10_returned": _q_q10_returned,
-        "q14_promo": _q_q14_promo,
-        "q16_supplier_cnt": _q_q16_supplier_cnt,
-        "q18_large_volume": _q_q18_large_volume,
-        "q19_disjunct": _q_q19_disjunct,
-        "q22_idle_customers": _q_q22_idle_customers,
-        "acctbal_equidepth": _q_acctbal_equidepth,
-        "doc_decontam": _q_doc_decontam,
-        "qty_disc_corr": _q_qty_disc_corr,
-        "supp_heavy_hitters": _q_supp_heavy_hitters,
-        "order_grouping_sets": _q_order_grouping_sets,
-        "set_intersect_all": _q_set_intersect_all,
-        "set_except_all": _q_set_except_all,
-        "order_first_last": _q_order_first_last,
-        "ship_overlap": _q_ship_overlap,
-        "order_skyline": _q_order_skyline,
-        "cohort_retention": _q_cohort_retention,
-        "dup_ngrams": _q_dup_ngrams,
-        "cms_custkeys": _q_cms_custkeys,
-        "user_event_pivot": _q_user_event_pivot,
-        "lineitem_unpivot": _q_lineitem_unpivot,
-        "user_top_event": _q_user_top_event,
-        "price_p90": _q_price_p90,
-        "price_p95_cont": _q_price_p95_cont,
-        "part_pairs": _q_part_pairs,
-        "nation_rev_share": _q_nation_rev_share,
-        "doc_normalized": _q_doc_normalized,
-        "doc_term_stats": _q_doc_term_stats,
-        "doc_tfidf": _q_doc_tfidf,
-        # text / training-data operators
-        "doc_token_counts": _q_doc_tokens,
-        "doc_bpe_tokens": _q_doc_bpe_tokens,
-        "doc_quality": _q_doc_quality,
-        "doc_content_hash": _q_doc_hash,
-        "doc_exact_dedup": _q_doc_dedup,
-        "doc_lang_id": _q_doc_lang,
-        "lang_confusion": _q_lang_confusion,
-        "doc_fingerprints": _q_doc_fingerprints,
-        "minhash_pairs": _q_minhash_pairs,
-        "minhash_clusters": _q_minhash_clusters,
-        "doc_split": _q_doc_split,
-        "jaccard_pairs": _q_jaccard_pairs,
-        "simhash_pairs": _q_simhash_pairs,
-        "emb_near_dup": _q_emb_near_dup,
-        "phash_pairs": _q_phash_pairs,
-        "ann_topk": _q_ann_topk,
-        "ann_ivf": _q_ann_ivf,
-        "kmeans_clusters": _q_kmeans_clusters,
-        # geospatial operators on TRUE polygons / rasters / point clouds
-        # (deterministic synthetic tables; golden-tested in tests/)
-        "synth_assign": _q_synth_assign,
-        "synth_nms": _q_synth_nms,
-        "synth_chips": _q_synth_chips,
-        "synth_lidar_stats": _q_synth_lidar_stats,
-        "synth_treetops": _q_synth_treetops,
-        "synth_knn_cardinal": _q_synth_knn_cardinal,
-        "synth_median_polygon": _q_synth_median_polygon,
-        "synth_stem_dedup": _q_synth_stem_dedup,
-        "synth_radius_pairs": _q_synth_radius_pairs,
-        "synth_zonal_stats": _q_synth_zonal_stats,
-        "stem_rebalance": _q_stem_rebalance,
-        "synth_image_stats": _q_synth_image_stats,
-        "synth_thumbnails": _q_synth_thumbnails,
-        "synth_pyramid": _q_synth_pyramid,
-        "synth_stitch": _q_synth_stitch,
-        "cell_hulls": _q_cell_hulls,
-        "synth_delineation": _q_synth_delineation,
-        "synth_health_dataset": _q_synth_health_dataset,
-        "synth_alignment": _q_synth_alignment,
-        "synth_pansharpen": _q_synth_pansharpen,
-        "lineitem_audit": _q_lineitem_audit,
-        "hll_parts_by_flag": _q_hll_parts_by_flag,
-        "doc_chunks": _q_doc_chunks,
-        "hourly_active_users": _q_hourly_active_users,
-        "orders_diff": _q_orders_diff,
-        "user_event_attach": _q_user_event_attach,
-        "user_event_attach_salted": _q_user_event_attach_salted,
-        "orders_upsert": _q_orders_upsert,
     }
 
 

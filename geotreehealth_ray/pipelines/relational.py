@@ -191,6 +191,73 @@ def auto_partitions(*dss, scale: float = 1.0):
     return None if est is None else shuffle_partitions_for(scale * est)
 
 
+def _row_hash(df: pd.DataFrame, keys: list[str]) -> np.ndarray:
+    """Deterministic per-row uint64 hash of the key columns (ALL of a
+    composite key's components — a hot first component must not funnel
+    whole key families into one bucket). Stable across processes and
+    parallelism levels (pd.util.hash_pandas_object, fixed seed)."""
+    return pd.util.hash_pandas_object(
+        df[keys] if len(keys) > 1 else df[keys[0]], index=False
+    ).to_numpy().astype(np.uint64)
+
+
+def _arrow_schema_of(ds) -> pa.Schema | None:
+    """Best-effort Arrow schema of a Dataset: exact for Arrow-block
+    plans; for pandas-block plans, numpy dtypes map through
+    ``pa.from_numpy_dtype`` with object → string (the engine's pandas
+    stages only carry strings as objects). None if the dataset is
+    fully empty (schema unknowable)."""
+    try:
+        s = ds.schema()
+    except Exception:
+        return None
+    if s is None:
+        return None
+    base = getattr(s, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    fields = []
+    for name, typ in zip(s.names, s.types):
+        if isinstance(typ, pa.DataType):
+            fields.append(pa.field(name, typ))
+            continue
+        try:
+            at = pa.from_numpy_dtype(typ)
+        except (pa.ArrowNotImplementedError, TypeError):
+            at = pa.string()
+        fields.append(pa.field(name, at))
+    return pa.schema(fields)
+
+
+def _cast_column(col, target: pa.DataType):
+    """Cast a pa.ChunkedArray/Array to target type (permissive)."""
+    if col.type == target:
+        return col
+    return col.cast(target)
+
+
+def _table_from_pandas(df: pd.DataFrame, schema: pa.Schema) -> pa.Table:
+    """pandas → Arrow under an EXPLICIT schema: column-wise
+    ``pa.array(..., from_pandas=True)`` so NaN/None become typed nulls
+    (an int64 column that picked up NaN through a left join's
+    null-extension comes back as int64-with-nulls, not float64 —
+    dtypes survive the exchange)."""
+    arrays = []
+    for field in schema:
+        col = df[field.name]
+        try:
+            arr = pa.array(col, type=field.type, from_pandas=True)
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            # lossy path (e.g. true floats meeting an int field after
+            # an outer merge of mixed types): preserve values, let the
+            # field widen
+            arr = pa.array(col, from_pandas=True)
+        arrays.append(arr)
+    return pa.table(
+        {f.name: a for f, a in zip(schema, arrays)}
+    )
+
+
 def _epoch_seconds(ts: pd.Series) -> pd.Series:
     """Timestamp column → int64 epoch seconds, unit-safe (pandas may
     carry datetime64[ns] or [us] depending on the source)."""
@@ -307,11 +374,14 @@ def bucketed_reduce(ds, key: str | list[str], fn, num_buckets: int = NUM_BUCKETS
     high cardinality: per-group python overhead (~ms) × 10^5 groups
     dominates wall time, while 256 vectorized bucket calls cost ~nothing.
     The hash (pd.util.hash_pandas_object, fixed key) is deterministic
-    across processes and parallelism levels."""
-    first_key = key if isinstance(key, str) else key[0]
+    across processes and parallelism levels. Composite keys hash ALL
+    components (equal composites still co-locate, but a hot or
+    low-cardinality FIRST component no longer funnels whole key
+    families into one bucket)."""
+    keys = [key] if isinstance(key, str) else list(key)
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(df[first_key], index=False)
+        h = _row_hash(df, keys)
         df = df.copy()
         df["__bucket"] = (h % num_buckets).astype(np.int64)
         return df
@@ -368,15 +438,20 @@ def grouped_agg(ds, keys: list[str], sum_cols: dict[str, str],
 
 
 def broadcast_join(ds, small_df: pd.DataFrame, on: str | list[str],
-                   how: str = "inner"):
+                   how: str = "inner",
+                   lsuffix: str = "", rsuffix: str = "_r"):
     """Hash join against a SMALL side broadcast once via ray.put and
-    merged per batch (no shuffle — ray_guide 'Joins and lookups')."""
+    merged per batch (no shuffle — ray_guide 'Joins and lookups').
+    Overlapping non-key columns take the SAME suffixes as
+    :func:`hash_join` so `auto_join`'s plan choice never changes the
+    output schema."""
     import ray
 
     ref = ray.put(small_df)
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        return df.merge(ray.get(ref), on=on, how=how)
+        return df.merge(ray.get(ref), on=on, how=how,
+                        suffixes=(lsuffix, rsuffix))
 
     return ds.map_batches(fn, batch_format="pandas")
 
@@ -384,12 +459,25 @@ def broadcast_join(ds, small_df: pd.DataFrame, on: str | list[str],
 def hash_join(left, right, on: str | list[str], how: str = "inner",
               num_buckets: int = NUM_BUCKETS,
               lsuffix: str = "", rsuffix: str = "_r",
-              partitions: int | None = None):
+              partitions: int | None = None,
+              right_schema: "pa.Schema | list[str] | None" = None):
     """Co-partitioned hash join for two LARGE sides: both datasets are
-    bucketed on a deterministic hash of the key and merged per bucket
-    with pandas — one shuffle each side, no broadcast (ray_guide
-    'Both sides large'). Columns common to both sides (other than the
-    key) get the suffixes.
+    bucketed on a deterministic hash of the FULL key (all composite
+    components) and merged per bucket — one shuffle each side, no
+    broadcast (ray_guide 'Both sides large'). Columns common to both
+    sides (other than the key) get the suffixes, applied STATICALLY
+    before the exchange so the output schema never depends on runtime
+    sizes.
+
+    Arrow-native exchange: both sides are tagged and padded to one
+    unified Arrow schema with TYPED null columns (never pandas
+    object-dtype padding), so dtypes survive the union/sort and every
+    block carries the same schema — no "RefBundle with a different
+    schema" churn, no Arrow→pandas→Arrow round-trip on the wide path.
+    Only the per-bucket merge itself drops to pandas (its hash join
+    kernel), and the result is cast straight back to the precomputed
+    output schema (int columns that picked up nulls via
+    null-extension come back as int-with-nulls, not float64).
 
     Skew note: all rows of one key land in one bucket; for a key whose
     many-to-many match set exceeds a worker's heap, pre-salt the key
@@ -405,11 +493,11 @@ def hash_join(left, right, on: str | list[str], how: str = "inner",
     NOT EXISTS). The right side is projected to its key column before
     the shuffle, so a semi/anti probe moves one slim column.
 
-    ``on`` may be one column name or a list (composite key): the
-    bucket hash uses the first key column (all rows of a composite
-    key still co-locate — equal composites share the first
-    component), and every per-bucket merge/probe matches on the full
-    column list."""
+    ``right_schema``: optional schema (or column-name list) describing
+    the right side, used when the right dataset is FULLY EMPTY (Ray
+    loses an empty dataset's schema): left/outer results are then
+    null-extended with exactly these columns instead of silently
+    passing the left side through unchanged."""
     keys = [on] if isinstance(on, str) else list(on)
 
     if how in ("semi", "anti"):
@@ -420,50 +508,113 @@ def hash_join(left, right, on: str | list[str], how: str = "inner",
 
         right = right.map_batches(slim, batch_format="pandas")
 
-    def tag(side):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            df["__side"] = np.int8(side)
-            return df
-
-        return fn
-
     # a fully-empty side can lose its schema entirely (Ray returns
-    # None); the join is still total — resolve it by semantics. The
-    # null-extended columns of the schema-less side are unknowable, so
-    # the surviving side passes through as-is (documented degradation).
-    lcols_raw, rcols_raw = left.columns(), right.columns()
-    if rcols_raw is None:
+    # None); the join is still total — resolve it by semantics, using
+    # right_schema when the caller provided one.
+    lschema = _arrow_schema_of(left)
+    rschema = _arrow_schema_of(right)
+    if rschema is None:
         if how in ("inner", "semi"):
             return left.limit(0)
+        if how in ("left", "outer") and right_schema is not None and lschema is not None:
+            if isinstance(right_schema, list):
+                right_schema = pa.schema(
+                    [pa.field(c, pa.string()) for c in right_schema]
+                )
+            add = [f for f in right_schema
+                   if f.name not in keys and f.name not in lschema.names]
+
+            def extend(t: pa.Table) -> pa.Table:
+                for f in add:
+                    t = t.append_column(f, pa.nulls(len(t), f.type))
+                return t
+
+            return left.map_batches(extend, batch_format="pyarrow")
         return left  # left / anti / outer: every left row is unmatched
-    if lcols_raw is None:
+    if lschema is None:
         if how == "outer":
             return right
         return left.limit(0)
 
-    l = left.map_batches(tag(0), batch_format="pandas")
-    r = right.map_batches(tag(1), batch_format="pandas")
+    lcols, rcols = list(lschema.names), list(rschema.names)
+    overlap = [c for c in rcols if c in lcols and c not in keys]
+    # static suffix renames (pandas-merge-compatible naming), applied
+    # before the exchange; None marks an unresolvable collision
+    lmap = {c: (c + lsuffix if c in overlap else c) for c in lcols}
+    rmap = {c: (c + rsuffix if c in overlap else c) for c in rcols}
+    if lsuffix == rsuffix and overlap and lsuffix == "":
+        raise ValueError(
+            f"overlapping non-key columns {overlap} need distinct suffixes"
+        )
 
-    # align schemas for the union: collect column names lazily per batch
-    lcols = list(lcols_raw)
-    rcols = list(rcols_raw)
-    all_cols = list(dict.fromkeys(lcols + [c for c in rcols]))
+    # unified exchange schema: keys first (promoted types), then left
+    # exclusives, then right exclusives — plus __side / __bucket
+    def promoted(name: str) -> pa.DataType:
+        lt = lschema.field(name).type
+        rt = rschema.field(name).type
+        if lt == rt:
+            return lt
+        try:
+            return pa.unify_schemas(
+                [pa.schema([pa.field(name, lt)]),
+                 pa.schema([pa.field(name, rt)])],
+                promote_options="permissive",
+            ).field(name).type
+        except (pa.ArrowInvalid, pa.ArrowTypeError, TypeError):
+            return lt
 
-    def pad(df: pd.DataFrame) -> pd.DataFrame:
-        for c in all_cols:
-            if c not in df.columns:
-                df[c] = None
-        return df.reindex(columns=all_cols + ["__side"])
+    key_fields = [pa.field(k, promoted(k)) for k in keys]
+    lonly = [pa.field(lmap[c], lschema.field(c).type)
+             for c in lcols if c not in keys]
+    ronly = [pa.field(rmap[c], rschema.field(c).type)
+             for c in rcols if c not in keys]
+    if how in ("semi", "anti"):
+        # semi/anti output keeps the LEFT side's own key names/types
+        ronly = []
+        out_schema = pa.schema(
+            [pa.field(k, lschema.field(k).type) for k in keys] + lonly
+        )
+    else:
+        out_schema = pa.schema(key_fields + lonly + ronly)
+    ex_fields = key_fields + lonly + ronly
+    ex_names = [f.name for f in ex_fields]
 
-    u = l.map_batches(pad, batch_format="pandas").union(
-        r.map_batches(pad, batch_format="pandas")
+    def tag(side: int, schema: pa.Schema, colmap: dict):
+        inv = {v: k for k, v in colmap.items()}
+
+        def fn(t: pa.Table) -> pa.Table:
+            n = len(t)
+            cols = {}
+            for f in ex_fields:
+                src = inv.get(f.name, f.name)
+                if src in schema.names and src in t.column_names:
+                    cols[f.name] = _cast_column(t[src], f.type)
+                else:
+                    cols[f.name] = pa.nulls(n, f.type)
+            # bucket on the full composite key (deterministic)
+            kdf = pa.table({k: cols[k] for k in keys}).to_pandas()
+            h = _row_hash(kdf, keys)
+            cols["__side"] = pa.array(
+                np.full(n, side, dtype=np.int8), pa.int8()
+            )
+            cols["__bucket"] = pa.array(
+                (h % np.uint64(num_buckets)).astype(np.int64), pa.int64()
+            )
+            return pa.table(cols)
+
+        return fn
+
+    u = left.map_batches(tag(0, lschema, lmap), batch_format="pyarrow").union(
+        right.map_batches(tag(1, rschema, rmap), batch_format="pyarrow")
     )
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        # padding with nulls degraded dtypes to object → re-infer
-        lhs = df[df["__side"] == 0][lcols].infer_objects()
-        rhs = df[df["__side"] == 1][rcols].infer_objects()
+    lnames = [f.name for f in key_fields] + [f.name for f in lonly]
+    rnames = [f.name for f in key_fields] + [f.name for f in ronly]
+
+    def merge(t: pa.Table) -> pa.Table:
+        side = t["__side"].to_numpy(zero_copy_only=False)
+        lhs = t.select(lnames).take(np.flatnonzero(side == 0)).to_pandas()
+        rhs = t.select(rnames).take(np.flatnonzero(side == 1)).to_pandas()
         if how in ("semi", "anti"):
             if len(keys) == 1:
                 present = lhs[keys[0]].isin(rhs[keys[0]].to_numpy())
@@ -471,10 +622,13 @@ def hash_join(left, right, on: str | list[str], how: str = "inner",
                 m = lhs.merge(rhs.drop_duplicates(), on=keys, how="left",
                               indicator=True)
                 present = (m["_merge"] == "both").to_numpy()
-            return lhs[present if how == "semi" else ~present]
-        return lhs.merge(rhs, on=keys, how=how, suffixes=(lsuffix, rsuffix))
+            res = lhs[present if how == "semi" else ~present]
+        else:
+            res = lhs.merge(rhs, on=keys, how=how)
+        return _table_from_pandas(res, out_schema)
 
-    return bucketed_reduce(u, keys, merge, num_buckets, partitions=partitions)
+    return sorted_group_map(u, ["__bucket"], merge, batch_format="pyarrow",
+                            partitions=partitions)
 
 
 def sessionize(events, key: str = "user_id", ts_col: str = "ts",
@@ -1723,7 +1877,9 @@ AUTO_BROADCAST_BYTES = 256 << 20  # right side under this → broadcast
 
 
 def auto_join(left, right, on: str | list[str], how: str = "inner",
-              broadcast_bytes: int = AUTO_BROADCAST_BYTES):
+              broadcast_bytes: int = AUTO_BROADCAST_BYTES,
+              right_bytes: float | None = None,
+              lsuffix: str = "", rsuffix: str = "_r"):
     """Size-based join strategy selection (the planner decision every
     SQL engine makes): when the RIGHT side's estimated in-memory size
     (file metadata × expansion — never executes the plan) fits under
@@ -1731,16 +1887,26 @@ def auto_join(left, right, on: str | list[str], how: str = "inner",
     per batch with ZERO shuffle; otherwise both sides co-partition
     through :func:`hash_join`. Unknown size (lineage erased by
     transforms) falls back to the safe hash path. Outputs are
-    identical either way — only the exchange plan differs.
+    identical either way — only the exchange plan differs (both paths
+    use the same suffixes for overlapping non-key columns, so the
+    schema never depends on the right side's estimated size).
+
+    ``right_bytes``: explicit in-memory upper bound for the right side,
+    for callers whose transforms erased file lineage — pass
+    ``input_bytes_estimate(raw_read_ds)`` of the PRE-filter read (a
+    filter only shrinks, so the pre-filter bytes are a safe gate: the
+    query broadcasts at test scale and co-partitions at 100 TB).
 
     Broadcast covers inner/left (a broadcast side cannot drive the
     null-extension of its own unmatched rows); other modes always
     co-partition."""
-    est = input_bytes_estimate(right)
+    est = right_bytes if right_bytes is not None else input_bytes_estimate(right)
     if (est is not None and est <= broadcast_bytes
             and how in ("inner", "left")):
-        return broadcast_join(left, right.to_pandas(), on=on, how=how)
-    return hash_join(left, right, on=on, how=how)
+        return broadcast_join(left, right.to_pandas(), on=on, how=how,
+                              lsuffix=lsuffix, rsuffix=rsuffix)
+    return hash_join(left, right, on=on, how=how,
+                     lsuffix=lsuffix, rsuffix=rsuffix)
 
 
 def salted_join(left, right, on: str, salt_col: str, n_salt: int = 8,

@@ -183,10 +183,18 @@ def compact_partitions(out_dir: str, target_bytes: int = 128 << 20) -> dict:
     one parallel Ray task, and repoint the member manifests at the
     shared file. Per-partition manifests REMAIN the resume contract —
     `completed_partitions` / `resume_filter` are untouched by
-    compaction; only the data-file layout changes. Compaction is
-    atomic per group (tmp → os.replace, manifests repointed after the
-    data lands) and idempotent: already-compacted groups re-pack by
-    their current byte size.
+    compaction; only the data-file layout changes.
+
+    Safe to re-run with ANY target_bytes, including after more
+    partitions landed since the last pass: a data file shared by
+    several partitions is an ATOMIC packing unit (grouped by current
+    file, never split across groups, sized by its on-disk bytes), so a
+    group always rewrites whole files — no row duplication. Source
+    files are deleted only in a final GC pass over files that no
+    manifest references, after every group's manifests are repointed —
+    a shared file can never be removed out from under another group,
+    and a crash mid-compaction leaves at worst an orphaned (still
+    readable, unreferenced) file for the next pass's GC.
 
     At 100 TB this is the maintenance pass that keeps a
     many-partition stage (e.g. 2^16 Hilbert partitions × a few MB
@@ -202,10 +210,22 @@ def compact_partitions(out_dir: str, target_bytes: int = 128 << 20) -> dict:
                 entries.append(json.load(fh))
     entries.sort(key=lambda e: e["partition"])
 
-    groups, cur, cur_bytes = [], [], 0
+    # Atomic packing units: all manifest entries pointing at the same
+    # current data file move together, weighted by actual file size.
+    units: dict[str, list[dict]] = {}
     for e in entries:
-        cur.append(e)
-        cur_bytes += e["bytes"]
+        rel = e.get("file", f"part={e['partition']}/part-{e['partition']}.parquet")
+        units.setdefault(rel, []).append(e)
+    unit_list = sorted(units.items(), key=lambda kv: kv[1][0]["partition"])
+
+    groups, cur, cur_bytes = [], [], 0
+    for rel, members in unit_list:
+        try:
+            fbytes = os.path.getsize(os.path.join(out_dir, rel))
+        except OSError:
+            fbytes = sum(m["bytes"] for m in members)
+        cur.append((rel, members))
+        cur_bytes += fbytes
         if cur_bytes >= target_bytes:
             groups.append(cur)
             cur, cur_bytes = [], 0
@@ -213,46 +233,57 @@ def compact_partitions(out_dir: str, target_bytes: int = 128 << 20) -> dict:
         groups.append(cur)
 
     @ray.remote
-    def compact_group(group: list[dict]) -> dict:
+    def compact_group(group: list[tuple[str, list[dict]]]) -> dict:
         import pyarrow.parquet as pq
 
-        lo = group[0]["partition"]
-        hi = group[-1]["partition"]
-        srcs = sorted({
-            os.path.join(
-                out_dir,
-                e.get("file", f"part={e['partition']}/part-{e['partition']}.parquet"),
-            )
-            for e in group
-        })
+        all_members = [m for _, members in group for m in members]
+        lo = min(m["partition"] for m in all_members)
+        hi = max(m["partition"] for m in all_members)
+        srcs = [os.path.join(out_dir, rel) for rel, _ in group]
         if len(srcs) == 1:
             return {"lo": lo, "hi": hi, "files_in": 1, "skipped": True}
         cdir = os.path.join(out_dir, "compact")
         os.makedirs(cdir, exist_ok=True)
-        rel = f"compact/part-{lo}-{hi}.parquet"
-        final = os.path.join(out_dir, rel)
+        rel_out = f"compact/part-{lo}-{hi}.parquet"
+        final = os.path.join(out_dir, rel_out)
         tmp = final + ".tmp"
         t = pa.concat_tables([pq.read_table(s) for s in srcs])
         pq.write_table(t, tmp)
         os.replace(tmp, final)
-        for e in group:  # repoint manifests AFTER the data landed
+        for e in all_members:  # repoint manifests AFTER the data landed
             e2 = dict(e)
-            e2["file"] = rel
+            e2["file"] = rel_out
             mtmp = os.path.join(mdir, f"{e['partition']}.json.tmp")
             with open(mtmp, "w") as fh:
                 json.dump(e2, fh)
             os.replace(mtmp, os.path.join(mdir, f"{e['partition']}.json"))
-        for s in srcs:  # old files are garbage once nothing points at them
-            os.remove(s)
         return {"lo": lo, "hi": hi, "files_in": len(srcs), "skipped": False}
 
     results = ray.get([compact_group.remote(g) for g in groups])
     done = [r for r in results if not r["skipped"]]
+
+    # GC: delete data files nothing references anymore. Runs after ALL
+    # manifests are repointed, so a file shared across groups survives
+    # until its last referencing manifest moved off it.
+    live = {os.path.normpath(f) for f in output_files(out_dir)}
+    removed = 0
+    for root, _dirs, files in os.walk(out_dir):
+        if os.path.basename(root) == "_manifest":
+            continue
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            path = os.path.normpath(os.path.join(root, f))
+            if path not in live:
+                os.remove(path)
+                removed += 1
+
     rollup = {
         "groups": len(groups),
         "groups_compacted": len(done),
         "files_before": int(sum(r["files_in"] for r in results)),
         "files_after": len(results),
+        "files_gc": removed,
         "target_bytes": target_bytes,
     }
     with open(os.path.join(mdir, "_compaction.json"), "w") as f:

@@ -151,8 +151,72 @@ def test_compaction_preserves_rows_and_resume_contract(ray_session, tmp_path):
     filtered = cp.resume_filter(rd.from_pandas(df), out)
     assert filtered.count() == 0
 
-    # idempotent: second pass finds single-file groups and skips
-    roll2 = cp.compact_partitions(out, target_bytes=8 * one)
+    # convergent: re-runs may merge still-undersized compact files
+    # further, but reach a fixpoint (no groups compacted) within a few
+    # passes, preserving the data exactly at every step
+    for _ in range(4):
+        roll2 = cp.compact_partitions(out, target_bytes=8 * one)
+        got2 = rd.read_parquet(cp.output_files(out)).to_pandas()
+        assert len(got2) == n
+        if roll2["groups_compacted"] == 0:
+            break
     assert roll2["groups_compacted"] == 0
-    got2 = rd.read_parquet(cp.output_files(out)).to_pandas()
-    assert len(got2) == n
+
+
+def test_recompaction_with_changed_grouping(ray_session, tmp_path):
+    """Re-running compaction with a different target (or after new
+    partitions landed post-resume) must treat a shared compacted file
+    as one atomic unit: no duplicated rows, no FileNotFoundError from
+    two groups deleting the same source, no dangling manifests."""
+    import glob
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from geotreehealth_ray.state import checkpoint as cp
+
+    out = str(tmp_path / "stage_out")
+    n = 4000
+    df = pd.DataFrame({
+        "partition_id": (np.arange(n) % 32).astype(np.int64),
+        "v": np.arange(n, dtype=np.int64),
+    })
+    cp.write_partitioned(rd.from_pandas(df).repartition(8), out, stage="s1")
+    one = os.path.getsize(cp.output_files(out)[0])
+
+    # pass 1: ~4 partitions per compacted file
+    cp.compact_partitions(out, target_bytes=4 * one)
+    n_files_1 = len(cp.output_files(out))
+    assert n_files_1 <= 10
+
+    # new partitions land after a resume
+    df2 = pd.DataFrame({
+        "partition_id": (32 + np.arange(n) % 8).astype(np.int64),
+        "v": (n + np.arange(n)).astype(np.int64),
+    })
+    cp.write_partitioned(rd.from_pandas(df2).repartition(4), out, stage="s1")
+
+    # pass 2 with a DIFFERENT grouping: would previously split a shared
+    # compacted file's members across two groups (dup rows + double rm)
+    cp.compact_partitions(out, target_bytes=6 * one)
+
+    files = cp.output_files(out)
+    for f in files:  # no dangling manifest → every file exists
+        assert os.path.exists(f), f
+    got = rd.read_parquet(files).to_pandas().sort_values("v")
+    assert len(got) == 2 * n  # no duplication
+    assert (got["v"].to_numpy() == np.arange(2 * n)).all()
+    assert cp.stage_metrics(out)["rows"] == 2 * n
+
+    # GC left no unreferenced parquet behind
+    on_disk = {
+        os.path.normpath(p)
+        for p in glob.glob(os.path.join(out, "**", "*.parquet"), recursive=True)
+    }
+    assert on_disk == {os.path.normpath(f) for f in files}
+
+    # pass 3 at the same target is a no-op that still reads clean
+    cp.compact_partitions(out, target_bytes=6 * one)
+    got3 = rd.read_parquet(cp.output_files(out)).to_pandas()
+    assert len(got3) == 2 * n
