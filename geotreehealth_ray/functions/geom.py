@@ -30,6 +30,7 @@ __all__ = [
     "clip_ring_to_bbox",
     "convex_clip",
     "intersection_area_star",
+    "difference_rings",
     "iou_star",
     "overlap_of_max_area",
     "simplify_ring",
@@ -312,9 +313,12 @@ def _ensure_ccw(ring: np.ndarray) -> np.ndarray:
 
 
 def _fan_triangles(ring: np.ndarray) -> np.ndarray:
-    """Fan-triangulate a star-convex ring about its vertex mean.
-    Returns (n, 3, 2). Valid partition iff the ring is star-shaped
-    about that point (true for all crowns this engine synthesizes)."""
+    """Fan-triangulate a ring about its vertex mean. Returns (n, 3, 2).
+    With SIGNED accumulation (each triangle weighted by the sign of its
+    own orientation) the fan from ANY origin is an exact signed cover
+    of the polygon — χ_ring(x) = Σᵢ signᵢ·χ_triᵢ(x) a.e. — so
+    downstream sums are exact for arbitrary simple rings, star-shaped
+    or not."""
     c = ring.mean(axis=0)
     n = len(ring)
     tris = np.empty((n, 3, 2))
@@ -325,9 +329,15 @@ def _fan_triangles(ring: np.ndarray) -> np.ndarray:
 
 
 def intersection_area_star(a: np.ndarray, b: np.ndarray) -> float:
-    """Exact area of intersection of two star-convex rings via pairwise
-    convex triangle clipping (reference: ``intersection(...).area``,
-    batch_sam.py:150-151, delineation_utils.py:38-47).
+    """Exact area of intersection of two SIMPLE rings via signed
+    pairwise triangle clipping (reference: ``intersection(...).area``,
+    batch_sam.py:150-151, delineation_utils.py:38-47): with each
+    polygon written as a signed fan cover (see :func:`_fan_triangles`),
+    area(A∩B) = Σᵢⱼ signᵢ·signⱼ·|triᵢ ∩ triⱼ|. Reflex wedges enter
+    with negative sign instead of being flipped positive, so the sum
+    is exact for arbitrary simple rings — not just rings star-shaped
+    about their vertex mean. (The name keeps the star suffix for API
+    stability.)
 
     Fast path: when both rings are convex, one Sutherland–Hodgman clip.
     """
@@ -341,24 +351,34 @@ def intersection_area_star(a: np.ndarray, b: np.ndarray) -> float:
     ta = _fan_triangles(a)
     tb = _fan_triangles(b)
     total = 0.0
-    tb_boxes = [
-        (t[:, 0].min(), t[:, 1].min(), t[:, 0].max(), t[:, 1].max()) for t in tb
-    ]
+    tb_ccw, tb_sign, tb_boxes = [], [], []
+    for t in tb:
+        s = signed_ring_area(t)
+        if s == 0.0:
+            continue
+        tb_ccw.append(t if s > 0 else t[::-1])
+        tb_sign.append(1.0 if s > 0 else -1.0)
+        tb_boxes.append((t[:, 0].min(), t[:, 1].min(),
+                         t[:, 0].max(), t[:, 1].max()))
     for tri_a in ta:
+        sa = signed_ring_area(tri_a)
+        if sa == 0.0:
+            continue
+        sign_a = 1.0 if sa > 0 else -1.0
+        tri_a_ccw = tri_a if sa > 0 else tri_a[::-1]
         abox = (
             tri_a[:, 0].min(),
             tri_a[:, 1].min(),
             tri_a[:, 0].max(),
             tri_a[:, 1].max(),
         )
-        tri_a_ccw = _ensure_ccw(tri_a)
-        for tri_b, bbox_b in zip(tb, tb_boxes):
+        for tri_b, sign_b, bbox_b in zip(tb_ccw, tb_sign, tb_boxes):
             if not bbox_intersects(*abox, *bbox_b):
                 continue
-            clipped = convex_clip(tri_a_ccw, _ensure_ccw(tri_b))
+            clipped = convex_clip(tri_a_ccw, tri_b)
             if len(clipped) >= 3:
-                total += ring_area(clipped)
-    return total
+                total += sign_a * sign_b * ring_area(clipped)
+    return max(total, 0.0)
 
 
 def _is_convex(ring: np.ndarray) -> bool:
@@ -545,3 +565,171 @@ def convex_hull(xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
     if len(hull_sorted) == 0:  # all points coincide
         hull_sorted = [0]
     return order[np.array(hull_sorted, np.int64)]
+
+
+# ---------------------------------------------------------------------------
+# Vector-exact polygon difference (Greiner–Hormann)
+# ---------------------------------------------------------------------------
+
+def _proper_crossings(a: np.ndarray, b: np.ndarray, teps: float = 1e-12):
+    """All proper interior crossings between edges of rings a and b.
+    Vectorized all-pairs segment intersection. Returns
+    (edge_a, t, edge_b, u) arrays sorted by (edge_a, t), plus a
+    degeneracy flag (a crossing at/near an endpoint, or collinear
+    overlapping edges — general position violated)."""
+    a0, a1 = a, np.roll(a, -1, axis=0)
+    b0, b1 = b, np.roll(b, -1, axis=0)
+    d1 = a1 - a0                                    # (n, 2)
+    d2 = b1 - b0                                    # (m, 2)
+    denom = d1[:, None, 0] * d2[None, :, 1] - d1[:, None, 1] * d2[None, :, 0]
+    r = b0[None, :, :] - a0[:, None, :]             # (n, m, 2)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (r[..., 0] * d2[None, :, 1] - r[..., 1] * d2[None, :, 0]) / denom
+        u = (r[..., 0] * d1[:, None, 1] - r[..., 1] * d1[:, None, 0]) / denom
+    nonpar = np.abs(denom) > teps
+    on_seg = nonpar & (t > -teps) & (t < 1 + teps) & (u > -teps) & (u < 1 + teps)
+    near_end = on_seg & (
+        (np.abs(t) < teps) | (np.abs(t - 1) < teps)
+        | (np.abs(u) < teps) | (np.abs(u - 1) < teps)
+    )
+    proper = on_seg & ~near_end
+    # collinear overlap: parallel edges whose supporting lines coincide
+    # and whose spans overlap — conservative flag via endpoint-on-edge
+    degenerate = bool(near_end.any())
+    ia, ib = np.nonzero(proper)
+    ts, us = t[ia, ib], u[ia, ib]
+    order = np.lexsort((ts, ia))
+    return ia[order], ts[order], ib[order], us[order], degenerate
+
+
+def _augmented(ring: np.ndarray, edge_idx: np.ndarray, alphas: np.ndarray,
+               inter_ids: np.ndarray):
+    """Ring vertices with intersection points spliced into their edges
+    (sorted by alpha along each edge). Returns (pts (k,2), ids (k,)
+    int64 with -1 for original vertices)."""
+    pts, ids = [], []
+    n = len(ring)
+    for v in range(n):
+        pts.append(ring[v]); ids.append(-1)
+        sel = edge_idx == v
+        if sel.any():
+            a = alphas[sel]
+            iid = inter_ids[sel]
+            o = np.argsort(a, kind="stable")
+            p0, p1 = ring[v], ring[(v + 1) % n]
+            for j in o:
+                pts.append(p0 + a[j] * (p1 - p0)); ids.append(int(iid[j]))
+    return np.asarray(pts), np.asarray(ids, np.int64)
+
+
+def _keyhole(outer: np.ndarray, inner: np.ndarray) -> np.ndarray:
+    """Polygon-with-hole → single simple-ish ring via a zero-width
+    bridge between the closest (outer vertex, inner vertex) pair. The
+    bridge is traversed once each way, so the shoelace area is EXACTLY
+    area(outer) − area(inner). outer CCW, inner becomes CW."""
+    outer = _ensure_ccw(outer)
+    inner = _ensure_ccw(inner)[::-1]  # CW = hole orientation
+    d2 = ((outer[:, None, :] - inner[None, :, :]) ** 2).sum(-1)
+    i, j = np.unravel_index(np.argmin(d2), d2.shape)
+    hole = np.roll(inner, -j, axis=0)
+    return np.vstack([
+        outer[: i + 1], hole, hole[:1], outer[i:],
+    ])
+
+
+def difference_rings(subject: np.ndarray, clip: np.ndarray,
+                     _retry: int = 2) -> list:
+    """Exact vector difference ``subject \\ clip`` of two SIMPLE rings
+    — Greiner–Hormann traversal (subject forward / clip backward), the
+    reference's ``shapely`` ``polygon.difference(other)`` semantics
+    (batch_sam.py:267-324, delineation_utils.py:38-47) without the
+    raster round-trip. Returns a list of CCW rings (possibly several —
+    a clip that bisects the subject yields one ring per piece; a clip
+    strictly inside yields a keyhole ring whose shoelace area equals
+    area(subject) − area(clip) exactly).
+
+    General-position: a crossing landing exactly on a vertex (shared
+    vertices, collinear overlapping edges) is resolved by retrying with
+    the clip nudged by ~1e-9 of its bbox span — area error is O(eps ·
+    perimeter), far below the reference's raster quantization."""
+    s = _ensure_ccw(np.asarray(subject, np.float64))
+    c = _ensure_ccw(np.asarray(clip, np.float64))
+    ia, ts, ib, us, degenerate = _proper_crossings(s, c)
+    if degenerate and _retry > 0:
+        span = max(float(np.ptp(c[:, 0])), float(np.ptp(c[:, 1])), 1.0)
+        nudge = span * 1e-9 * np.array([1.0, 1.0])
+        return difference_rings(s, c + nudge, _retry=_retry - 1)
+
+    if len(ia) == 0:
+        s_in_c = bool(points_in_ring(s[:1, 0], s[:1, 1], c)[0])
+        c_in_s = bool(points_in_ring(c[:1, 0], c[:1, 1], s)[0])
+        if s_in_c:
+            return []                     # fully covered
+        if c_in_s:
+            return [_keyhole(s, c)]       # hole → bridge-cut ring
+        return [s.copy()]                 # disjoint
+
+    ids = np.arange(len(ia), dtype=np.int64)
+    s_pts, s_ids = _augmented(s, ia, ts, ids)
+    oc = np.argsort(ib, kind="stable")
+    c_pts, c_ids = _augmented(c, ib[oc], us[oc], ids[oc])
+    s_pos = {int(k): int(p) for p, k in enumerate(s_ids) if k >= 0}
+    c_pos = {int(k): int(p) for p, k in enumerate(c_ids) if k >= 0}
+
+    # per-segment membership flags, one vectorized PIP call per side:
+    # subject's augmented segments vs clip, clip's vs subject. Every
+    # traversal decision reads these flags — no flip-propagation, so a
+    # single noisy midpoint can't corrupt the whole walk.
+    s_mid = (s_pts + np.roll(s_pts, -1, axis=0)) / 2.0
+    s_seg_in = points_in_ring(s_mid[:, 0], s_mid[:, 1], c)
+    c_mid = (c_pts + np.roll(c_pts, -1, axis=0)) / 2.0
+    c_seg_in = points_in_ring(c_mid[:, 0], c_mid[:, 1], s)
+
+    # boundary arcs of A\B on the subject are ALWAYS traversed in A's
+    # own (CCW) direction; they start at crossings whose outgoing
+    # subject segment is outside B
+    starts = [int(s_ids[p]) for p in range(len(s_pts))
+              if s_ids[p] >= 0 and not s_seg_in[p]]
+    if not starts:
+        return [s.copy()]
+
+    out, visited = [], set()
+    for start in sorted(starts):
+        if start in visited:
+            continue
+        ring_pts = []
+        cur_id = start
+        guard = 4 * (len(s_pts) + len(c_pts)) + 8
+        while guard:
+            guard -= 1
+            visited.add(cur_id)
+            # subject: walk FORWARD to the next crossing (the arc is
+            # outside B by construction of `starts` / the clip hop)
+            p = s_pos[cur_id]
+            ring_pts.append(s_pts[p])
+            p = (p + 1) % len(s_pts)
+            while s_ids[p] < 0:
+                ring_pts.append(s_pts[p])
+                p = (p + 1) % len(s_pts)
+            entry = int(s_ids[p])
+            if entry == start:
+                break
+            # clip: walk along whichever adjacent clip arc lies INSIDE
+            # the subject (exactly one does at a transversal crossing —
+            # the piece of ∂B that bounds A\B). Direction is per-
+            # crossing, not a global rule: a clip arc may bound the
+            # removed region from either side.
+            q = c_pos[entry]
+            ring_pts.append(c_pts[q])
+            step = 1 if c_seg_in[q] else -1
+            q = (q + step) % len(c_pts)
+            while c_ids[q] < 0:
+                ring_pts.append(c_pts[q])
+                q = (q + step) % len(c_pts)
+            cur_id = int(c_ids[q])
+            if cur_id == start:
+                break
+        ring = np.asarray(ring_pts)
+        if len(ring) >= 3 and ring_area(ring) > 1e-12:
+            out.append(_ensure_ccw(ring))
+    return out

@@ -143,17 +143,26 @@ def kmeans_lloyd(embeddings, k: int = 8, iters: int = 5,
     so centroids (and therefore assignments) are bit-identical at any
     parallelism — the same determinism contract as the scaling bench.
 
-    Init: the k rows with smallest ``id_col`` (deterministic, no RNG).
+    Init: the k rows with smallest ``id_col`` (deterministic, no RNG),
+    found by a per-block smallest-k fold — k rows per block reach the
+    driver, never a global sort.
     Distance: squared Euclidean, argmin ties → lowest cluster index.
     Empty clusters keep their previous centroid.
 
     Returns (assignments Dataset of (id, cluster), centroids ndarray).
-    The input is materialized once so each iteration re-streams object
-    store blocks instead of re-reading the source."""
+    The input is NEVER materialized: every Lloyd pass re-streams the
+    (id, vec) projection from the source with backpressure, so the
+    working set per iteration is one batch per worker — at 100 TB the
+    object store holds blocks in flight, not the whole table (re-read
+    cost ≪ the spill storm a full materialize() causes)."""
     import ray
 
-    ds = embeddings.select_columns([id_col, vec_col]).materialize()
-    init = ds.sort(id_col).limit(k).to_pandas()
+    ds = embeddings.select_columns([id_col, vec_col])
+    init = (
+        ds.map_batches(lambda df: df.nsmallest(k, id_col),
+                       batch_format="pandas")
+        .to_pandas().nsmallest(k, id_col).sort_values(id_col)
+    )
     cent = np.stack(init[vec_col].to_numpy()).astype(np.float64)
 
     def _argmin(x: np.ndarray, c: np.ndarray) -> np.ndarray:

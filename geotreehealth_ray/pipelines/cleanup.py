@@ -12,11 +12,9 @@ Reference semantics mirrored:
 - ``subtract_overlap_from_larger``: for 10–50% shared pairs, subtract
   the intersection from the LARGER polygon — reference
   batch_sam.py:224-259 (remove_shared_region) and :267-324. Polygon
-  difference is computed RASTER-BACKED at the working resolution
-  (0.1 m, reference config.py:53): rasterize both rings over the
-  larger ring's bbox, boolean subtract, re-trace with the contour
-  kernel. The reference's own polygons come from raster masks, so the
-  raster-backed boolean op is faithful to its geometry source.
+  difference is VECTOR-EXACT (Greiner–Hormann,
+  ``geom.difference_rings``) — the same result as the reference's
+  shapely ``difference`` on simple rings, with no raster quantization.
 - ``explode_multirings``: MultiPolygon → one row per part — reference
   split_multipolygons_to_polygons, delineation_utils.py:93-104.
 - degenerate-geometry filter: drop rings with < 3 vertices or ~zero
@@ -32,7 +30,7 @@ import pyarrow as pa
 
 from .relational import sorted_group_map
 
-from ..functions import cells, contours, geom
+from ..functions import cells, geom
 from ..stages.spatial import pack_rings, rings_from_binary, scramble_cell
 from .nms import DEFAULT_HALO_M, _explode_with_halo
 
@@ -114,11 +112,20 @@ def remove_smaller_overlapping(crowns, min_frac: float = 0.5,
 def subtract_overlap_from_larger_kernel(ring_a: np.ndarray, ring_b: np.ndarray,
                                         res_m: float = 0.1,
                                         lo: float = 0.10, hi: float = 0.50
-                                        ) -> np.ndarray | None:
-    """Raster-backed difference: when the pair shares between lo and hi
-    of the smaller area, subtract the intersection from the LARGER ring
-    and return its re-traced polygon (in world coords); None = no
-    change (reference batch_sam.py:267-324 semantics)."""
+                                        ) -> list[np.ndarray] | None:
+    """VECTOR-EXACT difference (Greiner–Hormann,
+    :func:`geom.difference_rings`): when the pair shares between lo and
+    hi of the smaller area, subtract the intersection from the LARGER
+    ring and return the resulting ring(s) — the reference's ``shapely``
+    ``larger.difference(smaller)`` (batch_sam.py:267-324) bit-for-bit
+    on simple rings, where the previous implementation rasterized at
+    ``res_m`` and re-traced. None = no change. A bisecting overlap
+    yields several rings (the reference's MultiPolygon case — feed
+    through :func:`explode_multirings` semantics); a fully-interior
+    overlap yields one keyhole ring with exact shoelace area.
+
+    ``res_m`` is retained for API compatibility; the vector path does
+    not quantize."""
     a_area = geom.ring_area(ring_a)
     b_area = geom.ring_area(ring_b)
     inter = geom.intersection_area_star(ring_a, ring_b)
@@ -126,25 +133,8 @@ def subtract_overlap_from_larger_kernel(ring_a: np.ndarray, ring_b: np.ndarray,
     if not (lo < frac <= hi):
         return None
     larger, smaller = (ring_a, ring_b) if a_area >= b_area else (ring_b, ring_a)
-    minx, miny, maxx, maxy = geom.ring_bbox(larger)
-    wx = np.arange(minx, maxx + res_m, res_m) + res_m / 2
-    wy = np.arange(miny, maxy + res_m, res_m) + res_m / 2
-    m_large = geom.raster_mask(larger, wx, wy)
-    m_small = geom.raster_mask(smaller, wx, wy)
-    diff = m_large & ~m_small
-    if not diff.any():
-        return None
-    cx, cy = geom.ring_centroid(larger)
-    px = (cx - minx) / res_m
-    py = (cy - miny) / res_m
-    traced = contours.mask_to_polygon(diff, px, py)
-    if traced is None:
-        return None
-    # pixel → world
-    out = np.empty_like(traced)
-    out[:, 0] = minx + traced[:, 0] * res_m
-    out[:, 1] = miny + traced[:, 1] * res_m
-    return out
+    pieces = geom.difference_rings(larger, smaller)
+    return pieces or None
 
 
 def explode_multirings(ds, rings_col: str = "rings"):

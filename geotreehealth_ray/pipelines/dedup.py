@@ -487,31 +487,44 @@ def _verify_pairs(docs, pairs, shingle_fn, threshold: float,
         return p.merge(t, on="doc_id_b", how="inner")
 
     # shuffle 3 (key = doc_id_b): attach text_b AND verify in the same
-    # exchange — memoized shingle arrays, each text shingled once per
-    # bucket regardless of how many pairs reference it
+    # exchange — every distinct doc in the bucket is shingled ONCE into
+    # a packed gram arena, then all pairs verify through the same
+    # vectorized _jaccard_bulk kernel the broadcast path uses (one
+    # python step per distinct left doc, not per pair)
     def stage_b_verify(df: pd.DataFrame) -> pd.DataFrame:
         merged = with_b_merge(df)
-        memo: dict[int, np.ndarray] = {}
-
-        def sh(doc_id, text):
-            s = memo.get(doc_id)
-            if s is None:
-                s = shingle_fn(text or "")
-                memo[doc_id] = s
-            return s
-
-        ra, rb, rj = [], [], []
-        for row in merged.itertuples():
-            jac = _jaccard_arrays(
-                sh(row.doc_id_a, row.text_a), sh(row.doc_id_b, row.text_b)
+        if merged.empty:
+            return pd.DataFrame(
+                {"doc_id_a": pd.array([], "int64"),
+                 "doc_id_b": pd.array([], "int64"),
+                 "jaccard": pd.array([], "float64")}
             )
-            if jac >= threshold:
-                ra.append(row.doc_id_a); rb.append(row.doc_id_b)
-                rj.append(round(jac, 9))
+        a_ids = merged["doc_id_a"].to_numpy(np.int64)
+        b_ids = merged["doc_id_b"].to_numpy(np.int64)
+        ta = merged.drop_duplicates("doc_id_a")
+        tb = merged.drop_duplicates("doc_id_b")
+        all_ids = np.concatenate(
+            [ta["doc_id_a"].to_numpy(np.int64),
+             tb["doc_id_b"].to_numpy(np.int64)]
+        )
+        all_texts = np.concatenate(
+            [ta["text_a"].to_numpy(object), tb["text_b"].to_numpy(object)]
+        )
+        uids, first = np.unique(all_ids, return_index=True)
+        grams = [shingle_fn(all_texts[i] or "") for i in first]
+        lens = np.fromiter((len(g) for g in grams), np.int64, len(grams))
+        offs = np.zeros(len(grams), np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        flat = (np.concatenate(grams) if len(grams)
+                else np.empty(0, np.uint64))
+        jac = _jaccard_bulk(flat, offs, lens,
+                            np.searchsorted(uids, a_ids),
+                            np.searchsorted(uids, b_ids))
+        keep = jac >= threshold
         return pd.DataFrame(
-            {"doc_id_a": pd.array(ra, "int64"),
-             "doc_id_b": pd.array(rb, "int64"),
-             "jaccard": pd.array(rj, "float64")}
+            {"doc_id_a": pd.array(a_ids[keep], "int64"),
+             "doc_id_b": pd.array(b_ids[keep], "int64"),
+             "jaccard": pd.array(np.round(jac[keep], 9), "float64")}
         )
 
     return bucketed_reduce(with_b_input, "key", stage_b_verify,

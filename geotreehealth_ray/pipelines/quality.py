@@ -157,9 +157,15 @@ def table_diff(old, new, key: str, value_cols: list[str]):
         )
         same = np.ones(len(m), dtype=bool)
         for c in value_cols:
+            # NaN-aware: both-NaN counts as equal (SQL IS NOT DISTINCT
+            # FROM semantics — a NaN metric that didn't move is not a
+            # 'changed' row)
+            o, n = m[f"{c}_o"], m[f"{c}_n"]
             same &= (
-                m[f"{c}_o"].to_numpy() == m[f"{c}_n"].to_numpy()
-            ) | (m["_merge"] != "both").to_numpy()
+                (o.to_numpy() == n.to_numpy())
+                | (o.isna() & n.isna()).to_numpy()
+                | (m["_merge"] != "both").to_numpy()
+            )
         keep = ~((m["_merge"] == "both").to_numpy() & same)
         out = pd.DataFrame({key: m[key].to_numpy()[keep],
                             "change": change[keep]})

@@ -46,12 +46,45 @@ class SamSlotScorer:
         self.cache_tiles = cache_tiles
 
     def _load_model(self, checkpoint):
-        if checkpoint is not None:
-            raise NotImplementedError(
-                "real SAM weights are not available in this environment; "
-                "pass checkpoint=None for the deterministic stub"
-            )
-        return "stub-sam"
+        """The swap-in seam (reference get_polygons.py:122-136 loads
+        the ViT checkpoint here). ``None`` → deterministic stub;
+        ``"torch:<path>"`` → a TorchScript module loaded ONCE per
+        actor (requires torch — gated, not assumed). Any other string
+        is rejected loudly so a typo never silently stubs."""
+        if checkpoint is None:
+            return "stub-sam"
+        if checkpoint.startswith("torch:"):
+            try:
+                import torch
+            except ImportError as e:  # pragma: no cover - torch absent here
+                raise NotImplementedError(
+                    "checkpoint requires torch, which is unavailable in "
+                    "this environment; pass checkpoint=None for the stub"
+                ) from e
+            return torch.jit.load(checkpoint[len("torch:"):]).eval()
+        raise NotImplementedError(
+            f"unrecognized checkpoint {checkpoint!r}: use None (stub) "
+            "or 'torch:<torchscript path>'"
+        )
+
+    def _forward(self, emb: np.ndarray, px: float, py: float,
+                 box: tuple[float, float] | None) -> float:
+        """One prompt → mask score. Stub: deterministic hash of
+        (embedding, prompt). Torch path: the loaded module maps the
+        feature vector [mean(emb), px, py] → scalar score — the same
+        per-prompt contract the real SAM predictor fills."""
+        if isinstance(self.model, str):  # stub
+            key = f"{emb.sum():.3f}:{px:.2f}:{py:.2f}"
+            if box is not None:
+                key += f":{box[0]:.2f}:{box[1]:.2f}"
+            return _stable_float(key)
+        import torch  # model present ⇒ torch present
+
+        feat = torch.tensor(
+            [float(emb.mean()), float(px), float(py)], dtype=torch.float32
+        )
+        with torch.no_grad():
+            return float(self.model(feat))
 
     def _embed(self, tile_id: str, data: bytes, fmt: str) -> np.ndarray:
         if tile_id in self.embed_cache:
@@ -83,11 +116,10 @@ class SamSlotScorer:
         scores = np.empty(len(batch))
         for i, tid in enumerate(tids):
             emb = self._embed(tid, batch["bytes"][i].as_py(), fmts[i])
-            # stub forward: deterministic function of (embedding, prompt)
-            key = f"{emb.sum():.3f}:{pxs[i]:.2f}:{pys[i]:.2f}"
+            box = None
             if has_box and np.isfinite(bminx[i]):
-                key += f":{bminx[i]:.2f}:{bminy[i]:.2f}"
-            scores[i] = _stable_float(key)
+                box = (float(bminx[i]), float(bminy[i]))
+            scores[i] = self._forward(emb, pxs[i], pys[i], box)
         return pa.table(
             {
                 "tile_id": pa.array(tids),
@@ -144,16 +176,53 @@ class HealthClassifierSlot:
     CLASSES = ("A", "AU", "DS")
 
     def __init__(self, weights: str | None = None):
-        if weights is not None:
-            raise NotImplementedError("torch unavailable; use stub")
+        self.model = self._load_model(weights)
+
+    def _load_model(self, weights):
+        """Same seam as :meth:`SamSlotScorer._load_model`: ``None`` →
+        stub; ``"torch:<path>"`` → TorchScript module (reference
+        model_architecture.py:31-87 MultiModalNet forward)."""
+        if weights is None:
+            return "stub-mmn"
+        if weights.startswith("torch:"):
+            try:
+                import torch
+            except ImportError as e:  # pragma: no cover - torch absent here
+                raise NotImplementedError(
+                    "weights require torch, which is unavailable; pass "
+                    "weights=None for the stub"
+                ) from e
+            return torch.jit.load(weights[len("torch:"):]).eval()
+        raise NotImplementedError(
+            f"unrecognized weights {weights!r}: use None (stub) or "
+            "'torch:<torchscript path>'"
+        )
+
+    def _forward(self, crown_ids: list) -> np.ndarray:
+        """(n, n_classes) logits. Stub: per-crown hash logits. Torch
+        path: one BATCHED module call (n, feat) → (n, n_classes) — the
+        batching contract the real classifier relies on."""
+        if isinstance(self.model, str):  # stub
+            raw = np.array(
+                [[_stable_float(f"{cid}:{c}") for c in self.CLASSES]
+                 for cid in crown_ids]
+            )
+            return raw
+        import torch
+
+        feats = torch.tensor(
+            [[_stable_float(f"feat:{cid}")] for cid in crown_ids],
+            dtype=torch.float32,
+        )
+        with torch.no_grad():
+            return self.model(feats).numpy().astype(np.float64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["crown_id"].to_pylist()
+        raw_all = self._forward(ids)
         probs = np.empty((len(ids), len(self.CLASSES)), np.float32)
-        for i, cid in enumerate(ids):
-            raw = np.array(
-                [_stable_float(f"{cid}:{c}") for c in self.CLASSES]
-            )
+        for i in range(len(ids)):
+            raw = raw_all[i]
             e = np.exp(raw - raw.max())
             probs[i] = e / e.sum()
         pred = [self.CLASSES[int(np.argmax(p))] for p in probs]
@@ -166,12 +235,19 @@ class HealthClassifierSlot:
         )
 
 
-def score_crowns_with_sam_slot(prompts, concurrency: int = 2, batch_size: int = 64):
+def score_crowns_with_sam_slot(prompts, concurrency: int = 2, batch_size: int = 64,
+                               scorer_cls: type = SamSlotScorer,
+                               **scorer_kwargs):
     """prompts: Dataset of (tile_id, bytes, fmt, prompt_x, prompt_y).
     Wire-up helper showing the canonical actor-pool invocation; for a
-    GPU model add ``num_gpus=…`` and size concurrency to the GPUs."""
+    GPU model add ``num_gpus=…`` and size concurrency to the GPUs.
+    ``scorer_cls`` / ``scorer_kwargs`` expose the swap-in seam at the
+    pipeline level: a subclass overriding ``_load_model``/``_forward``
+    (or ``checkpoint="torch:<path>"``) drops in with zero plumbing
+    changes."""
     return prompts.map_batches(
-        SamSlotScorer,
+        scorer_cls,
+        fn_constructor_kwargs=scorer_kwargs or None,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -58,10 +58,12 @@ def test_subtract_overlap_kernel():
     a = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], float) + 100.0
     b = np.array([[7, 0], [14, 0], [14, 10], [7, 10]], float) + 100.0
     # shared = 3x10 = 30 → 30/70 ≈ 0.43 of smaller → in (0.10, 0.50]
-    out = cleanup.subtract_overlap_from_larger_kernel(a, b, res_m=0.1)
+    out = cleanup.subtract_overlap_from_larger_kernel(a, b)
     assert out is not None
-    # larger (a, 100 m²) loses the 30 m² intersection → ~70 m²
-    assert geom.ring_area(out) == pytest.approx(70.0, rel=0.02)
+    # vector difference: larger (a, 100 m²) loses the 30 m²
+    # intersection. The collinear shared edges here take the nudge
+    # path (error ~1e-9·perimeter); general-position pairs are exact.
+    assert sum(geom.ring_area(r) for r in out) == pytest.approx(70.0, abs=1e-5)
     # disjoint → None
     c = b + 50.0
     assert cleanup.subtract_overlap_from_larger_kernel(a, c) is None

@@ -148,3 +148,68 @@ def test_pair_pip_matches_per_ring_pip():
     assert geom.points_in_rings_pairs(vx, vy, np.arange(len(rings)), pack).all()
     # empty pair list
     assert len(geom.points_in_rings_pairs(np.empty(0), np.empty(0), np.empty(0, np.int64), pack)) == 0
+
+
+def _gen_simple_star(rng, nmin=5, nmax=14, rlo=3.0, rhi=7.0):
+    """Simple polygon: star about the origin with every angular gap
+    < π (a chord spanning more than π wraps the origin and can cross
+    other edges)."""
+    while True:
+        n = int(rng.integers(nmin, nmax))
+        th = np.sort(rng.random(n)) * 2 * np.pi
+        gaps = np.diff(np.r_[th, th[0] + 2 * np.pi])
+        if gaps.max() < np.pi * 0.95:
+            r = rlo + rng.random(n) * (rhi - rlo)
+            return np.c_[r * np.cos(th), r * np.sin(th)]
+
+
+def test_difference_rings_square_cases():
+    a = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], float)
+    # side overlap: 100 - 30 = 70, one piece (shoelace-exact)
+    b = np.array([[7, -1], [14, -1], [14, 11], [7, 11]], float)
+    d = geom.difference_rings(a, b)
+    assert len(d) == 1
+    assert abs(sum(geom.ring_area(r) for r in d) - 70.0) < 1e-9
+    # bisecting strip: two pieces, 80 total
+    c = np.array([[4, -1], [6, -1], [6, 11], [4, 11]], float)
+    d = geom.difference_rings(a, c)
+    assert len(d) == 2
+    assert abs(sum(geom.ring_area(r) for r in d) - 80.0) < 1e-9
+    # hole: keyhole ring with exact area 100 - 16 = 84
+    h = np.array([[3, 3], [7, 3], [7, 7], [3, 7]], float)
+    d = geom.difference_rings(a, h)
+    assert len(d) == 1
+    assert abs(geom.ring_area(d[0]) - 84.0) < 1e-9
+    # disjoint → subject unchanged; covered → empty
+    assert len(geom.difference_rings(a, h + 100)) == 1
+    big = np.array([[-5, -5], [15, -5], [15, 15], [-5, 15]], float)
+    assert geom.difference_rings(a, big) == []
+    # shared-edge degeneracy resolves via nudge (error ~1e-9·perimeter)
+    shared = np.array([[7, 0], [14, 0], [14, 10], [7, 10]], float)
+    d = geom.difference_rings(a, shared)
+    assert abs(sum(geom.ring_area(r) for r in d) - 70.0) < 1e-5
+
+
+def test_difference_rings_matches_signed_intersection_area():
+    """Two independent exact algorithms agree: shoelace(A\\B pieces)
+    == area(A) − intersection_area_star(A, B) on arbitrary simple
+    (non-convex, non-mean-star) rings."""
+    rng = np.random.default_rng(42)
+    for _ in range(120):
+        a = _gen_simple_star(rng)
+        b = _gen_simple_star(rng) + (rng.random(2) * 8 - 4)
+        expect = geom.ring_area(a) - geom.intersection_area_star(a, b)
+        got = sum(geom.ring_area(r) for r in geom.difference_rings(a, b))
+        assert abs(got - expect) <= 1e-6 * max(1.0, expect)
+
+
+def test_intersection_area_signed_reflex_wedges():
+    """A ring NOT star-shaped about its vertex mean: the signed fan
+    cover must subtract reflex wedges (the unsigned sum overcounts).
+    Oracle: convex_clip of the convex partner against each piece of a
+    manual convex decomposition."""
+    # L-shape (not star about its vertex mean's fan in general) vs square
+    L = np.array([[0, 0], [10, 0], [10, 4], [4, 4], [4, 10], [0, 10]], float)
+    q = np.array([[2, 2], [8, 2], [8, 8], [2, 8]], float)
+    # manual: L ∩ q = (2..8)x(2..4) ∪ (2..4)x(4..8) → 12 + 8 = 20
+    assert abs(geom.intersection_area_star(L, q) - 20.0) < 1e-9

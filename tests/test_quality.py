@@ -80,3 +80,21 @@ def test_table_diff_classifies_all_changes(ray_session):
     got = dict(zip(out["k"], out["change"]))
     assert 1 not in got  # unchanged keys are dropped
     assert got == {k: v for k, v in want.items() if v}
+
+
+def test_table_diff_nan_equals_nan(ray_session):
+    """A value that is NaN on BOTH sides is unchanged (SQL IS NOT
+    DISTINCT FROM), not 'changed'; NaN vs value IS changed."""
+    import numpy as np
+    import ray.data as rd
+
+    from geotreehealth_ray.pipelines.quality import table_diff
+
+    old = pd.DataFrame({"k": [1, 2, 3], "v": [np.nan, np.nan, 7.0]})
+    new = pd.DataFrame({"k": [1, 2, 3], "v": [np.nan, 5.0, np.nan]})
+    out = table_diff(
+        rd.from_pandas(old).repartition(2),
+        rd.from_pandas(new).repartition(2), "k", ["v"],
+    ).to_pandas()
+    got = dict(zip(out["k"], out["change"]))
+    assert got == {2: "changed", 3: "changed"}  # 1 (NaN==NaN) dropped
