@@ -120,33 +120,46 @@ def _q_unassigned(sf_dir: str):
 
 
 def _q_knn_join(sf_dir: str):
+    """Cross-set kNN (customers → 3 nearest suppliers): the supplier
+    side is the INDEX side — broadcast once via ray.put, sorted by
+    suppkey so a stable row-wise argsort of the distance matrix breaks
+    ties by lowest suppkey with zero per-row Python. At scale the
+    index side swaps for the IVF path (ann.py); the query side streams
+    either way."""
     from geotreehealth_ray.pipelines.derive import _coords
 
     rd = _rd()
     import ray
 
     sup = _read(sf_dir, "supplier").select_columns(["s_suppkey"]).to_pandas()
-    skey = sup["s_suppkey"].to_numpy()
+    skey = np.sort(sup["s_suppkey"].to_numpy())
     sx, sy = _coords(skey)
     sref = ray.put((skey, sx, sy))
+    k = 3
 
     def fn(t: pa.Table) -> pa.Table:
         skey_, sx_, sy_ = ray.get(sref)
         ckey = t["c_custkey"].to_numpy()
         cx, cy = _coords(ckey)
-        out_c, out_s, out_r = [], [], []
-        k = 3
-        for i in range(len(ckey)):
-            d2 = (sx_ - cx[i]) ** 2 + (sy_ - cy[i]) ** 2
-            order = np.lexsort((skey_, d2))[:k]
-            out_c.extend([ckey[i]] * len(order))
-            out_s.extend(skey_[order])
-            out_r.extend(range(len(order)))
+        kk = min(k, len(skey_))
+        out_c = np.repeat(ckey.astype(np.int64), kk)
+        out_s = np.empty(len(ckey) * kk, np.int64)
+        out_r = np.tile(np.arange(kk, dtype=np.int64), len(ckey))
+        # chunked (queries × index) distance matrix; candidates are
+        # suppkey-ascending, so a STABLE argsort on d2 IS the
+        # lexsort((skey, d2)) tie-break, vectorized across the chunk
+        CH = 512
+        for c0 in range(0, len(ckey), CH):
+            q = slice(c0, min(c0 + CH, len(ckey)))
+            d2 = (sx_[None, :] - cx[q][:, None]) ** 2 \
+                + (sy_[None, :] - cy[q][:, None]) ** 2
+            idx = np.argsort(d2, axis=1, kind="stable")[:, :kk]
+            out_s[c0 * kk : c0 * kk + idx.size] = skey_[idx].ravel()
         return pa.table(
             {
-                "c_custkey": pa.array(np.array(out_c, np.int64)),
-                "s_suppkey": pa.array(np.array(out_s, np.int64)),
-                "rank": pa.array(np.array(out_r, np.int64)),
+                "c_custkey": pa.array(out_c),
+                "s_suppkey": pa.array(out_s),
+                "rank": pa.array(out_r),
             }
         )
 
@@ -2346,6 +2359,43 @@ def _q_synth_health_dataset(sf_dir: str):
     )
 
 
+def _q_synth_training(sf_dir: str):
+    """Training handoff (reference MultiModalDataset/DataLoader,
+    build_dataloaders.py:13-169) as a driver query: chips + per-crown
+    lidar point sets → fixed-shape multimodal samples, streamed back
+    as per-sample checksums (the arrays themselves stay distributed;
+    rows-only check — tensor assembly is not SQL-expressible)."""
+    p = _synth_paths()
+
+    from geotreehealth_ray.pipelines.chips import GridSpec, extract_chips
+    from geotreehealth_ray.pipelines.training import (
+        crown_lidar_points,
+        multimodal_training_rows,
+    )
+    from geotreehealth_ray.sources import synth
+
+    crowns = _rd().read_parquet(p["crowns"])
+    tiles = _rd().read_parquet(p["tiles"])
+    images = _rd().read_parquet(p["images"])
+    lidar = _rd().read_parquet(p["lidar"])
+    chips = extract_chips(crowns, tiles, images, GridSpec.from_synth(synth.TINY))
+    pts = crown_lidar_points(lidar, crowns, max_points=64)
+    rows = multimodal_training_rows(chips, pts, rgb_shape=16, max_points=64)
+
+    def checksum(df: pd.DataFrame) -> pd.DataFrame:
+        import zlib
+
+        return pd.DataFrame({
+            "crown_id": df["crown_id"],
+            "hsi_crc": [zlib.crc32(b) for b in df["hsi_b"]],
+            "rgb_crc": [zlib.crc32(b) for b in df["rgb_b"]],
+            "lidar_crc": [zlib.crc32(b) for b in df["lidar_b"]],
+            "label": df["label"],
+        })
+
+    return rows.map_batches(checksum, batch_format="pandas")
+
+
 def _q_synth_alignment(sf_dir: str):
     """Entry point §3.4 as a driver query: field→reference coordinate
     alignment (control-point match, driver-side model fit, broadcast
@@ -2833,6 +2883,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "cell_hulls": _q_cell_hulls,
         "synth_delineation": _q_synth_delineation,
         "synth_health_dataset": _q_synth_health_dataset,
+        "synth_training": _q_synth_training,
         "synth_alignment": _q_synth_alignment,
         "synth_pansharpen": _q_synth_pansharpen,
         # --- tier 2: dedup / ANN / text training-data family ---

@@ -25,6 +25,7 @@ __all__ = [
     "cells_covering",
     "cell_grid_xy",
     "mix64",
+    "fused_group_key",
     "hilbert_of",
     "hilbert_decode",
     "hilbert_xy2d",
@@ -311,3 +312,17 @@ def cells_covering_many(
     if not idx_out:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
     return np.concatenate(idx_out), np.concatenate(cell_out)
+
+
+def fused_group_key(raw_cell: np.ndarray, salt) -> np.ndarray:
+    """Bijective (cell, salt) → uniform uint64 group key: the salt
+    (< 16) packs into the low 4 bits ahead of the :func:`mix64`
+    scramble, so two different (cell, salt) pairs can NEVER collide
+    (injective pack ∘ bijective mix) and the key is uniform over
+    [0, 2^64) — the property that lets a sort exchange use analytic
+    ``uniform_uint64_boundaries`` instead of a sampling round.
+    Requires raw cells < 2^60 (Morton keys at res ≤ 30; DEFAULT_RES
+    is 13)."""
+    c = np.asarray(raw_cell, np.uint64)
+    s = np.asarray(salt, np.uint64) if not np.isscalar(salt) else np.uint64(salt)
+    return mix64((c << np.uint64(4)) | (s & np.uint64(0xF)))

@@ -61,9 +61,12 @@ _UNION_SCHEMA = pa.schema(
         ("ccx", pa.float64()),
         ("ccy", pa.float64()),
         ("multi", pa.bool_()),  # crown bbox spans >1 cell → needs reduce
-        ("salt", pa.int8()),
     ]
 )
+# NOTE: salt is FUSED into the mixed cell key (cells.fused_group_key),
+# not carried as a column — the exchange sorts ONE uniform uint64 key,
+# which lets the caller hand the sort analytic uniform boundaries and
+# collapse the groupby to a single barrier (no sample, no coalesce).
 
 # Hot-cell salting (SURVEY §7.1 step 9): in cells whose stem count
 # exceeds HOT_CELL_THRESHOLD, crowns are PARTITIONED across the cell's
@@ -199,9 +202,13 @@ def _stem_side(batch: pa.Table, res: int, hot_ref=None, salt_all=True) -> pa.Tab
     return pa.table(
         {
             "side": pa.array(np.zeros(n, np.int8)),
-            # scrambled (bijective) so hot spatial clusters spread
-            # across range partitions — see cells.mix64
-            "cell": pa.array(cells.mix64(batch["cell"].to_numpy()), pa.uint64()),
+            # (cell, salt) fused then scrambled (bijective) so hot
+            # spatial clusters AND a hot cell's salt sub-groups spread
+            # across range partitions — see cells.fused_group_key
+            "cell": pa.array(
+                cells.fused_group_key(batch["cell"].to_numpy(), salt),
+                pa.uint64(),
+            ),
             "stem_id": batch["stem_id"],
             "x": batch["x"],
             "y": batch["y"],
@@ -210,7 +217,6 @@ def _stem_side(batch: pa.Table, res: int, hot_ref=None, salt_all=True) -> pa.Tab
             "ccx": pa.nulls(n, pa.float64()),
             "ccy": pa.nulls(n, pa.float64()),
             "multi": pa.nulls(n, pa.bool_()),
-            "salt": pa.array(salt),
         },
         schema=_UNION_SCHEMA,
     )
@@ -239,7 +245,7 @@ def _crown_side(batch: pa.Table, res: int, hot_ref=None, salt_all=True) -> pa.Ta
     return pa.table(
         {
             "side": pa.array(np.ones(n, np.int8)),
-            "cell": pa.array(cells.mix64(keys), pa.uint64()),
+            "cell": pa.array(cells.fused_group_key(keys, salts), pa.uint64()),
             "stem_id": pa.nulls(n, pa.string()),
             "x": taken["minx"],  # carried for bbox prefilter
             "y": taken["miny"],
@@ -248,7 +254,6 @@ def _crown_side(batch: pa.Table, res: int, hot_ref=None, salt_all=True) -> pa.Ta
             "ccx": taken["cx"],
             "ccy": taken["cy"],
             "multi": pa.array((reps > 1)[idx]),
-            "salt": pa.array(salts),
         },
         schema=_UNION_SCHEMA,
     )
@@ -279,7 +284,7 @@ def _stem_side_owner(batch: pa.Table, res: int, mx: float, my: float,
     return pa.table(
         {
             "side": pa.array(np.zeros(n, np.int8)),
-            "cell": pa.array(cells.mix64(keys2), pa.uint64()),
+            "cell": pa.array(cells.fused_group_key(keys2, salt), pa.uint64()),
             "stem_id": taken["stem_id"],
             "x": taken["x"],
             "y": taken["y"],
@@ -288,7 +293,6 @@ def _stem_side_owner(batch: pa.Table, res: int, mx: float, my: float,
             "ccx": pa.nulls(n, pa.float64()),
             "ccy": pa.nulls(n, pa.float64()),
             "multi": pa.nulls(n, pa.bool_()),
-            "salt": pa.array(salt),
         },
         schema=_UNION_SCHEMA,
     )
@@ -310,7 +314,7 @@ def _crown_side_owner(batch: pa.Table, res: int, hot_ref=None,
     return pa.table(
         {
             "side": pa.array(np.ones(n, np.int8)),
-            "cell": pa.array(cells.mix64(keys), pa.uint64()),
+            "cell": pa.array(cells.fused_group_key(keys, salts), pa.uint64()),
             "stem_id": pa.nulls(n, pa.string()),
             "x": batch["minx"],
             "y": batch["miny"],
@@ -319,7 +323,6 @@ def _crown_side_owner(batch: pa.Table, res: int, hot_ref=None,
             "ccx": batch["cx"],
             "ccy": batch["cy"],
             "multi": pa.array(np.zeros(n, dtype=bool)),
-            "salt": pa.array(salts),
         },
         schema=_UNION_SCHEMA,
     )
@@ -511,6 +514,7 @@ def assign_stems_to_crowns(stems, crowns, res: int = cells.DEFAULT_RES,
         bucketed_reduce,
         shuffle_partitions_for,
         sorted_group_map,
+        uniform_uint64_boundaries,
     )
 
     n_stems = stems.count()  # parquet metadata — no scan
@@ -545,8 +549,11 @@ def assign_stems_to_crowns(stems, crowns, res: int = cells.DEFAULT_RES,
         # each crown lives in exactly one group → the per-group
         # (dist, stem_id) argmin IS the global winner; project off the
         # dormant 'multi' column in the same fused stage
+        # the fused mix64 key is uniform ⇒ analytic boundaries: ONE
+        # all-to-all barrier, no sample round, no pre-coalesce
         assignment = sorted_group_map(
-            s.union(c), ["cell", "salt"], _assign_cell, partitions=parts
+            s.union(c), ["cell"], _assign_cell, partitions=parts,
+            boundaries=uniform_uint64_boundaries(parts),
         ).select_columns(["crown_id", "stem_id", "dist"])
     else:
         parts = shuffle_partitions_for(_union_bytes(6.0, 6.0))
@@ -561,7 +568,8 @@ def assign_stems_to_crowns(stems, crowns, res: int = cells.DEFAULT_RES,
             fn_kwargs={"res": res, "hot_ref": hot_ref, "salt_all": salt_all},
         )
         candidates = sorted_group_map(
-            s.union(c), ["cell", "salt"], _assign_cell, partitions=parts
+            s.union(c), ["cell"], _assign_cell, partitions=parts,
+            boundaries=uniform_uint64_boundaries(parts),
         )
 
         # single-cell crowns (the vast majority) have exactly one candidate
@@ -642,7 +650,7 @@ def _pairs_cell(group: pa.Table) -> pa.Table:
 def pip_join_pairs(stems, crowns, res: int = cells.DEFAULT_RES):
     """(crown_id, stem_id) — every point-in-polygon containment pair
     (the spatial inner join itself, without the nearest-stem reduce)."""
-    from .relational import sorted_group_map
+    from .relational import sorted_group_map, uniform_uint64_boundaries
 
     # no salting: the vectorized pair kernel keeps even dense cells to
     # sub-second tasks, and the pair join has no per-crown reduce to
@@ -657,7 +665,13 @@ def pip_join_pairs(stems, crowns, res: int = cells.DEFAULT_RES):
         _crown_side, batch_format="pyarrow",
         fn_kwargs={"res": res, "salt_all": False},
     )
-    return sorted_group_map(s.union(c), ["cell", "salt"], _pairs_cell)
+    from .relational import auto_partitions
+
+    parts = auto_partitions(stems, crowns) or 0
+    return sorted_group_map(
+        s.union(c), ["cell"], _pairs_cell, partitions=parts or None,
+        boundaries=uniform_uint64_boundaries(parts) if parts > 1 else None,
+    )
 
 
 def candidate_pairs_schema() -> pa.Schema:

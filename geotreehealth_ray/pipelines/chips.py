@@ -25,10 +25,11 @@ shuffle once per tile, never once per crown. Output is partitionable by
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions import codec, geom
+from ..functions import cells, codec, geom
 from ..stages.spatial import pack_rings, rings_from_binary
 
 __all__ = ["extract_chips", "assign_crowns_to_tiles", "GridSpec",
@@ -100,11 +101,26 @@ def assign_crowns_to_tiles(crowns, grid: GridSpec):
     return crowns.map_batches(fn, batch_format="pyarrow")
 
 
+def _gkey(tile_ids, salt: np.ndarray) -> np.ndarray:
+    """(tile_id, salt) → mix64-uniform uint64 sort key. The string
+    hash (pd.util.hash_pandas_object — deterministic, fixed seed) can
+    collide across tiles; tile_id therefore STAYS in the sort key and
+    a collision only co-locates two groups in one partition."""
+    h = pd.util.hash_pandas_object(
+        pd.Series(tile_ids.to_pylist()), index=False
+    ).to_numpy().astype(np.uint64)
+    return cells.mix64((h << np.uint64(4)) | salt.astype(np.uint64))
+
+
 # unified shuffle schema: crowns (side 0), tiles (side 1), captions (side 2)
 _UNION_SCHEMA = pa.schema(
     [
         ("side", pa.int8()),
-        ("salt", pa.int8()),
+        # (tile_id, salt) fused into one mix64-uniform uint64: the sort
+        # exchange uses analytic uniform boundaries (one barrier, no
+        # sample round); tile_id stays in the sort key so a 64-bit hash
+        # collision merely co-locates two groups, never merges them
+        ("gkey", pa.uint64()),
         ("tile_id", pa.string()),
         ("crown_id", pa.string()),
         ("ring_b", pa.binary()),
@@ -459,8 +475,6 @@ def extract_chips(crowns, tiles, captions, grid: GridSpec, n_salt: int = 8):
     replicated once per salt (cheap: one small raster per task) while
     crowns are partitioned; each chip is still produced exactly once.
     """
-    import zlib as _zlib
-
     cap_cols = captions.columns()
     cap_key = "image_id" if "image_id" in cap_cols else "tile_id"
     captions = captions.select_columns([cap_key, "caption"])  # prune bytes
@@ -474,16 +488,19 @@ def extract_chips(crowns, tiles, captions, grid: GridSpec, n_salt: int = 8):
     )
 
     def crown_side(t: pa.Table) -> pa.Table:
-        salt = np.array(
-            [_zlib.crc32(v.encode()) % n_salt for v in t["crown_id"].to_pylist()],
-            np.int8,
-        )
+        # vectorized deterministic salt (was a per-row crc32 loop);
+        # which bucket a crown lands in is partitioning-only
+        salt = (
+            pd.util.hash_pandas_object(
+                pd.Series(t["crown_id"].to_pylist()), index=False
+            ).to_numpy() % np.uint64(n_salt)
+        ).astype(np.int8)
         return _nulls_like(
             _UNION_SCHEMA,
             len(t),
             {
                 "side": pa.array(np.zeros(len(t), np.int8)),
-                "salt": pa.array(salt),
+                "gkey": pa.array(_gkey(t["tile_id"], salt), pa.uint64()),
                 "tile_id": t["tile_id"].combine_chunks(),
                 "crown_id": t["crown_id"].combine_chunks(),
                 "ring_b": t["ring_b"].combine_chunks(),
@@ -502,7 +519,7 @@ def extract_chips(crowns, tiles, captions, grid: GridSpec, n_salt: int = 8):
             len(t),
             {
                 "side": pa.array(np.ones(len(t), np.int8)),
-                "salt": pa.array(salt),
+                "gkey": pa.array(_gkey(t["tile_id"], salt), pa.uint64()),
                 "tile_id": t["tile_id"].combine_chunks(),
                 "cell": t["cell"].combine_chunks(),
                 "bytes": t["bytes"].combine_chunks(),
@@ -525,7 +542,7 @@ def extract_chips(crowns, tiles, captions, grid: GridSpec, n_salt: int = 8):
             len(t),
             {
                 "side": pa.array(np.full(len(t), 2, np.int8)),
-                "salt": pa.array(salt),
+                "gkey": pa.array(_gkey(t[key], salt), pa.uint64()),
                 "tile_id": t[key].combine_chunks(),
                 "caption": t["caption"].combine_chunks(),
             },
@@ -542,9 +559,26 @@ def extract_chips(crowns, tiles, captions, grid: GridSpec, n_salt: int = 8):
             captions.map_batches(caption_side, batch_format="pyarrow")
         )
     )
-    from .relational import sorted_group_map
+    from .relational import (
+        input_bytes_estimate,
+        shuffle_partitions,
+        shuffle_partitions_for,
+        sorted_group_map,
+        uniform_uint64_boundaries,
+    )
 
-    return sorted_group_map(union, ["tile_id", "salt"], _chip_kernel)
+    # exchange volume ≈ n_salt × tile bytes (replicated per salt) +
+    # crown rows; size partitions from file metadata when available
+    t_est = input_bytes_estimate(tiles)
+    c_est = input_bytes_estimate(crowns)
+    parts = (
+        shuffle_partitions_for(n_salt * t_est + (c_est or 0.0))
+        if t_est else shuffle_partitions()
+    )
+    return sorted_group_map(
+        union, ["gkey", "tile_id"], _chip_kernel, partitions=parts,
+        boundaries=uniform_uint64_boundaries(parts) if parts > 1 else None,
+    )
 
 
 _ZONAL_SCHEMA = pa.schema(

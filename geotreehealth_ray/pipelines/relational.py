@@ -266,9 +266,22 @@ def _epoch_seconds(ts: pd.Series) -> pd.Series:
     )
 
 
+def uniform_uint64_boundaries(partitions: int) -> list[int]:
+    """Analytic sort boundaries for a uint64 key that is ALREADY
+    uniform (a ``cells.mix64``-scrambled group key): the i/P quantiles
+    of [0, 2^64) — no sampling pass can beat knowing the distribution.
+    Feed to :func:`sorted_group_map` ``boundaries`` to collapse its
+    exchange to ONE barrier (no sample round, no pre-coalesce)."""
+    if partitions <= 1:
+        return []
+    step = (1 << 64) / partitions
+    return [int(i * step) for i in range(1, partitions)]
+
+
 def sorted_group_map(ds, keys: list[str], fn, batch_format: str = "pyarrow",
                      fn_kwargs: dict | None = None,
-                     partitions: int | None = None):
+                     partitions: int | None = None,
+                     boundaries: list | None = None):
     """Drop-in for ``ds.groupby(keys).map_groups(fn)`` with Ray's
     per-group block machinery taken out of the hot path: ONE sort
     exchange on ``keys``, then whole-block ``map_batches`` tasks that
@@ -299,16 +312,26 @@ def sorted_group_map(ds, keys: list[str], fn, batch_format: str = "pyarrow",
     ``partitions=1`` (what shuffle_partitions_for returns for sub-2MiB
     streams) replaces the distributed sort with one coalesced block
     sorted locally inside the task — same grouping guarantee (all keys
-    trivially co-reside), zero exchange rounds."""
+    trivially co-reside), zero exchange rounds.
+
+    ``boundaries``: precomputed range boundaries on the PRIMARY key
+    (e.g. :func:`uniform_uint64_boundaries` for a mix64-uniform key).
+    Skips BOTH the pre-coalesce barrier and the sort's sampling round
+    — the exchange collapses to one map→reduce all-to-all whose
+    reduce count is ``len(boundaries)+1``, independent of input block
+    count. Grouping is unaffected (boundaries only choose WHERE key
+    ranges split, never split equal keys)."""
     if fn_kwargs:
         import functools
 
         fn = functools.partial(fn, **fn_kwargs)
-    local_sort = partitions == 1
+    local_sort = partitions == 1 and not boundaries
     if local_sort:
         # one block holds every key — sort inside the task instead of
         # paying the distributed sort's sample/exchange rounds
         sorted_ds = ds.repartition(1)
+    elif boundaries:
+        sorted_ds = ds.sort(keys, boundaries=boundaries)
     else:
         sorted_ds = coalesce_for_shuffle(ds, partitions).sort(keys)
 

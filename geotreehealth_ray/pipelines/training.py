@@ -1,0 +1,329 @@
+"""Training handoff — the reference's ``MultiModalDataset`` +
+``DataLoader`` terminal stage (tree_health_detection/
+build_dataloaders.py:13-169, main.py:205-371) re-expressed as a Ray
+Data pipeline that ends in framework-agnostic batch iteration.
+
+The reference's per-sample ``__getitem__`` loads three .npy files
+(hsi/rgb/lidar), pads/subsamples/normalizes each, and hands dict
+samples to a torch DataLoader. Here the same per-sample math runs
+VECTORIZED inside ``map_batches`` (the engine's own raster/lidar
+kernels — raster.py preprocess_hsi/normalize_rgb_array/pad,
+lidar.py subsample/normalize), the chip↔lidar attachment is a
+cell-co-partitioned range join + one slim merge exchange, and the
+"DataLoader" is ``Dataset.iter_batches(batch_format="numpy")`` —
+zero-copy dict-of-ndarray batches straight from the object store,
+with ``iter_torch_training_batches`` as the torch-present passthrough
+(``iter_torch_batches``). No driver-side sample loop anywhere.
+
+HSI stand-in: the sandbox's synthetic tiles are RGB-only, so the HSI
+cube is a DETERMINISTIC band expansion of the chip (documented stub —
+the real pipeline feeds a true hyperspectral raster through the same
+``preprocess_hsi`` kernel; the kernel, schema, and plumbing are real).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions import cells, codec
+from ..stages.raster import normalize_rgb_array, preprocess_hsi
+from .lidar import normalize_xyz, subsample_points
+
+__all__ = [
+    "crown_lidar_points",
+    "multimodal_training_rows",
+    "iter_training_batches",
+    "iter_torch_training_batches",
+]
+
+
+def crown_lidar_points(lidar, crowns, res: int = cells.DEFAULT_RES,
+                       max_points: int = 256):
+    """(crown_id, xyz) — per-crown lidar point set, subsampled/padded
+    to ``max_points`` rows of (x, y, z) float64, mean-centered
+    (reference __getitem__ lidar branch, build_dataloaders.py:58-73 —
+    but RNG-free: points are canonically sorted before the hash-ranked
+    subsample, so the result is identical at any parallelism).
+
+    Two exchanges, both slim: the cell-co-partitioned bbox range join
+    (points 24 B/row, crowns replicate to bbox cells — the same layout
+    as :func:`lidar.crown_lidar_stats`), then a bucketed merge of the
+    per-cell partial point sets keyed by crown_id."""
+    from ..stages.spatial import attach_cell, explode_to_covering_cells
+    from .assign import _bbox_candidate_pairs, _stem_sort_key
+    from .lidar import _UNION, _nulls
+    from .relational import bucketed_reduce
+
+    def point_side(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table(
+            {
+                "side": pa.array(np.zeros(n, np.int8)),
+                "cell": t["cell"],
+                "x": t["x"], "y": t["y"], "z": t["z"],
+                "crown_id": _nulls(n, pa.string()),
+                "minx": _nulls(n, pa.float64()),
+                "miny": _nulls(n, pa.float64()),
+                "maxx": _nulls(n, pa.float64()),
+                "maxy": _nulls(n, pa.float64()),
+            },
+            schema=_UNION,
+        )
+
+    def crown_side(t: pa.Table) -> pa.Table:
+        t = explode_to_covering_cells(t, res=res)
+        n = len(t)
+        return pa.table(
+            {
+                "side": pa.array(np.ones(n, np.int8)),
+                "cell": t["cell"],
+                "x": _nulls(n, pa.float64()),
+                "y": _nulls(n, pa.float64()),
+                "z": _nulls(n, pa.float64()),
+                "crown_id": t["crown_id"],
+                "minx": t["minx"], "miny": t["miny"],
+                "maxx": t["maxx"], "maxy": t["maxy"],
+            },
+            schema=_UNION,
+        )
+
+    def points_cell(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy()
+        pts = group.filter(pa.array(side == 0))
+        cr = group.filter(pa.array(side == 1))
+        empty = pa.table(
+            {"crown_id": pa.array([], pa.string()),
+             "xyz_b": pa.array([], pa.binary())}
+        )
+        if len(pts) == 0 or len(cr) == 0:
+            return empty
+        px = pts["x"].to_numpy()
+        py = pts["y"].to_numpy()
+        pz = pts["z"].to_numpy()
+        skey = _stem_sort_key(px, py)
+        order = np.argsort(skey, kind="stable")
+        px_s, py_s, pz_s = px[order], py[order], pz[order]
+        cids = cr["crown_id"].to_numpy(zero_copy_only=False)
+        bb = [cr[c].to_numpy() for c in ("minx", "miny", "maxx", "maxy")]
+        out_id, out_b = [], []
+        for box_ids, pt in _bbox_candidate_pairs(
+            np.sort(skey), py_s, bb[0], bb[1], bb[2], bb[3]
+        ):
+            bounds = np.r_[
+                np.flatnonzero(np.r_[True, box_ids[1:] != box_ids[:-1]]),
+                len(box_ids),
+            ]
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                sel = pt[a:b]
+                arr = np.column_stack([px_s[sel], py_s[sel], pz_s[sel]])
+                out_id.append(cids[box_ids[a]])
+                out_b.append(arr.astype(np.float64).tobytes())
+        if not out_id:
+            return empty
+        return pa.table(
+            {"crown_id": pa.array(out_id, pa.string()),
+             "xyz_b": pa.array(out_b, pa.binary())}
+        )
+
+    p = lidar.select_columns(["x", "y", "z"]).map_batches(
+        lambda t: attach_cell(t, res=res), batch_format="pyarrow"
+    ).map_batches(point_side, batch_format="pyarrow")
+    c = crowns.select_columns(
+        ["crown_id", "minx", "miny", "maxx", "maxy"]
+    ).map_batches(crown_side, batch_format="pyarrow")
+
+    from .relational import sorted_group_map
+
+    partials = sorted_group_map(
+        p.union(c).map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("cell"),
+                "cell", pa.array(cells.mix64(t["cell"].to_numpy()), pa.uint64()),
+            ),
+            batch_format="pyarrow",
+        ),
+        ["cell"], points_cell,
+    )
+
+    def merge_crown(df: pd.DataFrame) -> pd.DataFrame:
+        out_id, out_b = [], []
+        for cid, grp in df.groupby("crown_id", sort=False):
+            pts = np.concatenate([
+                np.frombuffer(b, np.float64).reshape(-1, 3)
+                for b in grp["xyz_b"]
+            ])
+            # canonical order BEFORE the index-ranked subsample —
+            # merge order of per-cell partials must not matter
+            pts = pts[np.lexsort((pts[:, 2], pts[:, 1], pts[:, 0]))]
+            fixed = normalize_xyz(subsample_points(pts, max_points))
+            out_id.append(cid)
+            out_b.append(fixed.tobytes())
+        return pd.DataFrame({"crown_id": out_id, "xyz_b": out_b})
+
+    merged = bucketed_reduce(partials, "crown_id", merge_crown)
+    # typed Arrow blocks: a pandas object column of bytes would be
+    # mis-schema'd as string by downstream join schema inference
+    return merged.map_batches(
+        lambda df: pa.table({
+            "crown_id": pa.array(df["crown_id"], pa.string()),
+            "xyz_b": pa.array(df["xyz_b"].tolist(), pa.binary()),
+        }),
+        batch_format="pandas",
+    )
+
+
+# HSI stand-in band count AFTER preprocess_hsi's reference contract
+# (426 raw → 314 kept bands). The stub cube interpolates the chip's
+# RGB values across 426 pseudo-bands so the REAL bad-band removal +
+# normalization kernel runs unchanged.
+_HSI_RAW_BANDS = 426
+
+
+def _pseudo_hsi_cube(rgb_u8: np.ndarray) -> np.ndarray:
+    """Deterministic (426, h, w) CHW stand-in cube from an RGB chip —
+    STUB for the absent hyperspectral raster source (clearly marked;
+    see module docstring). Bands sweep R→G→B linearly, scaled to the
+    reference's 0..10000 reflectance range."""
+    t = np.linspace(0.0, 2.0, _HSI_RAW_BANDS, dtype=np.float64)
+    r = np.clip(1.0 - t, 0, 1)
+    g = 1.0 - np.abs(1.0 - t)
+    b = np.clip(t - 1.0, 0, 1)
+    base = rgb_u8.astype(np.float64)
+    cube = (
+        r[:, None, None] * base[None, :, :, 0]
+        + g[:, None, None] * base[None, :, :, 1]
+        + b[:, None, None] * base[None, :, :, 2]
+    )
+    return cube * (10000.0 / 255.0)
+
+
+def multimodal_training_rows(chips, lidar_points, rgb_shape: int = 32,
+                             max_points: int = 256,
+                             label_col: str = "caption"):
+    """Chip rows + per-crown lidar → fixed-shape training samples:
+    one row per crown with ``hsi`` (C, H, W) float32, ``rgb``
+    (3, H, W) float32, ``lidar`` (max_points, 3) float32 and a string
+    ``label`` — the reference ``MultiModalDataset.__getitem__``
+    assembled once, in bulk, instead of per epoch per worker.
+
+    The lidar side attaches through one co-partitioned hash join on
+    crown_id (both sides SF-linear); the sample math runs vectorized
+    per batch. Arrays are packed binary + shape columns so the rows
+    shuffle/persist like any other; :func:`iter_training_batches`
+    unpacks them to stacked ndarrays at iteration time."""
+    from .relational import hash_join
+
+    joined = hash_join(
+        chips.select_columns(
+            ["crown_id", "bytes", "fmt", label_col]
+        ),
+        lidar_points, on="crown_id",
+    )
+
+    from ..stages.raster import _center_crop_or_pad
+
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"crown_id": [], "hsi_b": [], "rgb_b": [], "lidar_b": [],
+               "label": []}
+        for row in df.itertuples():  # per-SAMPLE image decode (each
+            # chip has its own dims — genuinely row-wise work, like
+            # the reference __getitem__; the kernels inside are numpy)
+            img = codec.decode(row.bytes, row.fmt)
+            if img.ndim == 2:
+                img = img[:, :, None]
+            if img.shape[2] == 1:
+                img = np.repeat(img, 3, axis=2)
+            rgb_hwc = normalize_rgb_array(img, crop=rgb_shape)
+            rgb = np.moveaxis(rgb_hwc, 2, 0)  # CHW like the reference
+            raw = _center_crop_or_pad(
+                img[:, :, :3].astype(np.float64), rgb_shape, rgb_shape
+            )
+            hsi_hwc = preprocess_hsi(_pseudo_hsi_cube(raw))
+            hsi = np.moveaxis(hsi_hwc, 2, 0)  # (314, rs, rs+4)
+            xyz = np.frombuffer(row.xyz_b, np.float64).reshape(-1, 3)
+            out["crown_id"].append(row.crown_id)
+            out["hsi_b"].append(hsi.astype(np.float32).tobytes())
+            out["rgb_b"].append(rgb.astype(np.float32).tobytes())
+            out["lidar_b"].append(xyz.astype(np.float32).tobytes())
+            out["label"].append(getattr(row, label_col) or "")
+        res = pd.DataFrame(out)
+        res["rgb_shape"] = rgb_shape
+        res["max_points"] = max_points
+        return res
+
+    return joined.map_batches(assemble, batch_format="pandas")
+
+
+def _unpack(batch: dict) -> dict:
+    n = len(batch["crown_id"])
+    if n == 0:
+        return {}
+    rs = int(batch["rgb_shape"][0])
+    mp = int(batch["max_points"][0])
+    # preprocess_hsi pads width by 4 (reference pad-after-transpose
+    # quirk, raster.py preprocess_hsi): CHW = (314, rs, rs+4)
+    hsi = np.stack([
+        np.frombuffer(b, np.float32).reshape(-1, rs, rs + 4)
+        for b in batch["hsi_b"]
+    ])
+    rgb = np.stack([
+        np.frombuffer(b, np.float32).reshape(3, rs, rs)
+        for b in batch["rgb_b"]
+    ])
+    lidar = np.stack([
+        np.frombuffer(b, np.float32).reshape(mp, 3)
+        for b in batch["lidar_b"]
+    ])
+    return {
+        "crown_id": batch["crown_id"],
+        "hsi": hsi,
+        "rgb": rgb,
+        "lidar": lidar,
+        "label": batch["label"],
+    }
+
+
+def iter_training_batches(samples, batch_size: int = 32,
+                          local_shuffle_buffer_size: int | None = None,
+                          local_shuffle_seed: int = 0):
+    """The DataLoader handoff, framework-agnostic: yields dicts of
+    STACKED ndarrays (hsi (B,C,H,W) f32, rgb (B,3,H,W) f32, lidar
+    (B,P,3) f32, label (B,) str) via ``Dataset.iter_batches`` —
+    streaming, backpressured, no driver materialization. Shuffling is
+    Ray's local shuffle buffer (seeded), matching DataLoader
+    shuffle=True semantics without a global exchange."""
+    for batch in samples.iter_batches(
+        batch_size=batch_size,
+        batch_format="numpy",
+        local_shuffle_buffer_size=local_shuffle_buffer_size,
+        local_shuffle_seed=(
+            local_shuffle_seed if local_shuffle_buffer_size else None
+        ),
+    ):
+        out = _unpack(batch)
+        if out:
+            yield out
+
+
+def iter_torch_training_batches(samples, batch_size: int = 32,
+                                device: str = "cpu"):
+    """Torch-present passthrough: the same stream as
+    :func:`iter_training_batches` with tensors on ``device`` —
+    ``main.py:205-371``'s epoch loop consumes this directly. Raises
+    NotImplementedError where torch is unavailable (this sandbox)."""
+    try:
+        import torch
+    except ImportError as e:  # pragma: no cover - torch absent here
+        raise NotImplementedError(
+            "torch is unavailable in this environment; use "
+            "iter_training_batches for the framework-agnostic stream"
+        ) from e
+    for b in iter_training_batches(samples, batch_size=batch_size):
+        yield {
+            "hsi": torch.from_numpy(b["hsi"]).to(device),
+            "rgb": torch.from_numpy(b["rgb"]).to(device),
+            "lidar": torch.from_numpy(b["lidar"]).to(device),
+            "label": list(b["label"]),
+        }
