@@ -1,0 +1,126 @@
+"""Geo-format adapter layer: GeoJSON + WKB are real (dependency-free),
+GPKG/GeoTIFF/LAZ are gated seams (reference delineation_pipeline.py:
+63-64, store_data_structures.py:42-55)."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from geotreehealth_ray.functions import geom
+from geotreehealth_ray.sources import geoformats as gf
+
+
+def _write_geojson_file(path, feats):
+    with open(path, "w") as fh:
+        json.dump({"type": "FeatureCollection", "features": feats}, fh)
+
+
+def _square(x0, y0, s):
+    return [[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s], [x0, y0]]
+
+
+def test_geojson_dir_concat_reader(ray_session, tmp_path):
+    d = tmp_path / "vec"
+    d.mkdir()
+    _write_geojson_file(d / "a.geojson", [
+        {"type": "Feature", "properties": {"id": "c1", "status": "A"},
+         "geometry": {"type": "Polygon", "coordinates": [_square(0, 0, 10)]}},
+        {"type": "Feature", "properties": {"id": "c2", "status": "DS"},
+         "geometry": {"type": "MultiPolygon", "coordinates": [
+             [_square(20, 0, 4)], [_square(30, 0, 6)]]}},
+    ])
+    _write_geojson_file(d / "b.geojson", [
+        {"type": "Feature", "properties": {"id": "c3"},
+         "geometry": {"type": "Polygon", "coordinates": [_square(50, 50, 2)]}},
+    ])
+    out = gf.read_vector(str(d)).to_pandas().sort_values(
+        ["crown_id", "area"]).reset_index(drop=True)
+    # c2's MultiPolygon explodes to two ring rows (dir concat: 4 rows)
+    assert list(out["crown_id"]) == ["c1", "c2", "c2", "c3"]
+    assert out["area"].tolist() == [100.0, 16.0, 36.0, 4.0]
+    assert out.loc[0, "cx"] == 5.0 and out.loc[0, "cy"] == 5.0
+    assert out.loc[3, "minx"] == 50.0 and out.loc[3, "maxy"] == 52.0
+    assert out.loc[0, "status"] == "A"
+    assert out.loc[3, "status"] is None or out.loc[3, "status"] != out.loc[3, "status"]  # missing prop → null
+
+
+def test_geojson_writer_roundtrip(ray_session, tmp_path):
+    import ray.data as rd
+
+    d = tmp_path / "vec"
+    d.mkdir()
+    _write_geojson_file(d / "a.geojson", [
+        {"type": "Feature", "properties": {"id": f"c{i}"},
+         "geometry": {"type": "Polygon",
+                      "coordinates": [_square(10 * i, 0, 5)]}}
+        for i in range(6)
+    ])
+    ds = gf.read_vector(str(d))
+    out_dir = tmp_path / "out"
+    n = gf.write_geojson(ds.repartition(3), str(out_dir))
+    assert n == 6
+    back = gf.read_vector(str(out_dir)).to_pandas().sort_values("crown_id")
+    assert list(back["crown_id"]) == [f"c{i}" for i in range(6)]
+    assert (back["area"] == 25.0).all()
+
+
+def test_wkb_roundtrip_and_parquet_decode(ray_session, tmp_path):
+    ring = np.array([[0, 0], [8, 0], [8, 4], [0, 4]], float)
+    buf = gf.rings_to_wkb(ring)
+    rings = gf.parse_wkb_rings(buf)
+    assert len(rings) == 1
+    np.testing.assert_array_equal(rings[0], ring)
+
+    # big-endian multipolygon with a hole (hole skipped)
+    import struct
+    def be_poly(rings_):
+        out = struct.pack(">BII", 0, 3, len(rings_))
+        for r in rings_:
+            closed = np.vstack([r, r[:1]])
+            out += struct.pack(">I", len(closed))
+            out += closed.astype(">f8").tobytes()
+        return out
+    hole = np.array([[2, 1], [4, 1], [4, 2], [2, 2]], float)
+    mp = struct.pack(">BII", 0, 6, 2) + be_poly([ring, hole]) + be_poly([ring + 100])
+    got = gf.parse_wkb_rings(mp)
+    assert len(got) == 2  # exteriors only
+    np.testing.assert_array_equal(got[0], ring)
+    np.testing.assert_array_equal(got[1], ring + 100)
+
+    # GeoParquet-ish table: geometry column decodes to ring rows
+    t = pa.table({
+        "crown_id": pa.array(["a", "b"]),
+        "geometry": pa.array([gf.rings_to_wkb(ring), gf.rings_to_wkb(ring + 50)],
+                             pa.binary()),
+    })
+    p = tmp_path / "geo.parquet"
+    pq.write_table(t, p)
+    out = gf.read_vector(str(p)).to_pandas().sort_values("crown_id")
+    assert list(out["crown_id"]) == ["a", "b"]
+    assert (out["area"] == 32.0).all()
+    assert out.iloc[1]["minx"] == 50.0
+
+
+def test_gated_formats_fail_loudly(tmp_path):
+    for name, fn in (("x.gpkg", gf.read_vector), ("x.tif", gf.read_raster),
+                     ("x.laz", gf.read_lidar)):
+        p = tmp_path / name
+        p.write_bytes(b"\x00")
+        with pytest.raises(NotImplementedError, match="requires"):
+            fn(str(p))
+
+
+def test_parquet_passthrough_matches_native_read(ray_session, tmp_path):
+    import ray.data as rd
+
+    t = pa.table({"x": pa.array([1.0, 2.0]), "y": pa.array([3.0, 4.0]),
+                  "z": pa.array([5.0, 6.0])})
+    p = tmp_path / "pts.parquet"
+    pq.write_table(t, p)
+    a = gf.read_lidar(str(p)).to_pandas()
+    b = rd.read_parquet(str(p)).to_pandas()
+    assert a.equals(b)
