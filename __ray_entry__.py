@@ -2111,24 +2111,48 @@ def _synth_paths():
 
 def _q_synth_assign(sf_dir: str):
     """Crown-assignment PIP join on TRUE star-convex polygons (the
-    arbitrary-geometry path; golden-tested in tests/test_assign.py)."""
+    arbitrary-geometry path; golden-tested in tests/test_assign.py).
+    dist is emitted as exact integer micrometers so the DuckDB oracle
+    (ray-crossing PIP over the unnested ring edges — identical IEEE
+    arithmetic) reproduces the value hash bit-for-bit."""
     from geotreehealth_ray.pipelines.assign import assign_stems_to_crowns
 
     p = _synth_paths()
     assignment, _ = assign_stems_to_crowns(
         _rd().read_parquet(p["stems"]), _rd().read_parquet(p["crowns"])
     )
-    return assignment
+
+    def to_um(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "crown_id": df["crown_id"], "stem_id": df["stem_id"],
+            "dist_um": np.floor(
+                df["dist"].to_numpy() * 1e6 + 0.5
+            ).astype("int64"),
+        })
+
+    return assignment.map_batches(to_um, batch_format="pandas")
 
 
 def _q_synth_image_stats(sf_dir: str):
     """Image-table decode + feature extraction (actor pool): per-image
     pixel stats + stored-vs-recomputed phash integrity flag over the
-    north-rule (image_id, bytes, w, h, fmt, caption, phash) table."""
+    north-rule (image_id, bytes, w, h, fmt, caption, phash) table.
+
+    Driver shape: lossless (png) images only, so the DuckDB oracle
+    recomputes every decoded pixel from the texture formula — and
+    phash_ok's literal TRUE in the oracle turns the decode-integrity
+    invariant into a hash-checked assertion. The qdct decode path is
+    golden-tested (tests/test_multimodal.py)."""
+    import pyarrow.compute as pc
+
     from geotreehealth_ray.stages.multimodal import image_stats
 
     p = _synth_paths()
-    return image_stats(_rd().read_parquet(p["images"]))
+    imgs = _rd().read_parquet(p["images"]).map_batches(
+        lambda t: t.filter(pc.equal(t["fmt"], "png")),
+        batch_format="pyarrow",
+    )
+    return image_stats(imgs)
 
 
 def _q_user_event_attach(sf_dir: str):
@@ -2469,22 +2493,32 @@ def _q_synth_pyramid(sf_dir: str):
     leave the stage). Deterministic integer downsampling — identical
     rows at any parallelism."""
     import pyarrow as pa
+    import pyarrow.compute as pc
 
+    from geotreehealth_ray.functions import codec
     from geotreehealth_ray.stages.raster import build_tile_pyramid
 
     p = _synth_paths()
-    pyr = build_tile_pyramid(
-        _rd().read_parquet(p["images"]), levels=3
+    # lossless subset: each overview level is then pure integer
+    # arithmetic on the texture formula — the DuckDB oracle recomputes
+    # every level's box-mean checksum exactly (qdct golden-tested)
+    imgs = _rd().read_parquet(p["images"]).map_batches(
+        lambda t: t.filter(pc.equal(t["fmt"], "png")),
+        batch_format="pyarrow",
     )
+    pyr = build_tile_pyramid(imgs, levels=3)
 
     def stats(t: pa.Table) -> pa.Table:
-        nb = [len(t["bytes"][i].as_py()) for i in range(len(t))]
+        sums = []
+        for i in range(len(t)):
+            img = codec.decode(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+            sums.append(int(img.astype(np.uint64).sum()))
         return pa.table({
             "image_id": t["image_id"],
-            "level": t["level"],
-            "w": t["w"],
-            "h": t["h"],
-            "n_bytes": pa.array(np.array(nb, np.int64)),
+            "level": pc.cast(t["level"], pa.int64()),
+            "w": pc.cast(t["w"], pa.int64()),
+            "h": pc.cast(t["h"], pa.int64()),
+            "level_checksum": pa.array(np.array(sums, np.int64)),
         })
 
     return pyr.map_batches(stats, batch_format="pyarrow")
@@ -2497,24 +2531,36 @@ def _q_synth_stitch(sf_dir: str):
     reconstructed dimensions (golden test asserts pixel-exact
     equality; here the driver sees deterministic shape rows)."""
     import pyarrow as pa
+    import pyarrow.compute as pc
 
+    from geotreehealth_ray.functions import codec
     from geotreehealth_ray.stages.raster import split_images, stitch_tiles
 
     p = _synth_paths()
-    tiles = split_images(
-        _rd().read_parquet(p["images"]), tile_px=128, overlap_px=16
+    # lossless subset: split → stitch is then pixel-exact end to end,
+    # so the stitched checksum equals the texture-formula sum and the
+    # DuckDB oracle verifies the whole round trip (tiler → shuffle →
+    # paste → png re-encode/decode). qdct tiling stays golden-tested.
+    imgs = _rd().read_parquet(p["images"]).map_batches(
+        lambda t: t.filter(pc.equal(t["fmt"], "png")),
+        batch_format="pyarrow",
     )
-    whole = stitch_tiles(tiles)
+    whole = stitch_tiles(split_images(imgs, tile_px=128, overlap_px=16))
 
-    def slim(df):
-        return pd.DataFrame({
-            "image_id": df["image_id"],
-            "w": df["w"].astype("int64"),
-            "h": df["h"].astype("int64"),
-            "n_bytes": df["bytes"].map(len).astype("int64"),
+    def slim(t: pa.Table) -> pa.Table:
+        ids, sums = [], []
+        for i in range(len(t)):
+            img = codec.decode(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+            ids.append(t["image_id"][i].as_py())
+            sums.append(int(img.astype(np.uint64).sum()))
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "w": pc.cast(t["w"], pa.int64()),
+            "h": pc.cast(t["h"], pa.int64()),
+            "stitched_checksum": pa.array(sums, pa.int64()),
         })
 
-    return whole.map_batches(slim, batch_format="pandas")
+    return whole.map_batches(slim, batch_format="pyarrow")
 
 
 def _q_synth_thumbnails(sf_dir: str):
@@ -2523,12 +2569,19 @@ def _q_synth_thumbnails(sf_dir: str):
     then a slim per-thumbnail stats projection (bytes never shuffle).
     Deterministic: same decoded pixels at any parallelism."""
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     from geotreehealth_ray.functions import codec
     from geotreehealth_ray.stages.multimodal import ImageResizeStage
 
     p = _synth_paths()
+    # lossless subset: decode → bilinear → round-half-even → re-encode
+    # is then exact arithmetic on the texture formula, so the DuckDB
+    # oracle recomputes every thumbnail pixel (qdct golden-tested)
     small = _rd().read_parquet(p["images"]).map_batches(
+        lambda t: t.filter(pc.equal(t["fmt"], "png")),
+        batch_format="pyarrow",
+    ).map_batches(
         ImageResizeStage(32, 32), batch_format="pyarrow", batch_size=64,
         concurrency=2,
     )
@@ -2566,18 +2619,40 @@ def _q_synth_chips(sf_dir: str):
         _rd().read_parquet(p["images"]),
         GridSpec.from_synth(synth.TINY),
     )
+    # bytes/mask are golden-tested per-row (tests/test_chips.py);
+    # pixel_checksum depends on the lossy qdct decode so it is also
+    # excluded from the SQL-facing shape — window geometry, caption
+    # attach and the mask pixel count are verified by the DuckDB oracle
     return chips.map_batches(
-        lambda t: t.drop_columns(["bytes", "mask"]), batch_format="pyarrow"
+        lambda t: t.drop_columns(["bytes", "mask", "pixel_checksum"]),
+        batch_format="pyarrow",
     )
 
 
 def _q_synth_lidar_stats(sf_dir: str):
+    """Per-crown lidar bbox range-join stats. max/mean are emitted as
+    integer micrometers: max_z is arithmetic-free (same stored double
+    both sides) and mean_z's partial-sum order difference vs DuckDB is
+    ~1e-13 relative — far inside the 1e-6 rounding grain (fixed-seed
+    input, verified by the driver oracle)."""
     from geotreehealth_ray.pipelines.lidar import crown_lidar_stats
 
     p = _synth_paths()
-    return crown_lidar_stats(
+    stats = crown_lidar_stats(
         _rd().read_parquet(p["lidar"]), _rd().read_parquet(p["crowns"])
     )
+
+    def to_um(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "crown_id": df["crown_id"],
+            "n_points": df["n_points"].astype("int64"),
+            "max_z_um": np.floor(
+                df["max_z"].to_numpy() * 1e6 + 0.5).astype("int64"),
+            "mean_z_um": np.floor(
+                df["mean_z"].to_numpy() * 1e6 + 0.5).astype("int64"),
+        })
+
+    return stats.map_batches(to_um, batch_format="pandas")
 
 
 def _q_synth_treetops(sf_dir: str):
@@ -2646,15 +2721,59 @@ def _q_synth_zonal_stats(sf_dir: str):
     """Raster↔vector zonal statistics: per-crown masked band
     count/sum/min/max over the tile store (one slim tile_id sort;
     tiles decode worker-locally — golden-tested vs a single-process
-    recomputation in tests/test_zonal.py)."""
-    from geotreehealth_ray.pipelines.chips import GridSpec, zonal_stats
+    recomputation in tests/test_zonal.py).
+
+    Driver shape: restricted to crowns owned by LOSSLESS (png) tiles
+    and band lists flattened to scalars, so the DuckDB oracle can
+    recompute every decoded pixel from the texture formula — an
+    end-to-end check of the from-scratch PNG decoder, the scanline
+    mask AND the zonal reduction. The lossy-qdct decode path stays
+    covered by golden tests + the synth_chips oracle."""
+    from geotreehealth_ray.pipelines.chips import (
+        GridSpec,
+        assign_crowns_to_tiles,
+        zonal_stats,
+    )
     from geotreehealth_ray.sources import synth
 
     p = _synth_paths()
-    return zonal_stats(
-        _rd().read_parquet(p["crowns"]), p["tiles"],
-        GridSpec.from_synth(synth.TINY),
-    )
+    grid = GridSpec.from_synth(synth.TINY)
+    tiles_meta = _rd().read_parquet(
+        p["tiles"], columns=["tile_id", "fmt"]
+    ).to_pandas()  # grid metadata: O(n_tiles) rows, kilobytes
+    png_ids = set(tiles_meta.loc[tiles_meta["fmt"] == "png", "tile_id"])
+    import pyarrow.compute as pc
+
+    png_arr = pa.array(sorted(png_ids))
+
+    def keep_png(t: pa.Table) -> pa.Table:
+        # arrow-native filter: the ring list<struct> column must not
+        # round-trip through pandas blocks
+        return t.filter(
+            pc.is_in(t["tile_id"], value_set=png_arr)
+        ).drop_columns(["tile_id"])
+
+    crowns = assign_crowns_to_tiles(
+        _rd().read_parquet(p["crowns"]), grid
+    ).map_batches(keep_png, batch_format="pyarrow")
+    stats = zonal_stats(crowns, p["tiles"], grid)
+
+    def flatten(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        out = pd.DataFrame({
+            "crown_id": df["crown_id"], "tile_id": df["tile_id"],
+            "px_count": df["px_count"].astype("int64"),
+        })
+        for stat in ("sums", "mins", "maxs"):
+            arr = (
+                np.stack(df[f"band_{stat}"].to_numpy())
+                if len(df) else np.zeros((0, 3), np.int64)
+            )
+            for bi, band in enumerate("rgb"):
+                out[f"{stat[:-1]}_{band}"] = arr[:, bi].astype("int64")
+        return out
+
+    return stats.map_batches(flatten, batch_format="pyarrow")
 
 
 def _q_synth_stem_dedup(sf_dir: str):
@@ -3075,6 +3194,611 @@ def oracle_sql() -> dict[str, str]:
                               + 0.5) AS BIGINT) AS dist_um
             FROM s a JOIN s b ON a.stem_id < b.stem_id
             WHERE (b.x-a.x)*(b.x-a.x) + (b.y-a.y)*(b.y-a.y) <= 36.0
+        """,
+        "synth_assign": f"""
+            -- crown assignment on TRUE star polygons: ray-crossing PIP
+            -- over the unnested ring edges + the kernel's on-edge
+            -- test (eps 1e-9), winner per crown = (dist, stem_id)
+            -- argmin. Same correctly-rounded IEEE ops as the numpy
+            -- kernel (points_in_rings_pairs), fixed-seed input.
+            WITH crowns AS (
+              SELECT crown_id, cx, cy, ring, len(ring) AS n
+              FROM read_parquet('{_SYNTH_CACHE}/crowns/*.parquet')),
+            verts AS (
+              SELECT crown_id, cx, cy, n,
+                     unnest(ring) AS pt,
+                     unnest(generate_series(1, n)) AS i
+              FROM crowns),
+            v2 AS (SELECT crown_id, cx, cy, n, pt.x AS vx, pt.y AS vy, i
+                   FROM verts),
+            edges AS (
+              SELECT a.crown_id, a.cx, a.cy,
+                     a.vx AS x1, a.vy AS y1, b.vx AS x2, b.vy AS y2
+              FROM v2 a JOIN v2 b
+                ON b.crown_id = a.crown_id AND b.i = (a.i % a.n) + 1),
+            stems AS (
+              SELECT DISTINCT stem_id, x, y
+              FROM read_parquet('{_SYNTH_CACHE}/stems/*.parquet')),
+            hits AS (
+              SELECT e.crown_id, e.cx, e.cy, s.stem_id, s.x, s.y,
+                     SUM(CASE WHEN ((e.y1 <= s.y) <> (e.y2 <= s.y))
+                               AND s.x < e.x1 + (s.y - e.y1)
+                                     * (e.x2 - e.x1) / (e.y2 - e.y1)
+                          THEN 1 ELSE 0 END) AS crossings,
+                     MAX(CASE WHEN
+                           s.x >= least(e.x1, e.x2) - 1e-9
+                       AND s.x <= greatest(e.x1, e.x2) + 1e-9
+                       AND s.y >= least(e.y1, e.y2) - 1e-9
+                       AND s.y <= greatest(e.y1, e.y2) + 1e-9
+                       AND abs((e.x2-e.x1)*(s.y-e.y1)
+                               - (e.y2-e.y1)*(s.x-e.x1))
+                           <= 1e-9*(abs(e.x2-e.x1)+abs(e.y2-e.y1)+1.0)
+                          THEN 1 ELSE 0 END) AS on_edge
+              FROM edges e CROSS JOIN stems s
+              GROUP BY e.crown_id, e.cx, e.cy, s.stem_id, s.x, s.y),
+            inside AS (
+              SELECT crown_id, stem_id,
+                     sqrt((x-cx)*(x-cx) + (y-cy)*(y-cy)) AS dist
+              FROM hits WHERE (crossings % 2 = 1) OR on_edge = 1)
+            SELECT crown_id, stem_id,
+                   CAST(floor(dist * 1000000 + 0.5) AS BIGINT) AS dist_um
+            FROM inside
+            QUALIFY row_number() OVER (
+              PARTITION BY crown_id ORDER BY dist, stem_id) = 1
+        """,
+        "synth_lidar_stats": f"""
+            -- per-crown bbox range join over the synthetic point
+            -- cloud (inclusive bounds, matching the searchsorted
+            -- left/right probe); mean via SUM/COUNT like the engine's
+            -- partial-sum merge
+            WITH l AS (
+              SELECT x, y, z
+              FROM read_parquet('{_SYNTH_CACHE}/lidar/*.parquet')),
+            c AS (
+              SELECT crown_id, minx, miny, maxx, maxy
+              FROM read_parquet('{_SYNTH_CACHE}/crowns/*.parquet'))
+            SELECT c.crown_id, count(*) AS n_points,
+                   CAST(floor(max(l.z) * 1000000 + 0.5) AS BIGINT)
+                     AS max_z_um,
+                   CAST(floor(sum(l.z) / count(*) * 1000000 + 0.5)
+                        AS BIGINT) AS mean_z_um
+            FROM c JOIN l
+              ON l.x >= c.minx AND l.x <= c.maxx
+             AND l.y >= c.miny AND l.y <= c.maxy
+            GROUP BY c.crown_id
+        """,
+        "synth_knn_cardinal": f"""
+            -- quadrant-nearest at ≥3 m over the deduped synthetic
+            -- stems: full-cell halo (res 13 → 128 m cells) means the
+            -- candidate set is exactly the 3×3 cell neighborhood;
+            -- dist = sqrt(dx²+dy²) — the kernel deliberately uses the
+            -- same correctly-rounded IEEE ops (knn.py:_cardinal_cell)
+            WITH s AS (
+              SELECT DISTINCT stem_id, x, y
+              FROM read_parquet('{_SYNTH_CACHE}/stems/*.parquet')),
+            g AS (
+              SELECT stem_id, x, y,
+                     CAST(floor(x / 128.0) AS BIGINT) AS gx,
+                     CAST(floor(y / 128.0) AS BIGINT) AS gy
+              FROM s),
+            pr AS (
+              SELECT a.stem_id AS id, b.stem_id AS nb,
+                     b.x - a.x AS dx, b.y - a.y AS dy,
+                     sqrt((b.x-a.x)*(b.x-a.x) + (b.y-a.y)*(b.y-a.y))
+                       AS dist
+              FROM g a JOIN g b
+                ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1
+               AND a.stem_id <> b.stem_id),
+            q AS (
+              SELECT id, nb, dist,
+                     CASE WHEN dx >= 0 AND dy >= 0 THEN 'NE'
+                          WHEN dx >= 0 THEN 'SE'
+                          WHEN dy >= 0 THEN 'NW'
+                          ELSE 'SW' END AS quad
+              FROM pr WHERE dist >= 3.0)
+            SELECT id, quad, nb AS neighbor_id, dist FROM q
+            QUALIFY row_number() OVER (
+              PARTITION BY id, quad ORDER BY dist, nb) = 1
+        """,
+        "synth_chips": f"""
+            -- chip extraction metadata: analytic crown→tile ownership
+            -- (lowest (r,c) buffered tile fully containing the bbox),
+            -- bbox→pixel window via the tile affine, caption attach,
+            -- and the scanline mask pixel count (strict xs < center
+            -- parity — geom.raster_mask). TINY grid: origin 1024,
+            -- tile 25.6 m, overlap 3.2 m, extent 160 m, res 0.1 m.
+            WITH crowns AS (
+              SELECT crown_id, ring, minx, miny, maxx, maxy, cell
+              FROM read_parquet('{_SYNTH_CACHE}/crowns/*.parquet')),
+            tiles AS (
+              SELECT tile_id, w AS tw, h AS th, a, c, e, f, fmt
+              FROM read_parquet('{_SYNTH_CACHE}/tiles/*.parquet')),
+            imgs AS (
+              SELECT image_id, caption
+              FROM read_parquet('{_SYNTH_CACHE}/images/*.parquet')),
+            cand AS (
+              SELECT cr.crown_id,
+                     greatest(least(
+                       CAST(floor((cr.miny - 1024.0) / 25.6) AS BIGINT)
+                         + d.dr, 6), 0) AS r,
+                     greatest(least(
+                       CAST(floor((cr.minx - 1024.0) / 25.6) AS BIGINT)
+                         + d.dc, 6), 0) AS c
+              FROM crowns cr
+              CROSS JOIN (VALUES (0, 0), (0, -1), (-1, 0), (-1, -1))
+                   AS d(dr, dc)),
+            fits AS (
+              SELECT DISTINCT ca.crown_id, ca.r, ca.c
+              FROM cand ca JOIN crowns cr ON cr.crown_id = ca.crown_id
+              WHERE cr.minx - 1024.0 >= ca.c * 25.6
+                AND cr.maxx - 1024.0
+                    <= least(ca.c * 25.6 + 25.6 + 3.2, 160.0)
+                AND cr.miny - 1024.0 >= ca.r * 25.6
+                AND cr.maxy - 1024.0
+                    <= least(ca.r * 25.6 + 25.6 + 3.2, 160.0)),
+            own AS (
+              SELECT crown_id,
+                     printf('t_%04d_%04d', r, c) AS tile_id
+              FROM fits
+              QUALIFY row_number() OVER (
+                PARTITION BY crown_id ORDER BY r, c) = 1),
+            win AS (
+              SELECT * FROM (
+              SELECT o.crown_id, o.tile_id, cr.ring, cr.cell,
+                     t.fmt, t.a AS ta, t.c AS tc, t.e AS te, t.f AS tf,
+                     greatest(0, CAST(floor((cr.minx - t.c) / t.a)
+                                      AS BIGINT)) AS col0,
+                     least(CAST(t.tw AS BIGINT),
+                           CAST(ceil((cr.maxx - t.c) / t.a) AS BIGINT))
+                       AS col1,
+                     greatest(0, CAST(floor((cr.maxy - t.f) / t.e)
+                                      AS BIGINT)) AS row0,
+                     least(CAST(t.th AS BIGINT),
+                           CAST(ceil((cr.miny - t.f) / t.e) AS BIGINT))
+                       AS row1
+              FROM own o
+              JOIN crowns cr ON cr.crown_id = o.crown_id
+              JOIN tiles t ON t.tile_id = o.tile_id
+              ) WHERE col1 > col0 AND row1 > row0),
+            verts AS (
+              SELECT crown_id, len(ring) AS n, unnest(ring) AS pt,
+                     unnest(generate_series(1, len(ring))) AS i
+              FROM crowns),
+            v2 AS (SELECT crown_id, n, pt.x AS vx, pt.y AS vy, i
+                   FROM verts),
+            edges AS (
+              SELECT a.crown_id, a.vx AS x1, a.vy AS y1,
+                     b.vx AS x2, b.vy AS y2
+              FROM v2 a JOIN v2 b
+                ON b.crown_id = a.crown_id AND b.i = (a.i % a.n) + 1),
+            pxr AS (
+              SELECT crown_id, ta, tc, te, tf, col0, col1,
+                     unnest(generate_series(row0, row1 - 1)) AS rw
+              FROM win),
+            pxc AS (
+              SELECT crown_id, ta, tc, te, tf, rw,
+                     unnest(generate_series(col0, col1 - 1)) AS cl
+              FROM pxr),
+            px AS (
+              SELECT crown_id, rw, cl,
+                     tc + (cl + 0.5) * ta AS wxv,
+                     tf + (rw + 0.5) * te AS wyv
+              FROM pxc),
+            cnt AS (
+              SELECT p.crown_id, p.rw, p.cl,
+                     SUM(CASE WHEN ((e.y1 <= p.wyv) <> (e.y2 <= p.wyv))
+                           AND e.x1 + (p.wyv - e.y1)
+                                 * (e.x2 - e.x1) / (e.y2 - e.y1) < p.wxv
+                          THEN 1 ELSE 0 END) AS k
+              FROM px p JOIN edges e ON e.crown_id = p.crown_id
+              GROUP BY p.crown_id, p.rw, p.cl),
+            msk AS (
+              SELECT crown_id, count(*) AS mask_px_count
+              FROM cnt WHERE k % 2 = 1 GROUP BY crown_id)
+            SELECT w.crown_id, w.tile_id,
+                   CAST(w.col1 - w.col0 AS INTEGER) AS w,
+                   CAST(w.row1 - w.row0 AS INTEGER) AS h,
+                   w.fmt, i.caption,
+                   COALESCE(m.mask_px_count, 0) AS mask_px_count,
+                   w.cell
+            FROM win w
+            JOIN imgs i ON i.image_id = w.tile_id
+            LEFT JOIN msk m ON m.crown_id = w.crown_id
+        """,
+        "synth_zonal_stats": f"""
+            -- zonal stats over LOSSLESS tiles: decoded pixel values
+            -- equal the deterministic texture formula
+            -- (sources/synth.py texture_at — integer arithmetic on
+            -- grid coords), so per-crown masked sum/min/max per band
+            -- are exactly recomputable. Verifies the from-scratch PNG
+            -- decoder + scanline mask + reduction end to end.
+            WITH crowns AS (
+              SELECT crown_id, ring, minx, miny, maxx, maxy
+              FROM read_parquet('{_SYNTH_CACHE}/crowns/*.parquet')),
+            tiles AS (
+              SELECT tile_id, w AS tw, h AS th, a, c, e, f, fmt
+              FROM read_parquet('{_SYNTH_CACHE}/tiles/*.parquet')),
+            cand AS (
+              SELECT cr.crown_id,
+                     greatest(least(
+                       CAST(floor((cr.miny - 1024.0) / 25.6) AS BIGINT)
+                         + d.dr, 6), 0) AS r,
+                     greatest(least(
+                       CAST(floor((cr.minx - 1024.0) / 25.6) AS BIGINT)
+                         + d.dc, 6), 0) AS c
+              FROM crowns cr
+              CROSS JOIN (VALUES (0, 0), (0, -1), (-1, 0), (-1, -1))
+                   AS d(dr, dc)),
+            fits AS (
+              SELECT DISTINCT ca.crown_id, ca.r, ca.c
+              FROM cand ca JOIN crowns cr ON cr.crown_id = ca.crown_id
+              WHERE cr.minx - 1024.0 >= ca.c * 25.6
+                AND cr.maxx - 1024.0
+                    <= least(ca.c * 25.6 + 25.6 + 3.2, 160.0)
+                AND cr.miny - 1024.0 >= ca.r * 25.6
+                AND cr.maxy - 1024.0
+                    <= least(ca.r * 25.6 + 25.6 + 3.2, 160.0)),
+            own AS (
+              SELECT crown_id,
+                     printf('t_%04d_%04d', r, c) AS tile_id
+              FROM fits
+              QUALIFY row_number() OVER (
+                PARTITION BY crown_id ORDER BY r, c) = 1),
+            win AS (
+              SELECT * FROM (
+              SELECT o.crown_id, o.tile_id,
+                     t.a AS ta, t.c AS tc, t.e AS te, t.f AS tf,
+                     greatest(0, CAST(floor((cr.minx - t.c) / t.a)
+                                      AS BIGINT)) AS col0,
+                     least(CAST(t.tw AS BIGINT),
+                           CAST(ceil((cr.maxx - t.c) / t.a) AS BIGINT))
+                       AS col1,
+                     greatest(0, CAST(floor((cr.maxy - t.f) / t.e)
+                                      AS BIGINT)) AS row0,
+                     least(CAST(t.th AS BIGINT),
+                           CAST(ceil((cr.miny - t.f) / t.e) AS BIGINT))
+                       AS row1
+              FROM own o
+              JOIN crowns cr ON cr.crown_id = o.crown_id
+              JOIN tiles t ON t.tile_id = o.tile_id
+              WHERE t.fmt = 'png'
+              ) WHERE col1 > col0 AND row1 > row0),
+            verts AS (
+              SELECT crown_id, len(ring) AS n, unnest(ring) AS pt,
+                     unnest(generate_series(1, len(ring))) AS i
+              FROM crowns),
+            v2 AS (SELECT crown_id, n, pt.x AS vx, pt.y AS vy, i
+                   FROM verts),
+            edges AS (
+              SELECT a.crown_id, a.vx AS x1, a.vy AS y1,
+                     b.vx AS x2, b.vy AS y2
+              FROM v2 a JOIN v2 b
+                ON b.crown_id = a.crown_id AND b.i = (a.i % a.n) + 1),
+            pxr AS (
+              SELECT crown_id, tile_id, ta, tc, te, tf, col0, col1,
+                     unnest(generate_series(row0, row1 - 1)) AS rw
+              FROM win),
+            pxc AS (
+              SELECT crown_id, tile_id, ta, tc, te, tf, rw,
+                     unnest(generate_series(col0, col1 - 1)) AS cl
+              FROM pxr),
+            px AS (
+              SELECT crown_id, tile_id, rw, cl,
+                     tc + (cl + 0.5) * ta AS wxv,
+                     tf + (rw + 0.5) * te AS wyv
+              FROM pxc),
+            cnt AS (
+              SELECT p.crown_id, p.tile_id, p.rw, p.cl, p.wxv, p.wyv,
+                     SUM(CASE WHEN ((e.y1 <= p.wyv) <> (e.y2 <= p.wyv))
+                           AND e.x1 + (p.wyv - e.y1)
+                                 * (e.x2 - e.x1) / (e.y2 - e.y1) < p.wxv
+                          THEN 1 ELSE 0 END) AS k
+              FROM px p JOIN edges e ON e.crown_id = p.crown_id
+              GROUP BY p.crown_id, p.tile_id, p.rw, p.cl, p.wxv, p.wyv),
+            vals AS (
+              SELECT crown_id, tile_id,
+                     (gx*31 + gy*17 + 42) % 251 AS r,
+                     (gx*13 + gy*41 + 294) % 241 AS g,
+                     (gx*29 + gy*23 + 546) % 239 AS b
+              FROM (
+                SELECT crown_id, tile_id,
+                       CAST(floor(wxv / 0.1) AS BIGINT) AS gx,
+                       CAST(floor(wyv / 0.1) AS BIGINT) AS gy
+                FROM cnt WHERE k % 2 = 1))
+            SELECT crown_id, tile_id,
+                   count(*) AS px_count,
+                   CAST(sum(r) AS BIGINT) AS sum_r,
+                   CAST(sum(g) AS BIGINT) AS sum_g,
+                   CAST(sum(b) AS BIGINT) AS sum_b,
+                   min(r) AS min_r, min(g) AS min_g, min(b) AS min_b,
+                   max(r) AS max_r, max(g) AS max_g, max(b) AS max_b
+            FROM vals GROUP BY crown_id, tile_id
+        """,
+        "synth_image_stats": f"""
+            -- per-image stats over LOSSLESS images: decoded pixels
+            -- equal texture_at (integer formula); the float mean is
+            -- exact (integer-valued float64 sums < 2^53, one IEEE
+            -- divide), and phash_ok TRUE asserts the decode-integrity
+            -- invariant for lossless formats
+            WITH t AS (
+              SELECT tile_id, w, h, c, f
+              FROM read_parquet('{_SYNTH_CACHE}/tiles/*.parquet')
+              WHERE fmt = 'png'),
+            pxr AS (
+              SELECT tile_id, w, c, f,
+                     unnest(generate_series(0, h - 1)) AS rw
+              FROM t),
+            pxc AS (
+              SELECT tile_id, c, f, rw,
+                     unnest(generate_series(0, w - 1)) AS cl
+              FROM pxr),
+            g AS (
+              SELECT tile_id,
+                     CAST(floor((c + (cl + 0.5) * 0.1) / 0.1) AS BIGINT)
+                       AS gx,
+                     CAST(floor((f + (rw + 0.5) * (-0.1)) / 0.1)
+                          AS BIGINT) AS gy
+              FROM pxc),
+            v AS (
+              SELECT tile_id,
+                     (gx*31 + gy*17 + 42) % 251
+                     + (gx*13 + gy*41 + 294) % 241
+                     + (gx*29 + gy*23 + 546) % 239 AS s
+              FROM g)
+            SELECT t.tile_id AS image_id,
+                   CAST(floor(CAST(sum(v.s) AS DOUBLE)
+                              / (t.w * t.h * 3) * 1000.0 + 0.5)
+                        AS BIGINT) AS pixel_mean_milli,
+                   CAST(sum(v.s) AS BIGINT) AS pixel_checksum,
+                   TRUE AS phash_ok
+            FROM v JOIN t ON t.tile_id = v.tile_id
+            GROUP BY t.tile_id, t.w, t.h
+        """,
+        "synth_stitch": f"""
+            -- split→stitch round trip over LOSSLESS images is
+            -- pixel-exact, so the stitched checksum equals the
+            -- texture-formula sum over the image grid
+            WITH t AS (
+              SELECT tile_id, w, h, c, f
+              FROM read_parquet('{_SYNTH_CACHE}/tiles/*.parquet')
+              WHERE fmt = 'png'),
+            pxr AS (
+              SELECT tile_id, w, c, f,
+                     unnest(generate_series(0, h - 1)) AS rw
+              FROM t),
+            pxc AS (
+              SELECT tile_id, c, f, rw,
+                     unnest(generate_series(0, w - 1)) AS cl
+              FROM pxr),
+            g AS (
+              SELECT tile_id,
+                     CAST(floor((c + (cl + 0.5) * 0.1) / 0.1) AS BIGINT)
+                       AS gx,
+                     CAST(floor((f + (rw + 0.5) * (-0.1)) / 0.1)
+                          AS BIGINT) AS gy
+              FROM pxc),
+            v AS (
+              SELECT tile_id,
+                     (gx*31 + gy*17 + 42) % 251
+                     + (gx*13 + gy*41 + 294) % 241
+                     + (gx*29 + gy*23 + 546) % 239 AS s
+              FROM g)
+            SELECT t.tile_id AS image_id,
+                   CAST(t.w AS BIGINT) AS w, CAST(t.h AS BIGINT) AS h,
+                   CAST(sum(v.s) AS BIGINT) AS stitched_checksum
+            FROM v JOIN t ON t.tile_id = v.tile_id
+            GROUP BY t.tile_id, t.w, t.h
+        """,
+        "synth_pyramid": f"""
+            -- overview pyramid on LOSSLESS images: level k is the 2×2
+            -- round-half-up integer box mean of level k−1 with odd
+            -- trailing rows/cols cropped — pure integer arithmetic on
+            -- the texture formula, recomputed level by level
+            WITH t AS (
+              SELECT tile_id, w, h, c, f
+              FROM read_parquet('{_SYNTH_CACHE}/tiles/*.parquet')
+              WHERE fmt = 'png'),
+            pxr AS (
+              SELECT tile_id, w, h, c, f,
+                     unnest(generate_series(0, h - 1)) AS rw
+              FROM t),
+            pxc AS (
+              SELECT tile_id, w, h, c, f, rw,
+                     unnest(generate_series(0, w - 1)) AS cl
+              FROM pxr),
+            l0 AS (
+              SELECT tile_id, w, h, rw, cl,
+                     (gx*31 + gy*17 + 42) % 251 AS r,
+                     (gx*13 + gy*41 + 294) % 241 AS g,
+                     (gx*29 + gy*23 + 546) % 239 AS b
+              FROM (
+                SELECT tile_id, w, h, rw, cl,
+                       CAST(floor((c + (cl + 0.5) * 0.1) / 0.1)
+                            AS BIGINT) AS gx,
+                       CAST(floor((f + (rw + 0.5) * (-0.1)) / 0.1)
+                            AS BIGINT) AS gy
+                FROM pxc)),
+            l1 AS (
+              SELECT tile_id, w // 2 AS w, h // 2 AS h,
+                     rw // 2 AS rw, cl // 2 AS cl,
+                     (sum(r) + 2) // 4 AS r,
+                     (sum(g) + 2) // 4 AS g,
+                     (sum(b) + 2) // 4 AS b
+              FROM l0
+              WHERE rw < (h // 2) * 2 AND cl < (w // 2) * 2
+              GROUP BY tile_id, w // 2, h // 2, rw // 2, cl // 2),
+            l2 AS (
+              SELECT tile_id, w // 2 AS w, h // 2 AS h,
+                     rw // 2 AS rw, cl // 2 AS cl,
+                     (sum(r) + 2) // 4 AS r,
+                     (sum(g) + 2) // 4 AS g,
+                     (sum(b) + 2) // 4 AS b
+              FROM l1
+              WHERE rw < (h // 2) * 2 AND cl < (w // 2) * 2
+              GROUP BY tile_id, w // 2, h // 2, rw // 2, cl // 2)
+            SELECT tile_id AS image_id, CAST(0 AS BIGINT) AS level,
+                   CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+                   CAST(sum(r + g + b) AS BIGINT) AS level_checksum
+            FROM l0 GROUP BY tile_id, w, h
+            UNION ALL
+            SELECT tile_id, 1, CAST(w AS BIGINT), CAST(h AS BIGINT),
+                   CAST(sum(r + g + b) AS BIGINT)
+            FROM l1 GROUP BY tile_id, w, h
+            UNION ALL
+            SELECT tile_id, 2, CAST(w AS BIGINT), CAST(h AS BIGINT),
+                   CAST(sum(r + g + b) AS BIGINT)
+            FROM l2 GROUP BY tile_id, w, h
+        """,
+        "synth_treetops": f"""
+            -- per-Morton-cell grid clustering: 2 m max-z raster
+            -- (origin = cell's point min), threshold ≥5 m,
+            -- 8-connected components via recursive min-label
+            -- propagation, peak per component (ties → first in
+            -- row-major (gy, gx) order, matching np.argmax)
+            WITH RECURSIVE pts AS (
+              SELECT cell, x, y, z
+              FROM read_parquet('{_SYNTH_CACHE}/lidar/*.parquet')),
+            cellmin AS (
+              SELECT cell, min(x) AS x0, min(y) AS y0
+              FROM pts GROUP BY cell),
+            g AS (
+              SELECT p.cell,
+                     CAST(floor((p.x - m.x0) / 2.0) AS BIGINT) AS gx,
+                     CAST(floor((p.y - m.y0) / 2.0) AS BIGINT) AS gy,
+                     p.z, m.x0, m.y0
+              FROM pts p JOIN cellmin m ON m.cell = p.cell),
+            zc AS (
+              SELECT cell, gx, gy, x0, y0, max(z) AS z
+              FROM g GROUP BY cell, gx, gy, x0, y0),
+            high AS (
+              SELECT cell, gx, gy, x0, y0, z,
+                     row_number() OVER (ORDER BY cell, gy, gx) AS gid
+              FROM zc WHERE z >= 5.0),
+            adj AS (
+              SELECT a.gid AS ga, b.gid AS gb
+              FROM high a JOIN high b
+                ON b.cell = a.cell
+               AND abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1),
+            r(gid, lbl) AS (
+              SELECT gid, gid FROM high
+              UNION
+              SELECT a.gb, r.lbl FROM r JOIN adj a ON a.ga = r.gid),
+            comp AS (
+              SELECT gid, min(lbl) AS comp FROM r GROUP BY gid),
+            peak AS (
+              SELECT h.cell, c.comp, h.x0, h.y0, h.gx, h.gy, h.z,
+                     row_number() OVER (
+                       PARTITION BY h.cell, c.comp
+                       ORDER BY h.z DESC, h.gy, h.gx) AS rn,
+                     count(*) OVER (
+                       PARTITION BY h.cell, c.comp) AS n
+              FROM high h JOIN comp c ON c.gid = h.gid)
+            SELECT x0 + (gx + 0.5) * 2.0 AS x,
+                   y0 + (gy + 0.5) * 2.0 AS y,
+                   z AS height,
+                   CAST(n AS BIGINT) AS n_cells
+            FROM peak WHERE rn = 1
+        """,
+        "synth_thumbnails": f"""
+            -- 32×32 bilinear thumbnails of LOSSLESS images: sample
+            -- positions, corner weights, the exact product/sum
+            -- parenthesization of the numpy kernel, round-half-to-even
+            -- (np.rint) and the 0..255 clip are all reproduced in
+            -- IEEE double arithmetic, pixel values from texture_at
+            WITH t AS (
+              SELECT tile_id, w, h, c, f
+              FROM read_parquet('{_SYNTH_CACHE}/tiles/*.parquet')
+              WHERE fmt = 'png'),
+            o1 AS (
+              SELECT tile_id, w, h, c, f,
+                     unnest(generate_series(0, 31)) AS oy
+              FROM t),
+            o2 AS (
+              SELECT tile_id, w, h, c, f, oy,
+                     unnest(generate_series(0, 31)) AS ox
+              FROM o1),
+            s AS (
+              SELECT tile_id, w, h, c, f, oy, ox,
+                     (oy + 0.5) * h / 32 - 0.5 AS ysv,
+                     (ox + 0.5) * w / 32 - 0.5 AS xsv
+              FROM o2),
+            idx AS (
+              SELECT *,
+                     least(greatest(CAST(floor(ysv) AS BIGINT), 0),
+                           h - 1) AS y0,
+                     least(greatest(CAST(floor(xsv) AS BIGINT), 0),
+                           w - 1) AS x0
+              FROM s),
+            idx2 AS (
+              SELECT tile_id, c, f, oy, ox, y0, x0,
+                     least(y0 + 1, h - 1) AS y1,
+                     least(x0 + 1, w - 1) AS x1,
+                     least(greatest(ysv - y0, 0.0), 1.0) AS wyv,
+                     least(greatest(xsv - x0, 0.0), 1.0) AS wxv
+              FROM idx),
+            gg AS (
+              SELECT tile_id, oy, ox, wyv, wxv,
+                     CAST(floor((c + (x0 + 0.5) * 0.1) / 0.1) AS BIGINT)
+                       AS gx0,
+                     CAST(floor((c + (x1 + 0.5) * 0.1) / 0.1) AS BIGINT)
+                       AS gx1,
+                     CAST(floor((f + (y0 + 0.5) * (-0.1)) / 0.1)
+                          AS BIGINT) AS gy0,
+                     CAST(floor((f + (y1 + 0.5) * (-0.1)) / 0.1)
+                          AS BIGINT) AS gy1
+              FROM idx2),
+            vv AS (
+              SELECT tile_id, oy, ox, wyv, wxv,
+                CAST((gx0*31 + gy0*17 + 42) % 251 AS DOUBLE) AS r00,
+                CAST((gx1*31 + gy0*17 + 42) % 251 AS DOUBLE) AS r01,
+                CAST((gx0*31 + gy1*17 + 42) % 251 AS DOUBLE) AS r10,
+                CAST((gx1*31 + gy1*17 + 42) % 251 AS DOUBLE) AS r11,
+                CAST((gx0*13 + gy0*41 + 294) % 241 AS DOUBLE) AS g00,
+                CAST((gx1*13 + gy0*41 + 294) % 241 AS DOUBLE) AS g01,
+                CAST((gx0*13 + gy1*41 + 294) % 241 AS DOUBLE) AS g10,
+                CAST((gx1*13 + gy1*41 + 294) % 241 AS DOUBLE) AS g11,
+                CAST((gx0*29 + gy0*23 + 546) % 239 AS DOUBLE) AS b00,
+                CAST((gx1*29 + gy0*23 + 546) % 239 AS DOUBLE) AS b01,
+                CAST((gx0*29 + gy1*23 + 546) % 239 AS DOUBLE) AS b10,
+                CAST((gx1*29 + gy1*23 + 546) % 239 AS DOUBLE) AS b11
+              FROM gg),
+            outv AS (
+              SELECT tile_id, oy, ox,
+                (((r00 * (1-wyv)) * (1-wxv) + (r01 * (1-wyv)) * wxv)
+                 + (r10 * wyv) * (1-wxv)) + (r11 * wyv) * wxv AS vr,
+                (((g00 * (1-wyv)) * (1-wxv) + (g01 * (1-wyv)) * wxv)
+                 + (g10 * wyv) * (1-wxv)) + (g11 * wyv) * wxv AS vg,
+                (((b00 * (1-wyv)) * (1-wxv) + (b01 * (1-wyv)) * wxv)
+                 + (b10 * wyv) * (1-wxv)) + (b11 * wyv) * wxv AS vb
+              FROM vv),
+            rnd AS (
+              SELECT tile_id,
+                least(greatest(CASE
+                  WHEN vr - floor(vr) > 0.5
+                    THEN CAST(floor(vr) AS BIGINT) + 1
+                  WHEN vr - floor(vr) < 0.5 THEN CAST(floor(vr) AS BIGINT)
+                  ELSE CAST(floor(vr) AS BIGINT)
+                       + CAST(floor(vr) AS BIGINT) % 2 END, 0), 255)
+                  AS pr,
+                least(greatest(CASE
+                  WHEN vg - floor(vg) > 0.5
+                    THEN CAST(floor(vg) AS BIGINT) + 1
+                  WHEN vg - floor(vg) < 0.5 THEN CAST(floor(vg) AS BIGINT)
+                  ELSE CAST(floor(vg) AS BIGINT)
+                       + CAST(floor(vg) AS BIGINT) % 2 END, 0), 255)
+                  AS pg,
+                least(greatest(CASE
+                  WHEN vb - floor(vb) > 0.5
+                    THEN CAST(floor(vb) AS BIGINT) + 1
+                  WHEN vb - floor(vb) < 0.5 THEN CAST(floor(vb) AS BIGINT)
+                  ELSE CAST(floor(vb) AS BIGINT)
+                       + CAST(floor(vb) AS BIGINT) % 2 END, 0), 255)
+                  AS pb
+              FROM outv)
+            SELECT tile_id AS image_id,
+                   CAST(sum(pr + pg + pb) AS BIGINT) AS thumb_checksum,
+                   CAST(32 AS INTEGER) AS w, CAST(32 AS INTEGER) AS h
+            FROM rnd GROUP BY tile_id
         """,
         "synth_stem_dedup": f"""
             -- engine: crown_ops.dedup_stems (max dbh, tie → latest

@@ -420,12 +420,24 @@ def extract_chips_storage(crowns, tiles_path: str, captions, grid: GridSpec,
     if num_out_blocks is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_out_blocks = cpus * 8
-    # coalesce before the sort (range shuffle cost scales with
-    # in-blocks × out-blocks), sort for tile-locality, then repartition
-    # so every CPU gets several blocks and stragglers stay short
-    from .relational import coalesce_for_shuffle
+    # ONE exchange: sort on a mix64-uniform hash of tile_id with
+    # analytic boundaries — no pre-coalesce, no sample round, no
+    # post-repartition (the former coalesce→sort(tile_id)→repartition
+    # triple barrier was most of the small-input wall). Equal keys land
+    # whole in one partition (Ray sort's range rule), so tile-locality
+    # for the worker LRU cache is preserved; uniform hash boundaries
+    # give each of the num_out_blocks tasks ~equal tile counts.
+    from .relational import uniform_uint64_boundaries
 
-    ordered = coalesce_for_shuffle(crowns_t).sort("tile_id").repartition(num_out_blocks)
+    def add_gkey(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "gkey", pa.array(_gkey(t["tile_id"], np.zeros(len(t), np.int64)),
+                             pa.uint64())
+        )
+
+    ordered = crowns_t.map_batches(add_gkey, batch_format="pyarrow").sort(
+        "gkey", boundaries=uniform_uint64_boundaries(num_out_blocks)
+    )
     return ordered.map_batches(
         _chip_task,
         fn_kwargs={"tiles_path": tiles_path, "cap_ref": cap_ref, "cache_tiles": 8},
@@ -667,10 +679,18 @@ def zonal_stats(crowns, tiles_path: str, grid: GridSpec,
     if num_out_blocks is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_out_blocks = cpus * 8
-    from .relational import coalesce_for_shuffle
+    # same single-exchange plan as extract_chips_storage: analytic
+    # uniform boundaries on the mix64 tile hash, one barrier total
+    from .relational import uniform_uint64_boundaries
 
-    ordered = (
-        coalesce_for_shuffle(crowns_t).sort("tile_id").repartition(num_out_blocks)
+    def add_gkey(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "gkey", pa.array(_gkey(t["tile_id"], np.zeros(len(t), np.int64)),
+                             pa.uint64())
+        )
+
+    ordered = crowns_t.map_batches(add_gkey, batch_format="pyarrow").sort(
+        "gkey", boundaries=uniform_uint64_boundaries(num_out_blocks)
     )
     return ordered.map_batches(
         _zonal_task, fn_kwargs={"tiles_path": tiles_path},
