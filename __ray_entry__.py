@@ -2325,14 +2325,17 @@ def _q_orders_upsert(sf_dir: str):
 def _q_cell_hulls(sf_dir: str):
     """Per-cell convex-hull footprints over the derived stem points
     (pipelines/knn.py cell_hulls + functions/geom.py convex_hull —
-    monotone chain, canonical CCW): one slim row per Morton cell with
-    exact integer-scaled shoelace area. Deterministic at any
-    parallelism; validated by a single-process equality golden."""
+    monotone chain, canonical CCW): one slim row per Morton cell.
+    scale=10 runs the hull predicate and shoelace on exact ×10
+    integer coordinates (the derived points live on a decimal-tenth
+    grid), so every cross product is order-free int64 arithmetic and
+    the DuckDB oracle (maximal-edge characterization over an
+    extreme-quad prefilter) reproduces the hash bit-for-bit."""
     from geotreehealth_ray.pipelines.derive import derive_points
     from geotreehealth_ray.pipelines.knn import cell_hulls
 
     pts = derive_points(_read(sf_dir, "orders"))
-    return cell_hulls(pts, res=12).map_batches(
+    return cell_hulls(pts, res=12, scale=10).map_batches(
         lambda df: df.assign(cell=df["cell"].astype("int64")),
         batch_format="pandas",
     )
@@ -2606,6 +2609,60 @@ def _q_synth_nms(sf_dir: str):
 
     p = _synth_paths()
     return greedy_nms(_rd().read_parquet(p["crowns"]), threshold=0.3)
+
+
+def _q_synth_nms_boxes(sf_dir: str):
+    """Greedy max-area-frac NMS over INTEGER-snapped crown bounding
+    boxes — the DeepForest box path (reference
+    get_polygons.py:785-819 applied to detector boxes). Coordinates
+    are whole meters, so every clip-kernel intersection area is the
+    exact IEEE double ``max(0,Δx)·max(0,Δy)`` and the DuckDB oracle
+    reproduces the sequential greedy pass bit-for-bit with a
+    recursive CTE that carries the kept set as a list. Exercises the
+    same distributed per-cell/halo greedy kernel as ``synth_nms`` but
+    with a hash-verifiable closed-form geometry."""
+    import pyarrow as pa
+
+    from geotreehealth_ray.pipelines.nms import greedy_nms
+
+    p = _synth_paths()
+
+    def to_boxes(t: pa.Table) -> pa.Table:
+        x1 = np.floor(t["minx"].to_numpy())
+        y1 = np.floor(t["miny"].to_numpy())
+        x2 = np.ceil(t["maxx"].to_numpy())
+        y2 = np.ceil(t["maxy"].to_numpy())
+        ids = t["crown_id"].to_pylist()
+        num = np.array([int(s[2:]) for s in ids], dtype=np.int64)
+        # integer-valued score (exact in double; ties broken by id on
+        # both sides) — mirrors detector confidence ordering
+        score = (x2 - x1) * (y2 - y1) + (num % 97).astype(np.float64)
+        n = len(ids)
+        # 4-corner CCW rectangle rings as list<struct<x,y>>
+        xs = np.empty(4 * n); ys = np.empty(4 * n)
+        xs[0::4], xs[1::4], xs[2::4], xs[3::4] = x1, x2, x2, x1
+        ys[0::4], ys[1::4], ys[2::4], ys[3::4] = y1, y1, y2, y2
+        pts = pa.StructArray.from_arrays(
+            [pa.array(xs, pa.float64()), pa.array(ys, pa.float64())],
+            ["x", "y"],
+        )
+        ring = pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1) * 4, pa.int32()), pts)
+        return pa.table({
+            "crown_id": t["crown_id"],
+            "ring": ring,
+            "score": pa.array(score, pa.float64()),
+            "cx": pa.array((x1 + x2) * 0.5, pa.float64()),
+            "cy": pa.array((y1 + y2) * 0.5, pa.float64()),
+            "minx": pa.array(x1, pa.float64()),
+            "miny": pa.array(y1, pa.float64()),
+            "maxx": pa.array(x2, pa.float64()),
+            "maxy": pa.array(y2, pa.float64()),
+        })
+
+    boxes = _rd().read_parquet(p["crowns"]).map_batches(
+        to_boxes, batch_format="pyarrow")
+    return greedy_nms(boxes, threshold=0.3, criterion="max_area_frac")
 
 
 def _q_synth_chips(sf_dir: str):
@@ -2986,6 +3043,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         # --- tier 1: spatial / raster / lidar flagship family (r1 driver-unchecked) ---
         "synth_assign": _q_synth_assign,
         "synth_nms": _q_synth_nms,
+        "synth_nms_boxes": _q_synth_nms_boxes,
         "synth_chips": _q_synth_chips,
         "synth_lidar_stats": _q_synth_lidar_stats,
         "synth_treetops": _q_synth_treetops,
@@ -3405,6 +3463,87 @@ def oracle_sql() -> dict[str, str]:
             JOIN imgs i ON i.image_id = w.tile_id
             LEFT JOIN msk m ON m.crown_id = w.crown_id
         """,
+        "cell_hulls": f"""
+            -- per-cell canonical strict convex hull, closed form: a
+            -- directed pair (a,b) of distinct points is a CCW hull
+            -- edge iff every other point is strictly left, or
+            -- collinear within the closed edge bbox (maximal-edge
+            -- characterization == monotone chain with strict turns).
+            -- Coordinates are exact ×10 integers, so every cross
+            -- product and the shoelace edge-sum are order-free
+            -- BIGINT arithmetic. An extreme-quad prefilter (points
+            -- strictly inside the quad of the 4 axis-extreme points
+            -- are provably interior, and interior witnesses can
+            -- never flip the edge test — convexity: cross is linear)
+            -- keeps the O(n^3) test on a few dozen points per cell.
+            -- cell key = signed int64 view of (res=12)<<60 | morton.
+            WITH pts AS ({_PTS}),
+            p AS (
+              SELECT CAST(floor(x/256) AS BIGINT) AS gx,
+                     CAST(floor(y/256) AS BIGINT) AS gy,
+                     CAST(floor(x*10 + 0.5) AS BIGINT) AS xi,
+                     CAST(floor(y*10 + 0.5) AS BIGINT) AS yi
+              FROM pts),
+            np AS (
+              SELECT gx, gy, count(*) AS n_points FROM p GROUP BY gx, gy),
+            d AS (
+              SELECT DISTINCT gx, gy, xi, yi FROM p),
+            ex AS (
+              SELECT gx, gy,
+                arg_min(xi, xi*100000000 + yi) AS x1x, arg_min(yi, xi*100000000 + yi) AS x1y,
+                arg_min(xi, yi*100000000 + xi) AS y1x, arg_min(yi, yi*100000000 + xi) AS y1y,
+                arg_max(xi, xi*100000000 + yi) AS x2x, arg_max(yi, xi*100000000 + yi) AS x2y,
+                arg_max(xi, yi*100000000 + xi) AS y2x, arg_max(yi, yi*100000000 + xi) AS y2y
+              FROM d GROUP BY gx, gy),
+            surv AS (
+              -- NOT strictly inside quad Q1(xmin)->Q2(ymin)->Q3(xmax)->Q4(ymax)
+              SELECT d.gx, d.gy, d.xi, d.yi
+              FROM d JOIN ex ON ex.gx = d.gx AND ex.gy = d.gy
+              WHERE NOT (
+                    (y1x - x1x)*(d.yi - x1y) - (y1y - x1y)*(d.xi - x1x) > 0
+                AND (x2x - y1x)*(d.yi - y1y) - (x2y - y1y)*(d.xi - y1x) > 0
+                AND (y2x - x2x)*(d.yi - x2y) - (y2y - x2y)*(d.xi - x2x) > 0
+                AND (x1x - y2x)*(d.yi - y2y) - (x1y - y2y)*(d.xi - y2x) > 0)),
+            pairs AS (
+              SELECT a.gx, a.gy, a.xi AS ax, a.yi AS ay,
+                     b.xi AS bx, b.yi AS by
+              FROM surv a JOIN surv b
+                ON b.gx = a.gx AND b.gy = a.gy
+               AND (a.xi <> b.xi OR a.yi <> b.yi)),
+            edges AS (
+              SELECT pr.gx, pr.gy, pr.ax, pr.ay, pr.bx, pr.by
+              FROM pairs pr LEFT JOIN surv q
+                ON q.gx = pr.gx AND q.gy = pr.gy
+               AND (q.xi <> pr.ax OR q.yi <> pr.ay)
+               AND (q.xi <> pr.bx OR q.yi <> pr.by)
+              GROUP BY ALL
+              HAVING coalesce(bool_and(
+                 (pr.bx - pr.ax)*(q.yi - pr.ay)
+                   - (pr.by - pr.ay)*(q.xi - pr.ax) > 0
+                 OR ((pr.bx - pr.ax)*(q.yi - pr.ay)
+                       - (pr.by - pr.ay)*(q.xi - pr.ax) = 0
+                     AND q.xi BETWEEN least(pr.ax, pr.bx)
+                                  AND greatest(pr.ax, pr.bx)
+                     AND q.yi BETWEEN least(pr.ay, pr.by)
+                                  AND greatest(pr.ay, pr.by))), TRUE)),
+            agg AS (
+              SELECT gx, gy, count(*) AS n_vertices,
+                     abs(sum(ax*by - bx*ay)) * 50 AS area_c4
+              FROM edges GROUP BY gx, gy)
+            SELECT -4611686018427387904
+                   + (  ((np.gx >> 0) & 1) * 1 + ((np.gy >> 0) & 1) * 2
+                      + ((np.gx >> 1) & 1) * 4 + ((np.gy >> 1) & 1) * 8
+                      + ((np.gx >> 2) & 1) * 16 + ((np.gy >> 2) & 1) * 32
+                      + ((np.gx >> 3) & 1) * 64 + ((np.gy >> 3) & 1) * 128)
+                     AS cell,
+                   np.n_points,
+                   coalesce(agg.n_vertices,
+                            least(np.n_points, 2)) AS n_vertices,
+                   CAST(coalesce(agg.area_c4, 0) AS BIGINT)
+                     AS hull_area_c4
+            FROM np LEFT JOIN agg
+              ON agg.gx = np.gx AND agg.gy = np.gy
+        """,
         "synth_zonal_stats": f"""
             -- zonal stats over LOSSLESS tiles: decoded pixel values
             -- equal the deterministic texture formula
@@ -3648,6 +3787,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT tile_id, 2, CAST(w AS BIGINT), CAST(h AS BIGINT),
                    CAST(sum(r + g + b) AS BIGINT)
             FROM l2 GROUP BY tile_id, w, h
+        """,
+        "synth_nms_boxes": f"""
+            -- global greedy max-area-frac NMS over integer-snapped
+            -- crown boxes: rank by (score DESC, crown_id), then a
+            -- recursive CTE walks ranks carrying the kept set as a
+            -- list; a candidate survives iff no kept box has
+            -- inter/greatest(area) > 0.3. Integer coords make every
+            -- double op exact, so this matches the distributed
+            -- per-cell greedy kernel bit-for-bit.
+            WITH RECURSIVE c AS (
+              SELECT crown_id,
+                     floor(minx) AS x1, floor(miny) AS y1,
+                     ceil(maxx) AS x2, ceil(maxy) AS y2,
+                     (ceil(maxx) - floor(minx))
+                       * (ceil(maxy) - floor(miny))
+                       + CAST(CAST(substr(crown_id, 3) AS BIGINT) % 97
+                              AS DOUBLE) AS score
+              FROM read_parquet('{_SYNTH_CACHE}/crowns/*.parquet')),
+            b AS (
+              SELECT *, (x2 - x1) * (y2 - y1) AS area,
+                     row_number() OVER (ORDER BY score DESC, crown_id)
+                       AS r
+              FROM c),
+            st AS (
+              SELECT 0 AS cur,
+                     CAST([] AS STRUCT(id VARCHAR, x1 DOUBLE, y1 DOUBLE,
+                                       x2 DOUBLE, y2 DOUBLE,
+                                       area DOUBLE)[]) AS kept
+              UNION ALL
+              SELECT st.cur + 1,
+                     CASE WHEN len(list_filter(st.kept, k ->
+                            least(k.x2, cand.x2) > greatest(k.x1, cand.x1)
+                        AND least(k.y2, cand.y2) > greatest(k.y1, cand.y1)
+                        AND (least(k.x2, cand.x2) - greatest(k.x1, cand.x1))
+                            * (least(k.y2, cand.y2) - greatest(k.y1, cand.y1))
+                            / greatest(k.area, cand.area) > 0.3)) = 0
+                     THEN list_append(st.kept,
+                            {{'id': cand.crown_id, 'x1': cand.x1,
+                              'y1': cand.y1, 'x2': cand.x2,
+                              'y2': cand.y2, 'area': cand.area}})
+                     ELSE st.kept END
+              FROM st JOIN b cand ON cand.r = st.cur + 1),
+            final AS (
+              SELECT kept FROM st ORDER BY cur DESC LIMIT 1),
+            kept_ids AS (
+              SELECT unnest(kept).id AS crown_id FROM final)
+            SELECT b.crown_id,
+                   b.crown_id IN (SELECT crown_id FROM kept_ids)
+                     AS selected
+            FROM b
         """,
         "synth_treetops": f"""
             -- per-Morton-cell grid clustering: 2 m max-z raster

@@ -325,13 +325,22 @@ def radius_pairs(points, radius: float, res: int = cells.DEFAULT_RES,
 
 
 def cell_hulls(points, res: int = cells.DEFAULT_RES,
-               x_col: str = "x", y_col: str = "y"):
+               x_col: str = "x", y_col: str = "y",
+               scale: float | None = None):
     """Per-cell convex-hull footprints (the grouped spatial aggregate a
     plot-summary layer serves): points co-locate once by Morton cell,
     each group runs the monotone-chain kernel, and the output is one
     slim row per cell — (cell, n_points, n_vertices, hull_area_c4
     int ×1e4, canonical CCW vertex count) — exact shoelace area on the
-    canonical hull so rows are bit-identical at any parallelism."""
+    canonical hull so rows are bit-identical at any parallelism.
+
+    ``scale``: when the coordinates live on a 1/scale grid (e.g.
+    decimal tenths → scale=10), pass it to run the hull predicate AND
+    the shoelace on round(x·scale) INTEGER coordinates: every cross
+    product and the area sum are then exact int64 arithmetic —
+    order-free, reproducible by any external oracle — and the area is
+    divided back by scale² before the ×1e4 rounding. Cell assignment
+    always uses the original coordinates."""
     from .relational import bucketed_reduce
 
     def add_cell(df: pd.DataFrame) -> pd.DataFrame:
@@ -351,16 +360,27 @@ def cell_hulls(points, res: int = cells.DEFAULT_RES,
         for cell, g in df.groupby("cell", sort=False):
             xs = g[x_col].to_numpy()
             ys = g[y_col].to_numpy()
+            if scale is not None:
+                xs = np.floor(xs * scale + 0.5)
+                ys = np.floor(ys * scale + 0.5)
             h = geom.convex_hull(xs, ys)
             hx, hy = xs[h], ys[h]
-            area2 = float(
-                np.dot(hx, np.roll(hy, -1)) - np.dot(hy, np.roll(hx, -1))
-            )
+            if scale is not None:
+                area2 = float(abs(int(
+                    np.dot(hx.astype(np.int64),
+                           np.roll(hy, -1).astype(np.int64))
+                    - np.dot(hy.astype(np.int64),
+                             np.roll(hx, -1).astype(np.int64))
+                )) / (scale * scale))
+            else:
+                area2 = abs(float(
+                    np.dot(hx, np.roll(hy, -1)) - np.dot(hy, np.roll(hx, -1))
+                ))
             rows["cell"].append(np.uint64(cell))
             rows["n_points"].append(len(g))
             rows["n_vertices"].append(len(h))
             rows["hull_area_c4"].append(
-                np.int64(np.floor(abs(area2) / 2.0 * 10000 + 0.5))
+                np.int64(np.floor(area2 / 2.0 * 10000 + 0.5))
             )
         return pd.DataFrame({
             "cell": np.array(rows["cell"], np.uint64),
