@@ -2082,9 +2082,29 @@ def _q_phash_pairs(sf_dir: str):
 
 
 def _q_ann_ivf(sf_dir: str):
-    from geotreehealth_ray.pipelines.ann import ann_ivf_topk
+    """IVF recall contract: one row per query with
+    ``recall_ok = |IVF@nprobe=4 top-10 ∩ exact top-10| ≥ 5``. The
+    exact side is the independently SQL-oracled brute force
+    (``ann_topk``), so the oracle asserts every query passes the bar —
+    an IVF bucketing/probe regression flips a row to FALSE and fails
+    the hash compare. The 0.5 bar reflects the near-uniform synthetic
+    embeddings (no cluster structure for the coarse quantizer to
+    exploit; measured 0.6–0.8 across sf0.001–0.1); structured corpora
+    score far higher at the same nprobe. Exactness of the probe path
+    itself is pytest-covered (nprobe=n_centroids ≡ brute force)."""
+    from geotreehealth_ray.pipelines.ann import ann_bruteforce_topk, ann_ivf_topk
 
-    return ann_ivf_topk(_read(sf_dir, "embeddings"), _query_vectors(sf_dir), k=10)
+    q = _query_vectors(sf_dir)
+    ivf = ann_ivf_topk(_read(sf_dir, "embeddings"), q, k=10).to_pandas()
+    bf = ann_bruteforce_topk(_read(sf_dir, "embeddings"), q, k=10).to_pandas()
+    rows = []
+    for qi in range(len(q)):
+        hits = len(
+            set(ivf[ivf["query_id"] == qi]["vec_id"])
+            & set(bf[bf["query_id"] == qi]["vec_id"])
+        )
+        rows.append({"query_id": qi, "recall_ok": hits >= 5})
+    return pd.DataFrame(rows)
 
 
 _SYNTH_CACHE = "/tmp/geotreehealth_query_synth"
@@ -2107,6 +2127,56 @@ def _synth_paths():
         name: f"{_SYNTH_CACHE}/{name}"
         for name in ("stems", "crowns", "tiles", "images", "lidar")
     }
+
+
+_GOLDEN_DONE: set = set()
+
+
+def _golden_sql(name: str) -> str:
+    """Materialize the single-process golden table for a non-SQL
+    composite (geotreehealth_ray/goldenref.py — plain global loops over
+    the engine's verified per-row kernels, none of the distributed
+    plan) and return a read_parquet oracle over it. Regenerated once
+    per process, atomically, so engine edits can never leave a stale
+    golden behind."""
+    import os
+
+    from geotreehealth_ray import goldenref
+    from geotreehealth_ray.pipelines.chips import GridSpec
+    from geotreehealth_ray.sources import synth
+
+    p = _synth_paths()
+    gdir = f"{_SYNTH_CACHE}/golden"
+    path = f"{gdir}/{name}.parquet"
+    if name not in _GOLDEN_DONE:
+        os.makedirs(gdir, exist_ok=True)
+        grid = GridSpec.from_synth(synth.TINY)
+        if name == "synth_nms":
+            df = goldenref.golden_nms(goldenref.read_dir(p["crowns"]))
+        elif name == "synth_delineation":
+            df = goldenref.golden_delineation(
+                goldenref.read_dir(p["crowns"]), goldenref.read_dir(p["stems"])
+            )
+        elif name == "synth_training":
+            df = goldenref.golden_training(
+                goldenref.read_dir(p["crowns"]), goldenref.read_dir(p["tiles"]),
+                goldenref.read_dir(p["images"]), goldenref.read_dir(p["lidar"]),
+                grid, rgb_shape=16, max_points=64,
+            )
+        elif name == "synth_alignment":
+            df = goldenref.golden_alignment(goldenref.read_dir(p["stems"]))
+        elif name == "synth_pansharpen":
+            df = goldenref.golden_pansharpen(goldenref.read_dir(p["images"]))
+        else:
+            raise KeyError(name)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp)
+        os.replace(tmp, path)
+        _GOLDEN_DONE.add(name)
+    return f"SELECT * FROM read_parquet('{path}')"
 
 
 def _q_synth_assign(sf_dir: str):
@@ -2438,11 +2508,15 @@ def _q_synth_alignment(sf_dir: str):
         batch_format="pandas",
     )
     out, _ = alignment_pipeline(field, ref)
+    # the ALIGNED coordinates (×1000 snap) — pinned by the goldenref
+    # single-process recomputation of match→fit→apply
     return out.map_batches(
         lambda df: pd.DataFrame({
             "stem_id": df["stem_id"],
-            "x_c3": np.floor(df["x"].to_numpy() * 1000 + 0.5).astype("int64"),
-            "y_c3": np.floor(df["y"].to_numpy() * 1000 + 0.5).astype("int64"),
+            "x_c3": np.floor(
+                df["x_aligned"].to_numpy() * 1000 + 0.5).astype("int64"),
+            "y_c3": np.floor(
+                df["y_aligned"].to_numpy() * 1000 + 0.5).astype("int64"),
         }),
         batch_format="pandas",
     )
@@ -3232,6 +3306,167 @@ _LANG_PRED_SQL = """
 """
 
 
+def _kmeans_oracle_sql(k: int = 8, iters: int = 5) -> str:
+    """Exact SQL reconstruction of pipelines/ann.kmeans_lloyd:
+    RNG-free init (k smallest vec_id), ``iters`` unrolled Lloyd steps.
+    Assignment ranks squared-Euclidean distance with cluster-index
+    tie-break; centroid updates are the engine's exact int64
+    micro-unit sums ``(Σ floor(v·1e6 + 0.5) / n) / 1e6`` (order-free),
+    and empty clusters keep their previous centroid (COALESCE over a
+    LEFT JOIN). The distance SUM itself is float and DuckDB's
+    accumulation order differs from numpy's ``x·x − 2x·c + c·c``, so
+    equality is distribution-dependent on near-equidistant pairs —
+    verified exact on all three sf test tables (0 / 3,000 rows
+    differ); the centroid arithmetic, where error would compound, is
+    integer-exact by construction."""
+    parts = [f"""
+            WITH ev AS (
+              SELECT vec_id, CAST(u.v AS DOUBLE) AS v, u.d
+              FROM (SELECT vec_id,
+                           unnest(embedding) AS v,
+                           unnest(generate_series(0, len(embedding) - 1)) AS d
+                    FROM embeddings) u),
+            c0 AS (
+              SELECT dense_rank() OVER (ORDER BY i.vec_id) - 1 AS c,
+                     ev.d, ev.v AS cv
+              FROM (SELECT vec_id FROM embeddings
+                    ORDER BY vec_id LIMIT {k}) i
+              JOIN ev ON ev.vec_id = i.vec_id)"""]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        parts.append(f""",
+            dist{i} AS (
+              SELECT ev.vec_id, p.c,
+                     sum((ev.v - p.cv) * (ev.v - p.cv)) AS dd
+              FROM ev JOIN {prev} p ON p.d = ev.d
+              GROUP BY ev.vec_id, p.c),
+            asg{i} AS (
+              SELECT vec_id, c FROM dist{i}
+              QUALIFY row_number() OVER (
+                PARTITION BY vec_id ORDER BY dd, c) = 1),
+            upd{i} AS (
+              SELECT a.c, ev.d,
+                     sum(CAST(floor(ev.v * 1000000 + 0.5) AS BIGINT)) AS s,
+                     count(*) AS n
+              FROM asg{i} a JOIN ev ON ev.vec_id = a.vec_id
+              GROUP BY a.c, ev.d),
+            c{i} AS (
+              SELECT p.c, p.d,
+                     COALESCE((CAST(u.s AS DOUBLE) / u.n) / 1000000.0,
+                              p.cv) AS cv
+              FROM {prev} p LEFT JOIN upd{i} u
+                ON u.c = p.c AND u.d = p.d)""")
+        prev = f"c{i}"
+    parts.append(f""",
+            fdist AS (
+              SELECT ev.vec_id, p.c,
+                     sum((ev.v - p.cv) * (ev.v - p.cv)) AS dd
+              FROM ev JOIN {prev} p ON p.d = ev.d
+              GROUP BY ev.vec_id, p.c)
+            SELECT vec_id, CAST(c AS BIGINT) AS cluster
+            FROM fdist
+            QUALIFY row_number() OVER (
+              PARTITION BY vec_id ORDER BY dd, c) = 1""")
+    return "".join(parts)
+
+
+def _chips_meta_sql(crown_where: str = "") -> str:
+    """Shared chip-extraction CTE chain (analytic crown->tile
+    ownership, affine pixel window, center-parity scanline mask count)
+    used by the synth_chips and synth_health_dataset oracles.
+    Returns the WITH-body text ending at the ``msk`` CTE; callers
+    append their final SELECT (``win``/``imgs``/``msk`` in scope)."""
+    return f"""crowns AS (
+              SELECT crown_id, ring, minx, miny, maxx, maxy, cell
+              FROM read_parquet('{_SYNTH_CACHE}/crowns/*.parquet')
+              {crown_where}),
+            tiles AS (
+              SELECT tile_id, w AS tw, h AS th, a, c, e, f, fmt
+              FROM read_parquet('{_SYNTH_CACHE}/tiles/*.parquet')),
+            imgs AS (
+              SELECT image_id, caption
+              FROM read_parquet('{_SYNTH_CACHE}/images/*.parquet')),
+            cand AS (
+              SELECT cr.crown_id,
+                     greatest(least(
+                       CAST(floor((cr.miny - 1024.0) / 25.6) AS BIGINT)
+                         + d.dr, 6), 0) AS r,
+                     greatest(least(
+                       CAST(floor((cr.minx - 1024.0) / 25.6) AS BIGINT)
+                         + d.dc, 6), 0) AS c
+              FROM crowns cr
+              CROSS JOIN (VALUES (0, 0), (0, -1), (-1, 0), (-1, -1))
+                   AS d(dr, dc)),
+            fits AS (
+              SELECT DISTINCT ca.crown_id, ca.r, ca.c
+              FROM cand ca JOIN crowns cr ON cr.crown_id = ca.crown_id
+              WHERE cr.minx - 1024.0 >= ca.c * 25.6
+                AND cr.maxx - 1024.0
+                    <= least(ca.c * 25.6 + 25.6 + 3.2, 160.0)
+                AND cr.miny - 1024.0 >= ca.r * 25.6
+                AND cr.maxy - 1024.0
+                    <= least(ca.r * 25.6 + 25.6 + 3.2, 160.0)),
+            own AS (
+              SELECT crown_id,
+                     printf('t_%04d_%04d', r, c) AS tile_id
+              FROM fits
+              QUALIFY row_number() OVER (
+                PARTITION BY crown_id ORDER BY r, c) = 1),
+            win AS (
+              SELECT * FROM (
+              SELECT o.crown_id, o.tile_id, cr.ring, cr.cell,
+                     t.fmt, t.a AS ta, t.c AS tc, t.e AS te, t.f AS tf,
+                     greatest(0, CAST(floor((cr.minx - t.c) / t.a)
+                                      AS BIGINT)) AS col0,
+                     least(CAST(t.tw AS BIGINT),
+                           CAST(ceil((cr.maxx - t.c) / t.a) AS BIGINT))
+                       AS col1,
+                     greatest(0, CAST(floor((cr.maxy - t.f) / t.e)
+                                      AS BIGINT)) AS row0,
+                     least(CAST(t.th AS BIGINT),
+                           CAST(ceil((cr.miny - t.f) / t.e) AS BIGINT))
+                       AS row1
+              FROM own o
+              JOIN crowns cr ON cr.crown_id = o.crown_id
+              JOIN tiles t ON t.tile_id = o.tile_id
+              ) WHERE col1 > col0 AND row1 > row0),
+            verts AS (
+              SELECT crown_id, len(ring) AS n, unnest(ring) AS pt,
+                     unnest(generate_series(1, len(ring))) AS i
+              FROM crowns),
+            v2 AS (SELECT crown_id, n, pt.x AS vx, pt.y AS vy, i
+                   FROM verts),
+            edges AS (
+              SELECT a.crown_id, a.vx AS x1, a.vy AS y1,
+                     b.vx AS x2, b.vy AS y2
+              FROM v2 a JOIN v2 b
+                ON b.crown_id = a.crown_id AND b.i = (a.i % a.n) + 1),
+            pxr AS (
+              SELECT crown_id, ta, tc, te, tf, col0, col1,
+                     unnest(generate_series(row0, row1 - 1)) AS rw
+              FROM win),
+            pxc AS (
+              SELECT crown_id, ta, tc, te, tf, rw,
+                     unnest(generate_series(col0, col1 - 1)) AS cl
+              FROM pxr),
+            px AS (
+              SELECT crown_id, rw, cl,
+                     tc + (cl + 0.5) * ta AS wxv,
+                     tf + (rw + 0.5) * te AS wyv
+              FROM pxc),
+            cnt AS (
+              SELECT p.crown_id, p.rw, p.cl,
+                     SUM(CASE WHEN ((e.y1 <= p.wyv) <> (e.y2 <= p.wyv))
+                           AND e.x1 + (p.wyv - e.y1)
+                                 * (e.x2 - e.x1) / (e.y2 - e.y1) < p.wxv
+                          THEN 1 ELSE 0 END) AS k
+              FROM px p JOIN edges e ON e.crown_id = p.crown_id
+              GROUP BY p.crown_id, p.rw, p.cl),
+            msk AS (
+              SELECT crown_id, count(*) AS mask_px_count
+              FROM cnt WHERE k % 2 = 1 GROUP BY crown_id)"""
+
+
 def oracle_sql() -> dict[str, str]:
     # the synth_* oracles below read the deterministic synthetic tables
     # by absolute parquet path — make sure they exist regardless of the
@@ -3365,94 +3600,7 @@ def oracle_sql() -> dict[str, str]:
             -- and the scanline mask pixel count (strict xs < center
             -- parity — geom.raster_mask). TINY grid: origin 1024,
             -- tile 25.6 m, overlap 3.2 m, extent 160 m, res 0.1 m.
-            WITH crowns AS (
-              SELECT crown_id, ring, minx, miny, maxx, maxy, cell
-              FROM read_parquet('{_SYNTH_CACHE}/crowns/*.parquet')),
-            tiles AS (
-              SELECT tile_id, w AS tw, h AS th, a, c, e, f, fmt
-              FROM read_parquet('{_SYNTH_CACHE}/tiles/*.parquet')),
-            imgs AS (
-              SELECT image_id, caption
-              FROM read_parquet('{_SYNTH_CACHE}/images/*.parquet')),
-            cand AS (
-              SELECT cr.crown_id,
-                     greatest(least(
-                       CAST(floor((cr.miny - 1024.0) / 25.6) AS BIGINT)
-                         + d.dr, 6), 0) AS r,
-                     greatest(least(
-                       CAST(floor((cr.minx - 1024.0) / 25.6) AS BIGINT)
-                         + d.dc, 6), 0) AS c
-              FROM crowns cr
-              CROSS JOIN (VALUES (0, 0), (0, -1), (-1, 0), (-1, -1))
-                   AS d(dr, dc)),
-            fits AS (
-              SELECT DISTINCT ca.crown_id, ca.r, ca.c
-              FROM cand ca JOIN crowns cr ON cr.crown_id = ca.crown_id
-              WHERE cr.minx - 1024.0 >= ca.c * 25.6
-                AND cr.maxx - 1024.0
-                    <= least(ca.c * 25.6 + 25.6 + 3.2, 160.0)
-                AND cr.miny - 1024.0 >= ca.r * 25.6
-                AND cr.maxy - 1024.0
-                    <= least(ca.r * 25.6 + 25.6 + 3.2, 160.0)),
-            own AS (
-              SELECT crown_id,
-                     printf('t_%04d_%04d', r, c) AS tile_id
-              FROM fits
-              QUALIFY row_number() OVER (
-                PARTITION BY crown_id ORDER BY r, c) = 1),
-            win AS (
-              SELECT * FROM (
-              SELECT o.crown_id, o.tile_id, cr.ring, cr.cell,
-                     t.fmt, t.a AS ta, t.c AS tc, t.e AS te, t.f AS tf,
-                     greatest(0, CAST(floor((cr.minx - t.c) / t.a)
-                                      AS BIGINT)) AS col0,
-                     least(CAST(t.tw AS BIGINT),
-                           CAST(ceil((cr.maxx - t.c) / t.a) AS BIGINT))
-                       AS col1,
-                     greatest(0, CAST(floor((cr.maxy - t.f) / t.e)
-                                      AS BIGINT)) AS row0,
-                     least(CAST(t.th AS BIGINT),
-                           CAST(ceil((cr.miny - t.f) / t.e) AS BIGINT))
-                       AS row1
-              FROM own o
-              JOIN crowns cr ON cr.crown_id = o.crown_id
-              JOIN tiles t ON t.tile_id = o.tile_id
-              ) WHERE col1 > col0 AND row1 > row0),
-            verts AS (
-              SELECT crown_id, len(ring) AS n, unnest(ring) AS pt,
-                     unnest(generate_series(1, len(ring))) AS i
-              FROM crowns),
-            v2 AS (SELECT crown_id, n, pt.x AS vx, pt.y AS vy, i
-                   FROM verts),
-            edges AS (
-              SELECT a.crown_id, a.vx AS x1, a.vy AS y1,
-                     b.vx AS x2, b.vy AS y2
-              FROM v2 a JOIN v2 b
-                ON b.crown_id = a.crown_id AND b.i = (a.i % a.n) + 1),
-            pxr AS (
-              SELECT crown_id, ta, tc, te, tf, col0, col1,
-                     unnest(generate_series(row0, row1 - 1)) AS rw
-              FROM win),
-            pxc AS (
-              SELECT crown_id, ta, tc, te, tf, rw,
-                     unnest(generate_series(col0, col1 - 1)) AS cl
-              FROM pxr),
-            px AS (
-              SELECT crown_id, rw, cl,
-                     tc + (cl + 0.5) * ta AS wxv,
-                     tf + (rw + 0.5) * te AS wyv
-              FROM pxc),
-            cnt AS (
-              SELECT p.crown_id, p.rw, p.cl,
-                     SUM(CASE WHEN ((e.y1 <= p.wyv) <> (e.y2 <= p.wyv))
-                           AND e.x1 + (p.wyv - e.y1)
-                                 * (e.x2 - e.x1) / (e.y2 - e.y1) < p.wxv
-                          THEN 1 ELSE 0 END) AS k
-              FROM px p JOIN edges e ON e.crown_id = p.crown_id
-              GROUP BY p.crown_id, p.rw, p.cl),
-            msk AS (
-              SELECT crown_id, count(*) AS mask_px_count
-              FROM cnt WHERE k % 2 = 1 GROUP BY crown_id)
+            WITH {_chips_meta_sql()}
             SELECT w.crown_id, w.tile_id,
                    CAST(w.col1 - w.col0 AS INTEGER) AS w,
                    CAST(w.row1 - w.row0 AS INTEGER) AS h,
@@ -5538,8 +5686,47 @@ def oracle_sql() -> dict[str, str]:
             FROM ph a JOIN ph b ON a.image_id < b.image_id
             WHERE bit_count(xor(a.phash, b.phash)) <= 7
         """,
-        # ann_ivf: not exactly SQL-expressible (approximate IVF probe
-        # subsets) → rows-only; recall golden-tested in tests/.
+        # --- goldenref composites (read_parquet golden tables built
+        # by single-process global-loop recomputation — see
+        # geotreehealth_ray/goldenref.py; oracles the DISTRIBUTED plan)
+        "synth_nms": _golden_sql("synth_nms"),
+        "synth_delineation": _golden_sql("synth_delineation"),
+        "synth_training": _golden_sql("synth_training"),
+        "synth_alignment": _golden_sql("synth_alignment"),
+        "synth_pansharpen": _golden_sql("synth_pansharpen"),
+        # health dataset: shared chip CTE (area > 8 filter) + the
+        # md5-hex-rank stratified split, all closed-form SQL
+        "synth_health_dataset": "WITH " + _chips_meta_sql(
+            "WHERE area > 8.0"
+        ) + """,
+            base AS (
+              SELECT w.crown_id, w.tile_id,
+                     COALESCE(m.mask_px_count, 0) AS mask_px_count,
+                     substr(w.tile_id, 1, 6) AS site
+              FROM win w
+              LEFT JOIN msk m ON m.crown_id = w.crown_id),
+            r AS (
+              SELECT crown_id, mask_px_count,
+                     row_number() OVER (
+                       PARTITION BY site
+                       ORDER BY md5(crown_id), crown_id) - 1 AS rk,
+                     count(*) OVER (PARTITION BY site) AS n
+              FROM base)
+            SELECT crown_id,
+                   CASE WHEN rk < (n * 70) // 100 THEN 'train'
+                        WHEN rk < (n * 85) // 100 THEN 'val'
+                        ELSE 'test' END AS split,
+                   mask_px_count
+            FROM r
+        """,
+        "kmeans_clusters": _kmeans_oracle_sql(k=8, iters=5),
+        # ann_ivf: the recall CONTRACT (every query's IVF top-10 must
+        # hit ≥ 5 of the SQL-oracled exact top-10; _q_ann_ivf emits
+        # FALSE rows on a regression, failing the hash compare)
+        "ann_ivf": """
+            SELECT CAST(r AS BIGINT) AS query_id, TRUE AS recall_ok
+            FROM range(3) t(r)
+        """,
     }
 
 

@@ -114,7 +114,13 @@ def health_dataset_pipeline(crowns, tiles_path: str, images, grid,
         return df
 
     labeled = labels.map_batches(add_site, batch_format="pandas")
-    split_ds = stratified_split(labeled, "crown_id", ["site"])
+    # md5-hex rank key (not the default blake2b): same determinism
+    # contract, but reconstructible by a SQL oracle (split.py docstring;
+    # same choice as the doc_split driver query)
+    from .crown_ops import md5_hex_hash
+
+    split_ds = stratified_split(labeled, "crown_id", ["site"],
+                                hash_fn=md5_hex_hash)
     metrics["chips"] = split_ds.count()
     return split_ds, metrics
 
