@@ -49,6 +49,40 @@ def ring_area(ring: np.ndarray) -> float:
     return float(abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))) / 2.0
 
 
+def polygon_area_with_holes(ring: np.ndarray,
+                            holes: list[np.ndarray] | None) -> float:
+    """Net area of a polygon with interior rings: exterior shoelace
+    minus each hole's shoelace (shapely ``.area`` semantics for holed
+    polygons, e.g. the reference's ``difference`` outputs,
+    tree_delineation/delineation_utils.py:38-47)."""
+    a = ring_area(ring)
+    for h in holes or []:
+        a -= ring_area(h)
+    return a
+
+
+def points_in_polygon_with_holes(px: np.ndarray, py: np.ndarray,
+                                 ring: np.ndarray,
+                                 holes: list[np.ndarray] | None) -> np.ndarray:
+    """Hole-aware PIP: inside the exterior AND strictly outside every
+    interior ring (a point ON a hole boundary counts as inside the
+    polygon — shapely covers semantics, consistent with the
+    boundary-inclusive exterior rule of :func:`points_in_ring`)."""
+    inside = points_in_ring(px, py, ring)
+    for h in holes or []:
+        if not inside.any():
+            break
+        in_hole = points_in_ring(px, py, h)
+        pxb = np.asarray(px, np.float64)[None, :]
+        pyb = np.asarray(py, np.float64)[None, :]
+        x1, y1 = h[:, 0], h[:, 1]
+        x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+        on_b = _points_on_edges(pxb, pyb, x1[:, None], y1[:, None],
+                                x2[:, None], y2[:, None])
+        inside &= ~(in_hole & ~on_b)
+    return inside
+
+
 def signed_ring_area(ring: np.ndarray) -> float:
     x, y = ring[:, 0], ring[:, 1]
     return float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))) / 2.0

@@ -106,12 +106,83 @@ def test_wkb_roundtrip_and_parquet_decode(ray_session, tmp_path):
 
 
 def test_gated_formats_fail_loudly(tmp_path):
-    for name, fn in (("x.gpkg", gf.read_vector), ("x.tif", gf.read_raster),
+    for name, fn in (("x.tif", gf.read_raster),
                      ("x.laz", gf.read_lidar)):
         p = tmp_path / name
         p.write_bytes(b"\x00")
         with pytest.raises(NotImplementedError, match="requires"):
             fn(str(p))
+
+
+def test_wkb_holes_roundtrip():
+    # donut: 10x10 exterior with a 2x1 hole → net area 100 - 2 = 98
+    ext = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], float)
+    hole = np.array([[2, 1], [4, 1], [4, 2], [2, 2]], float)
+    buf = gf.rings_to_wkb(ext, holes=[hole])
+    polys = gf.parse_wkb_polygons(buf)
+    assert len(polys) == 1
+    got_ext, got_holes = polys[0]
+    np.testing.assert_array_equal(got_ext, ext)
+    assert len(got_holes) == 1
+    np.testing.assert_array_equal(got_holes[0], hole)
+    assert geom.polygon_area_with_holes(got_ext, got_holes) == 98.0
+    # hole-aware PIP: interior of hole is out, hole boundary is in
+    px = np.array([3.0, 3.0, 2.0, 5.0, 11.0])
+    py = np.array([1.5, 0.5, 1.0, 5.0, 5.0])
+    inside = geom.points_in_polygon_with_holes(px, py, got_ext, got_holes)
+    assert inside.tolist() == [False, True, True, True, False]
+    # back-compat wrapper still returns exteriors only
+    np.testing.assert_array_equal(gf.parse_wkb_rings(buf)[0], ext)
+
+
+def test_gpkg_header_strip_variants():
+    ring = np.array([[0, 0], [4, 0], [4, 4], [0, 4]], float)
+    wkb = gf.rings_to_wkb(ring)
+    # no envelope
+    assert gf.strip_gpkg_header(gf.make_gpkg_blob(wkb)) == wkb
+    # with a 32-byte XY envelope (indicator 1)
+    import struct
+    blob = (b"GP" + struct.pack("<BBi", 0, 0x03, 4326)
+            + struct.pack("<4d", 0, 4, 0, 4) + wkb)
+    assert gf.strip_gpkg_header(blob) == wkb
+    # bare WKB passes through (lenient)
+    assert gf.strip_gpkg_header(wkb) == wkb
+    # empty-geometry flag → b""
+    empty = b"GP" + struct.pack("<BBi", 0, 0x11, 0) + wkb
+    assert gf.strip_gpkg_header(empty) == b""
+
+
+def test_gpkg_write_read_roundtrip(ray_session, tmp_path):
+    import ray.data as rd
+
+    ext = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], float)
+    hole = np.array([[2, 1], [4, 1], [4, 2], [2, 2]], float)
+    rows = []
+    for i in range(5):
+        off = 20.0 * i
+        rows.append({
+            "crown_id": f"c{i}",
+            "ring": [{"x": float(x + off), "y": float(y)} for x, y in ext],
+            "holes": ([[{"x": float(x + off), "y": float(y)}
+                        for x, y in hole]] if i == 2 else []),
+        })
+    ds = rd.from_items(rows)
+    out = tmp_path / "merged.gpkg"
+    n = gf.write_gpkg(ds, str(out))
+    assert n == 5
+    back = gf.read_vector(str(out)).to_pandas().sort_values(
+        "crown_id").reset_index(drop=True)
+    assert list(back["crown_id"]) == [f"c{i}" for i in range(5)]
+    # c2 is the donut: net area 98; everyone else 100
+    assert back["area"].tolist() == [100.0, 100.0, 98.0, 100.0, 100.0]
+    assert back.loc[2, "minx"] == 40.0 and back.loc[2, "maxx"] == 50.0
+    # dir-of-gpkg concat works like the GeoJSON dir reader
+    d = tmp_path / "gdir"
+    d.mkdir()
+    gf.write_gpkg(ds.filter(lambda r: r["crown_id"] < "c2"), str(d / "a.gpkg"))
+    gf.write_gpkg(ds.filter(lambda r: r["crown_id"] >= "c2"), str(d / "b.gpkg"))
+    both = gf.read_vector(str(d)).to_pandas()
+    assert sorted(both["crown_id"]) == [f"c{i}" for i in range(5)]
 
 
 def test_parquet_passthrough_matches_native_read(ray_session, tmp_path):
