@@ -195,7 +195,11 @@ def run_queries(sf_dir: str) -> dict:
              "phash_pairs", "ann_topk", "running_total", "label_centroids",
              "lineitem_ranks", "cust_semi_bloom", "q5_region_volume",
              "doc_decontam", "supp_heavy_hitters", "part_pairs",
-             "hll_parts_by_flag", "user_event_attach_salted"]
+             "hll_parts_by_flag", "user_event_attach_salted",
+             # in-memory salted chip path + training handoff: the two
+             # plans most recently rewritten — keep them in the driver's
+             # BENCH diff so a future plan change is caught there
+             "synth_chips", "synth_training"]
     out = {}
     for name in picks:
         t0 = time.perf_counter()

@@ -1182,30 +1182,64 @@ def embedding_near_dup(embeddings, threshold: float = 0.95, n_planes: int = 12,
 
 
 # ----------------------------------------- connected-components dedup
+# Above this many duplicate edges the driver union-find (a python dict
+# of every edge endpoint) stops fitting one node's heap; auto mode
+# switches to the distributed min-label rounds. Overridable per call.
+CC_EDGE_BUDGET = 10_000_000
+
+
 def connected_components_dedup(docs, pairs, id_col: str = "doc_id",
                                pair_cols: tuple[str, str] = ("doc_id_a",
-                                                             "doc_id_b")):
+                                                             "doc_id_b"),
+                               mode: str = "auto",
+                               edge_budget: int = CC_EDGE_BUDGET,
+                               partitions: int | None = None):
     """Resolve near-dup PAIRS into clusters and assign every document
     its cluster representative ``rep_id`` = min id of its connected
     component (singletons map to themselves). This is the step that
     turns a pair list (minhash/simhash/jaccard) into the actual
     keep-one-per-cluster dedup decision.
 
-    Scale shape: the edge list is O(#duplicates) — orders of magnitude
-    smaller than the corpus — so edges stream to the driver in batches
-    feeding an in-memory union-find keyed only on ids that appear in
-    some edge (memory O(nodes-in-edges), never O(corpus)). The root
-    map then broadcasts once via ``ray.put`` and the corpus-wide
-    assignment is an embarrassingly-parallel ``map_batches`` lookup.
-    (If edges themselves outgrew one node, swap the driver fold for
-    log-rounds of pointer-doubling joins over the edge Dataset — the
-    corpus-side contract below is unchanged.)
+    Scale shape, two regimes (``mode``):
+
+    - ``"driver"`` (and ``"auto"`` with ≤ ``edge_budget`` edges): the
+      edge list is O(#duplicates) — normally orders of magnitude
+      smaller than the corpus — so edges stream to the driver in
+      batches feeding an in-memory union-find keyed only on ids that
+      appear in some edge (memory O(nodes-in-edges), never
+      O(corpus)). The root map then broadcasts once via ``ray.put``
+      and the corpus-wide assignment is an embarrassingly-parallel
+      ``map_batches`` lookup with ZERO extra exchanges. Forcing
+      ``mode="driver"`` past the budget raises loudly instead of
+      silently OOMing the driver.
+    - ``"distributed"`` (and ``"auto"`` above the budget — the 100 TB
+      crawl with a 30-50% dup rate, where the edge set is itself
+      huge): min-label propagation with pointer doubling over the
+      edge Dataset (hash-to-min family, Rastogi et al.), 2 bucketed
+      exchanges per round, O(log diameter) rounds, nothing ever
+      collected to the driver. The corpus-side assignment is then one
+      hash-partitioned join instead of a broadcast lookup — the
+      unavoidable price once the root map outgrows one node. Both
+      regimes emit byte-identical (id, rep_id) rows.
 
     Reference semantics: the union-merge of >50%-overlap polygon pairs
     builds a networkx graph + connected_components
     (from_mask_to_polygons.py:9-42); here the same closure runs over
     text/embedding near-dup pairs."""
     import ray
+
+    if mode not in ("auto", "driver", "distributed"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode != "driver":
+        # count() executes the (slim) pair pipeline; materialize so
+        # the chosen path doesn't recompute it
+        pairs = pairs.materialize()
+        n_edges = pairs.count()
+        if mode == "distributed" or n_edges > edge_budget:
+            return _cc_distributed(docs, pairs, id_col, pair_cols,
+                                   partitions)
+    else:
+        n_edges = None
 
     parent: dict = {}
 
@@ -1218,9 +1252,18 @@ def connected_components_dedup(docs, pairs, id_col: str = "doc_id",
         return root
 
     # stream the (small) edge list; never materialize the corpus
+    seen_edges = 0
     for batch in pairs.select_columns(list(pair_cols)).iter_batches(
         batch_format="pandas"
     ):
+        seen_edges += len(batch)
+        if seen_edges > edge_budget:
+            raise ValueError(
+                f"connected_components_dedup(mode='driver'): edge list "
+                f"exceeds edge_budget={edge_budget} — the driver "
+                f"union-find would not fit one node; use mode='auto' or "
+                f"'distributed' (min-label rounds over the edge Dataset)"
+            )
         for a, b in zip(batch[pair_cols[0]], batch[pair_cols[1]]):
             parent.setdefault(a, a)
             parent.setdefault(b, b)
@@ -1244,6 +1287,120 @@ def connected_components_dedup(docs, pairs, id_col: str = "doc_id",
     return docs.select_columns([id_col]).map_batches(
         assign, batch_format="pandas"
     )
+
+
+def _cc_distributed(docs, pairs, id_col: str,
+                    pair_cols: tuple[str, str],
+                    partitions: int | None):
+    """Distributed closure of the duplicate graph: min-label
+    propagation + pointer doubling, entirely as Ray Data exchanges.
+
+    Per round every node k's group (keyed by k) holds its label row,
+    its incident edges, and 'ask' rows from nodes whose label IS k;
+    the group emits label(k) to each of them, and a grouped min +
+    changed-count closes the round. new_label(u) =
+    min(label(u), min_n∈N(u) label(n), label(label(u))) — the doubling
+    term makes long chains collapse in O(log diameter) rounds. Labels
+    only decrease and the per-component fixpoint is the component-min
+    id, so output is byte-identical to the driver union-find."""
+    from .relational import bucketed_reduce
+
+    _R = ["key", "kind", "val"]
+
+    def edge_rows(df: pd.DataFrame) -> pd.DataFrame:
+        a, b = df[pair_cols[0]], df[pair_cols[1]]
+        return pd.DataFrame(
+            {"key": pd.concat([a, b], ignore_index=True),
+             "kind": np.int8(1),
+             "val": pd.concat([b, a], ignore_index=True)}
+        ).reindex(columns=_R)
+
+    # both directions of every edge, keyed by the receiving node —
+    # built once, reused (re-read from the object store) every round
+    edges = pairs.select_columns(list(pair_cols)).map_batches(
+        edge_rows, batch_format="pandas"
+    ).materialize()
+
+    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = df["key"].drop_duplicates()
+        return pd.DataFrame({"node": nodes, "label": nodes, "changed": 1})
+
+    labels = bucketed_reduce(edges, "key", init_labels,
+                             partitions=partitions).materialize()
+
+    for _round in range(64):
+        def label_rows(df: pd.DataFrame) -> pd.DataFrame:
+            lab = pd.DataFrame(
+                {"key": df["node"], "kind": np.int8(0), "val": df["label"]}
+            )
+            ask = pd.DataFrame(
+                {"key": df["label"], "kind": np.int8(2), "val": df["node"]}
+            )
+            return pd.concat([lab, ask], ignore_index=True).reindex(
+                columns=_R)
+
+        def send(df: pd.DataFrame) -> pd.DataFrame:
+            labs = df[df["kind"] == 0][["key", "val"]].rename(
+                columns={"val": "lab"})
+            targets = df[df["kind"] != 0][["key", "val"]]
+            m = targets.merge(labs, on="key", how="inner")
+            return pd.concat(
+                [pd.DataFrame({"node": labs["key"], "cand": labs["lab"],
+                               "old": np.int8(1)}),
+                 pd.DataFrame({"node": m["val"], "cand": m["lab"],
+                               "old": np.int8(0)})],
+                ignore_index=True,
+            )
+
+        def take_min(df: pd.DataFrame) -> pd.DataFrame:
+            new = df.groupby("node", sort=False)["cand"].min()
+            old = df[df["old"] == 1].set_index("node")["cand"]
+            out = new.rename("label").reset_index()
+            out["changed"] = (new < old.reindex(new.index)).to_numpy(
+                np.int8)
+            return out
+
+        cand = labels.map_batches(
+            label_rows, batch_format="pandas").union(edges)
+        labels = bucketed_reduce(
+            bucketed_reduce(cand, "key", send, partitions=partitions),
+            "node", take_min, partitions=partitions,
+        ).materialize()
+        from ray.data.aggregate import Sum
+
+        n_changed = labels.aggregate(Sum("changed"))["sum(changed)"]
+        if not n_changed:
+            break
+    else:  # pragma: no cover - 2^64 chain needed
+        raise RuntimeError("connected components did not converge")
+
+    # corpus-side assignment: one hash-partitioned join (no broadcast —
+    # the root map is, by assumption of this path, too big for one node)
+    _J = ["key", "kind", "rep"]
+
+    def doc_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"key": df[id_col], "kind": np.int8(0), "rep": df[id_col]}
+        ).reindex(columns=_J)
+
+    def rep_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"key": df["node"], "kind": np.int8(1), "rep": df["label"]}
+        ).reindex(columns=_J)
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["kind"] == 0][["key"]]
+        r = df[df["kind"] == 1][["key", "rep"]]
+        m = d.merge(r, on="key", how="left")
+        # cast back after the NaN fill: a left-miss promotes int64 rep
+        # to float64, which would break byte-parity with the driver path
+        rep = m["rep"].fillna(m["key"]).astype(m["key"].dtype, copy=False)
+        return pd.DataFrame({id_col: m["key"], "rep_id": rep})
+
+    both = docs.select_columns([id_col]).map_batches(
+        doc_rows, batch_format="pandas"
+    ).union(labels.map_batches(rep_rows, batch_format="pandas"))
+    return bucketed_reduce(both, "key", attach, partitions=partitions)
 
 
 # --------------------------------------------------- edit distance <= 1

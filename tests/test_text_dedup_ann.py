@@ -363,6 +363,64 @@ def test_connected_components_dedup_transitive(ray_session):
     assert out["rep_id"].tolist() == [1, 1, 1, 4, 5, 6, 5]
 
 
+def test_connected_components_distributed_matches_driver(ray_session):
+    """Dup-heavy planted corpus through the min-label fallback path:
+    byte-identical cluster output vs the driver union-find, including
+    a long chain (pointer doubling must collapse it, not time out) and
+    ids untouched by any edge."""
+    import ray.data as rd
+
+    from geotreehealth_ray.pipelines.dedup import connected_components_dedup
+
+    rng = np.random.default_rng(7)
+    n = 400
+    docs = rd.from_pandas(pd.DataFrame({"doc_id": np.arange(n)}))
+    # a 60-node path (worst-case diameter), two dense blobs, random
+    # extra edges → ~45% of docs are in some dup cluster
+    chain = [(i, i + 1) for i in range(100, 160)]
+    blob1 = [(200, j) for j in range(201, 220)]
+    blob2 = [(300, j) for j in range(301, 320)]
+    extra = [(int(a), int(b)) for a, b in
+             rng.integers(0, 80, size=(40, 2)) if a != b]
+    edges = chain + blob1 + blob2 + extra
+    pairs = rd.from_pandas(pd.DataFrame(
+        {"doc_id_a": [a for a, _ in edges],
+         "doc_id_b": [b for _, b in edges]})).repartition(5)
+
+    drv = connected_components_dedup(docs, pairs, mode="driver") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    dist = connected_components_dedup(docs, pairs, mode="distributed") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert dist["rep_id"].dtype == drv["rep_id"].dtype
+    assert dist.equals(drv)
+    # auto mode with a tiny budget must route to the distributed path
+    auto = connected_components_dedup(docs, pairs, mode="auto",
+                                      edge_budget=10) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert auto.equals(drv)
+    # forced driver mode past the budget fails loudly, not OOM
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="edge_budget"):
+        connected_components_dedup(docs, pairs, mode="driver",
+                                   edge_budget=10).to_pandas()
+
+
+def test_connected_components_distributed_string_ids(ray_session):
+    import ray.data as rd
+
+    from geotreehealth_ray.pipelines.dedup import connected_components_dedup
+
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [f"d{i:02d}" for i in range(8)]}))
+    pairs = rd.from_pandas(pd.DataFrame(
+        {"doc_id_a": ["d01", "d02", "d06"],
+         "doc_id_b": ["d02", "d03", "d05"]}))
+    out = connected_components_dedup(docs, pairs, mode="distributed") \
+        .to_pandas().sort_values("doc_id")
+    assert out["rep_id"].tolist() == [
+        "d00", "d01", "d01", "d01", "d04", "d05", "d05", "d07"]
+
+
 def test_verify_paths_identical(ray_session, docs_ds):
     """The broadcast verify (small corpus) and the partitioned
     text-join verify must emit identical pairs — the dispatch in
