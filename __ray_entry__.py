@@ -2689,12 +2689,20 @@ def _q_synth_nms_boxes(sf_dir: str):
     """Greedy max-area-frac NMS over INTEGER-snapped crown bounding
     boxes — the DeepForest box path (reference
     get_polygons.py:785-819 applied to detector boxes). Coordinates
-    are whole meters, so every clip-kernel intersection area is the
-    exact IEEE double ``max(0,Δx)·max(0,Δy)`` and the DuckDB oracle
-    reproduces the sequential greedy pass bit-for-bit with a
-    recursive CTE that carries the kept set as a list. Exercises the
-    same distributed per-cell/halo greedy kernel as ``synth_nms`` but
-    with a hash-verifiable closed-form geometry."""
+    are whole meters, and axis-aligned rectangle rings take the
+    closed-form fast path in geom.intersection_area_star (bbox
+    product, no clip-vertex rounding), so every intersection area is
+    STRUCTURALLY the exact IEEE double ``max(0,Δx)·max(0,Δy)`` and
+    the DuckDB oracle reproduces the sequential greedy pass
+    bit-for-bit with a recursive CTE that carries the kept set as a
+    list. Caveat (per-cell vs global greedy): the oracle is a GLOBAL
+    sequential greedy while the engine runs per-cell with halo_m=50
+    (nms.py:18-27) — equality additionally relies on no suppression
+    chain reaching past the halo; integer floor/ceil snapping
+    lengthens chains by up to 1 m per side relative to the synth_nms
+    polygons, which the 50 m halo absorbs at this density. Exercises
+    the same distributed per-cell/halo greedy kernel as ``synth_nms``
+    but with a hash-verifiable closed-form geometry."""
     import pyarrow as pa
 
     from geotreehealth_ray.pipelines.nms import greedy_nms
@@ -3678,11 +3686,20 @@ def oracle_sql() -> dict[str, str]:
               SELECT gx, gy, count(*) AS n_vertices,
                      abs(sum(ax*by - bx*ay)) * 50 AS area_c4
               FROM edges GROUP BY gx, gy)
+            -- Morton interleave of gx/gy, 8 bits per axis: exact for
+            -- any derive.DOMAIN < 65,536 m at 256 m cells (gx,gy <
+            -- 256; current DOMAIN=10,000 m → gx,gy <= 3 uses only the
+            -- low 2). The engine's _part1by1 carries 15 bits/axis —
+            -- widen here the same way if DOMAIN ever exceeds 65 km.
             SELECT -4611686018427387904
                    + (  ((np.gx >> 0) & 1) * 1 + ((np.gy >> 0) & 1) * 2
                       + ((np.gx >> 1) & 1) * 4 + ((np.gy >> 1) & 1) * 8
                       + ((np.gx >> 2) & 1) * 16 + ((np.gy >> 2) & 1) * 32
-                      + ((np.gx >> 3) & 1) * 64 + ((np.gy >> 3) & 1) * 128)
+                      + ((np.gx >> 3) & 1) * 64 + ((np.gy >> 3) & 1) * 128
+                      + ((np.gx >> 4) & 1) * 256 + ((np.gy >> 4) & 1) * 512
+                      + ((np.gx >> 5) & 1) * 1024 + ((np.gy >> 5) & 1) * 2048
+                      + ((np.gx >> 6) & 1) * 4096 + ((np.gy >> 6) & 1) * 8192
+                      + ((np.gx >> 7) & 1) * 16384 + ((np.gy >> 7) & 1) * 32768)
                      AS cell,
                    np.n_points,
                    coalesce(agg.n_vertices,

@@ -377,6 +377,11 @@ def intersection_area_star(a: np.ndarray, b: np.ndarray) -> float:
     """
     if not bbox_intersects(*ring_bbox(a), *ring_bbox(b)):
         return 0.0
+    if _is_axis_rect(a) and _is_axis_rect(b):
+        # detector-box fast path: the result is the closed-form IEEE
+        # product max(0,Δx)·max(0,Δy) — structurally exact (no clip
+        # vertex rounding), which the box-NMS SQL oracles rely on
+        return float(bbox_intersection_area(*ring_bbox(a), *ring_bbox(b)))
     a = _ensure_ccw(a)
     b = _ensure_ccw(b)
     if _is_convex(a) and _is_convex(b):
@@ -413,6 +418,17 @@ def intersection_area_star(a: np.ndarray, b: np.ndarray) -> float:
             if len(clipped) >= 3:
                 total += sign_a * sign_b * ring_area(clipped)
     return max(total, 0.0)
+
+
+def _is_axis_rect(ring: np.ndarray) -> bool:
+    """True iff the ring is a 4-vertex axis-aligned rectangle (every
+    edge parallel to an axis) — the shape every detector box has."""
+    if len(ring) != 4:
+        return False
+    d = np.roll(ring, -1, axis=0) - ring
+    return bool(((d[:, 0] == 0.0) | (d[:, 1] == 0.0)).all()
+                and (ring[:, 0].min() != ring[:, 0].max())
+                and (ring[:, 1].min() != ring[:, 1].max()))
 
 
 def _is_convex(ring: np.ndarray) -> bool:

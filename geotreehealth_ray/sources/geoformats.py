@@ -39,6 +39,9 @@ __all__ = [
     "read_vector",
     "read_raster",
     "read_lidar",
+    "read_las_header",
+    "parse_las_points",
+    "write_las",
     "write_geojson",
     "write_gpkg",
     "parse_wkb_rings",
@@ -520,22 +523,206 @@ def read_raster(path: str, tile_px: int = 256):
     )
 
 
+# ---------------------------------------------------------------------------
+# LAS (uncompressed) — fixed binary layout, pure numpy structured dtypes
+# (ASPRS LAS 1.2-1.4 public spec; no laspy needed. LAZ stays gated —
+# the arithmetic-coded chunks genuinely need lazperf/laszip.)
+# ---------------------------------------------------------------------------
+
+_LAS_PF_BASE = [("X", "<i4"), ("Y", "<i4"), ("Z", "<i4"),
+                ("intensity", "<u2"), ("flags", "u1"),
+                ("classification", "u1"), ("scan_angle", "i1"),
+                ("user_data", "u1"), ("point_source_id", "<u2")]
+_LAS_PF6_BASE = [("X", "<i4"), ("Y", "<i4"), ("Z", "<i4"),
+                 ("intensity", "<u2"), ("flags", "u1"), ("flags2", "u1"),
+                 ("classification", "u1"), ("user_data", "u1"),
+                 ("scan_angle", "<i2"), ("point_source_id", "<u2"),
+                 ("gps_time", "<f8")]
+_LAS_POINT_FIELDS = {
+    0: _LAS_PF_BASE,
+    1: _LAS_PF_BASE + [("gps_time", "<f8")],
+    2: _LAS_PF_BASE + [("r", "<u2"), ("g", "<u2"), ("b", "<u2")],
+    3: _LAS_PF_BASE + [("gps_time", "<f8"),
+                       ("r", "<u2"), ("g", "<u2"), ("b", "<u2")],
+    6: _LAS_PF6_BASE,
+    7: _LAS_PF6_BASE + [("r", "<u2"), ("g", "<u2"), ("b", "<u2")],
+}
+# columns surfaced into the Dataset (x/y/z are descaled float64)
+_LAS_KEEP = ("intensity", "classification", "gps_time", "r", "g", "b")
+_LAS_CHUNK_POINTS = 2_000_000  # ~40-68 MB per task at pf1/pf7
+
+
+def read_las_header(path: str) -> dict:
+    """Parse the LAS public header block (one small read — cheap enough
+    to run on the driver per file when planning chunk tasks)."""
+    with open(path, "rb") as fh:
+        head = fh.read(375)
+    if head[:4] != b"LASF":
+        raise ValueError(f"{path}: not a LAS file (no LASF signature)")
+    ver = (head[24], head[25])
+    offset = struct.unpack_from("<I", head, 96)[0]
+    fmt_byte = head[104]
+    compressed = bool(fmt_byte & 0x80)  # laszip sets bit 7
+    fmt = fmt_byte & 0x3F
+    rec_len = struct.unpack_from("<H", head, 105)[0]
+    n = struct.unpack_from("<I", head, 107)[0]
+    if ver >= (1, 4) and len(head) >= 255:
+        n64 = struct.unpack_from("<Q", head, 247)[0]
+        if n64:
+            n = n64
+    sx, sy, sz, ox, oy, oz = struct.unpack_from("<6d", head, 131)
+    return {"version": ver, "offset": offset, "format": fmt,
+            "compressed": compressed, "record_length": rec_len,
+            "count": n, "scale": (sx, sy, sz), "origin": (ox, oy, oz)}
+
+
+def _las_dtype(fmt: int, rec_len: int) -> np.dtype:
+    fields = _LAS_POINT_FIELDS.get(fmt)
+    if fields is None:
+        raise NotImplementedError(f"LAS point format {fmt} not supported "
+                                  f"(formats {sorted(_LAS_POINT_FIELDS)})")
+    base = np.dtype(fields)
+    if rec_len < base.itemsize:
+        raise ValueError(f"record_length {rec_len} < point format "
+                         f"{fmt} minimum {base.itemsize}")
+    if rec_len > base.itemsize:  # extra bytes / extra-dims: skipped
+        fields = fields + [("_extra", f"V{rec_len - base.itemsize}")]
+    return np.dtype(fields)
+
+
+def parse_las_points(path: str, start: int = 0,
+                     count: int | None = None) -> pa.Table:
+    """Decode a point-range of one uncompressed .las file into an Arrow
+    table (x, y, z float64 descaled per the header, plus intensity /
+    classification / gps_time / rgb where the format carries them).
+    Byte-range reads → safe to fan out one task per chunk."""
+    hdr = read_las_header(path)
+    if hdr["compressed"]:
+        raise NotImplementedError(
+            f"{path} is LAZ-compressed; decoding needs lazperf/laszip "
+            "(not installed) — `laszip -d` to .las first, or convert to "
+            "a parquet (x, y, z) table"
+        )
+    n = hdr["count"]
+    start = min(start, n)
+    count = n - start if count is None else min(count, n - start)
+    dt = _las_dtype(hdr["format"], hdr["record_length"])
+    with open(path, "rb") as fh:
+        fh.seek(hdr["offset"] + start * hdr["record_length"])
+        raw = np.fromfile(fh, dtype=dt, count=count)
+    sx, sy, sz = hdr["scale"]
+    ox, oy, oz = hdr["origin"]
+    cols = {
+        "x": pa.array(raw["X"] * sx + ox, pa.float64()),
+        "y": pa.array(raw["Y"] * sy + oy, pa.float64()),
+        "z": pa.array(raw["Z"] * sz + oz, pa.float64()),
+    }
+    for name in _LAS_KEEP:
+        if name in dt.names:
+            cols[name] = pa.array(raw[name])
+    return pa.table(cols)
+
+
+def write_las(ds, out_path: str, scale: float = 0.001,
+              batch_size: int = 65536) -> int:
+    """Stream (x, y, z [, intensity, classification, gps_time]) rows to
+    ONE uncompressed LAS 1.2 point-format-1 file (fixture/export sink —
+    the distributed at-scale layout stays parquet; like write_gpkg this
+    is the small merged artifact). Returns the point count."""
+    head = bytearray(227)
+    head[0:4] = b"LASF"
+    head[24], head[25] = 1, 2
+    struct.pack_into("<H", head, 94, 227)   # header size
+    struct.pack_into("<I", head, 96, 227)   # offset to point data
+    head[104] = 1                            # point format 1
+    struct.pack_into("<H", head, 105, 28)    # record length
+    dt = _las_dtype(1, 28)
+    n = 0
+    mins = np.array([np.inf] * 3)
+    maxs = np.array([-np.inf] * 3)
+    first = True
+    origin = np.zeros(3)
+    with open(out_path, "w+b") as fh:
+        fh.write(head)
+        for batch in ds.iter_batches(batch_size=batch_size,
+                                     batch_format="pyarrow"):
+            xyz = np.column_stack([
+                batch["x"].to_numpy(zero_copy_only=False),
+                batch["y"].to_numpy(zero_copy_only=False),
+                batch["z"].to_numpy(zero_copy_only=False),
+            ]).astype(np.float64)
+            if first and len(xyz):
+                # anchor the int32 grid near the data so µm-scale
+                # offsets survive the quantization
+                origin = np.floor(xyz.min(axis=0))
+                first = False
+            rec = np.zeros(len(xyz), dt)
+            q = np.round((xyz - origin) / scale)
+            rec["X"], rec["Y"], rec["Z"] = (
+                q[:, 0].astype(np.int32), q[:, 1].astype(np.int32),
+                q[:, 2].astype(np.int32))
+            for name in ("intensity", "classification", "gps_time"):
+                if name in batch.column_names:
+                    rec[name] = batch[name].to_numpy(zero_copy_only=False)
+            fh.write(rec.tobytes())
+            if len(xyz):
+                mins = np.minimum(mins, xyz.min(axis=0))
+                maxs = np.maximum(maxs, xyz.max(axis=0))
+            n += len(xyz)
+        struct.pack_into("<I", head, 107, n)  # legacy point count
+        struct.pack_into("<6d", head, 131, scale, scale, scale, *origin)
+        if n:
+            struct.pack_into("<6d", head, 179, maxs[0], mins[0],
+                             maxs[1], mins[1], maxs[2], mins[2])
+        fh.seek(0)
+        fh.write(head)
+    return n
+
+
 def read_lidar(path: str):
-    """Point-cloud source → Dataset with (x, y, z). LAZ/LAS needs
-    laspy (absent here); parquet passes through."""
+    """Point-cloud source → Dataset with (x, y, z, ...). Parquet passes
+    through; uncompressed .las decodes natively (numpy structured
+    dtype over the fixed record layout), fanned out as one byte-range
+    task per ~2M-point chunk so a huge flight line never serializes
+    through one worker. LAZ needs laszip (absent here → loud gate)."""
     import ray.data as rd
 
     files = _files_of(path, _LIDAR_EXTS)
     exts = {detect_format(f) for f in files}
     if exts == {".parquet"}:
         return rd.read_parquet(files)
+    if exts <= {".las", ".parquet"}:
+        las_files = [f for f in files if detect_format(f) == ".las"]
+        chunks = []
+        for f in las_files:
+            hdr = read_las_header(f)  # small header read per file
+            if hdr["compressed"]:
+                raise NotImplementedError(
+                    f"{f} is LAZ-compressed; see parse_las_points")
+            for s in range(0, max(hdr["count"], 1), _LAS_CHUNK_POINTS):
+                chunks.append({"path": f, "start": s,
+                               "n": min(_LAS_CHUNK_POINTS,
+                                        hdr["count"] - s)})
+
+        def decode(batch: dict) -> pa.Table:
+            return parse_las_points(str(batch["path"][0]),
+                                    int(batch["start"][0]),
+                                    int(batch["n"][0]))
+
+        las_ds = rd.from_items(chunks).map_batches(
+            decode, batch_format="numpy", batch_size=1)
+        pq_files = [f for f in files if detect_format(f) == ".parquet"]
+        if pq_files:
+            las_ds = las_ds.union(rd.read_parquet(pq_files))
+        return las_ds
     if _have("laspy"):  # pragma: no cover - absent here
         raise NotImplementedError(
             "LAZ decode seam: laspy.read per file → (x, y, z) columns"
         )
     raise NotImplementedError(
-        "reading .laz/.las requires laspy (not installed); convert to a "
-        "parquet (x, y, z) table"
+        "reading .laz requires laszip/laspy (not installed); decompress "
+        "to .las (reads natively here) or convert to a parquet "
+        "(x, y, z) table"
     )
 
 

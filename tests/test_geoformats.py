@@ -185,6 +185,58 @@ def test_gpkg_write_read_roundtrip(ray_session, tmp_path):
     assert sorted(both["crown_id"]) == [f"c{i}" for i in range(5)]
 
 
+def test_las_write_read_roundtrip(ray_session, tmp_path):
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    df = {
+        "x": np.round(rng.uniform(1000, 1200, n), 3),
+        "y": np.round(rng.uniform(5000, 5100, n), 3),
+        "z": np.round(rng.uniform(0, 40, n), 3),
+        "intensity": rng.integers(0, 4096, n).astype(np.uint16),
+        "classification": rng.integers(0, 6, n).astype(np.uint8),
+        "gps_time": rng.uniform(0, 1e6, n),
+    }
+    import pandas as pd
+    ds = rd.from_pandas(pd.DataFrame(df))
+    p = tmp_path / "cloud.las"
+    assert gf.write_las(ds, str(p)) == n
+
+    hdr = gf.read_las_header(str(p))
+    assert hdr["format"] == 1 and hdr["count"] == n and not hdr["compressed"]
+
+    back = gf.read_lidar(str(p)).to_pandas()
+    assert len(back) == n
+    # mm quantization grid → exact for 3-decimal inputs
+    np.testing.assert_allclose(np.sort(back["x"]), np.sort(df["x"]),
+                               atol=5e-4)
+    assert back["intensity"].sum() == int(df["intensity"].sum())
+    assert sorted(back.columns[:3]) == ["x", "y", "z"]
+
+    # chunked fan-out reads the same rows (force tiny chunks)
+    old = gf._LAS_CHUNK_POINTS
+    gf._LAS_CHUNK_POINTS = 1024
+    try:
+        chunked = gf.read_lidar(str(p)).to_pandas()
+    finally:
+        gf._LAS_CHUNK_POINTS = old
+    assert len(chunked) == n
+    assert np.isclose(chunked["z"].sum(), back["z"].sum())
+
+    # point-format-3 with RGB decodes through the same dtype table
+    t3 = gf.parse_las_points(str(p), start=100, count=50)
+    assert len(t3) == 50
+
+    # LAZ flag (bit 7 of the format byte) gates loudly
+    data = bytearray(p.read_bytes())
+    data[104] |= 0x80
+    pz = tmp_path / "cloud2.las"
+    pz.write_bytes(bytes(data))
+    with pytest.raises(NotImplementedError, match="laszip"):
+        gf.parse_las_points(str(pz))
+
+
 def test_parquet_passthrough_matches_native_read(ray_session, tmp_path):
     import ray.data as rd
 
