@@ -42,6 +42,10 @@ __all__ = [
     "read_las_header",
     "parse_las_points",
     "write_las",
+    "read_geotiff_meta",
+    "parse_geotiff_window",
+    "read_geotiff_grid",
+    "write_geotiff",
     "write_geojson",
     "write_gpkg",
     "parse_wkb_rings",
@@ -502,24 +506,389 @@ def read_vector(path: str, wkb_col: str = "geometry"):
 # Raster / lidar readers (gated seams + parquet passthrough)
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# GeoTIFF (uncompressed) — from-scratch baseline-TIFF 6.0 + GeoTIFF-tag
+# parser (public specs). Strip AND tile layouts, II/MM byte order,
+# uint8/uint16/float32, chunky planar config. Compressed TIFFs stay a
+# loud gate naming rasterio (deflate/LZW need the codec libs).
+# ---------------------------------------------------------------------------
+
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2,
+                   9: 4, 10: 8, 11: 4, 12: 8, 16: 8, 17: 8}
+_TIFF_TYPE_FMT = {1: "B", 3: "H", 4: "I", 8: "h", 9: "i", 11: "f",
+                  12: "d", 16: "Q", 17: "q"}
+
+
+def _tiff_values(fh, endian: str, typ: int, count: int, raw4: bytes):
+    """Decode one IFD entry's value list (inline when it fits 4 bytes,
+    else via the offset stored in those 4 bytes)."""
+    size = _TIFF_TYPE_SIZE.get(typ, 1) * count
+    if size <= 4:
+        data = raw4[:size]
+    else:
+        (off,) = struct.unpack(endian + "I", raw4)
+        pos = fh.tell()
+        fh.seek(off)
+        data = fh.read(size)
+        fh.seek(pos)
+    if typ == 2:  # ASCII
+        return [data.rstrip(b"\x00").decode("latin-1")]
+    if typ == 5 or typ == 10:  # RATIONAL
+        ints = struct.unpack(endian + ("I" if typ == 5 else "i") * 2 * count,
+                             data)
+        return [ints[2 * i] / (ints[2 * i + 1] or 1) for i in range(count)]
+    fmt = _TIFF_TYPE_FMT.get(typ)
+    if fmt is None:
+        return [data]
+    return list(struct.unpack(endian + fmt * count, data))
+
+
+def read_geotiff_meta(path: str) -> dict:
+    """Parse the TIFF header + first IFD + GeoTIFF georeferencing tags
+    (one small seek-read pass — run on the driver when planning window
+    tasks). Returns width/height/dtype/layout plus the GDAL-style
+    affine (a, b, c, d, e, f): x = a·col + b·row + c, y = d·col +
+    e·row + f."""
+    with open(path, "rb") as fh:
+        head = fh.read(8)
+        if head[:2] == b"II":
+            endian = "<"
+        elif head[:2] == b"MM":
+            endian = ">"
+        else:
+            raise ValueError(f"{path}: not a TIFF (no II/MM byte order)")
+        magic = struct.unpack(endian + "H", head[2:4])[0]
+        if magic == 43:
+            raise NotImplementedError(
+                f"{path}: BigTIFF needs rasterio (not installed)")
+        if magic != 42:
+            raise ValueError(f"{path}: bad TIFF magic {magic}")
+        (ifd_off,) = struct.unpack(endian + "I", head[4:8])
+        fh.seek(ifd_off)
+        (n,) = struct.unpack(endian + "H", fh.read(2))
+        tags: dict[int, list] = {}
+        entries = fh.read(n * 12)
+        for i in range(n):
+            tag, typ, count = struct.unpack_from(endian + "HHI", entries,
+                                                 i * 12)
+            tags[tag] = (typ, count, entries[i * 12 + 8: i * 12 + 12])
+        vals = {t: _tiff_values(fh, endian, *v) for t, v in tags.items()}
+
+    def one(tag, default=None):
+        v = vals.get(tag)
+        return v[0] if v else default
+
+    comp = one(259, 1)
+    if comp != 1:
+        raise NotImplementedError(
+            f"{path}: TIFF compression {comp} needs rasterio (not "
+            "installed); only uncompressed (1) decodes natively — "
+            "`gdal_translate -co COMPRESS=NONE` or pre-tile to parquet"
+        )
+    if one(284, 1) != 1:
+        raise NotImplementedError(f"{path}: planar configuration 2 "
+                                  "(separate planes) not supported")
+    bits = vals.get(258, [8])[0]
+    sample_format = one(339, 1)
+    if (bits, sample_format) == (8, 1):
+        dtype = np.dtype(endian + "u1")
+    elif (bits, sample_format) == (16, 1):
+        dtype = np.dtype(endian + "u2")
+    elif (bits, sample_format) == (32, 3):
+        dtype = np.dtype(endian + "f4")
+    else:
+        raise NotImplementedError(
+            f"{path}: {bits}-bit sample_format {sample_format} not "
+            "supported (uint8/uint16/float32)")
+
+    # georeference: ModelTransformation wins, else PixelScale+Tiepoint
+    if 34264 in vals:
+        m = vals[34264]
+        affine = (m[0], m[1], m[3], m[4], m[5], m[7])
+    elif 33550 in vals and 33922 in vals:
+        sx, sy = vals[33550][0], vals[33550][1]
+        ti = vals[33922]  # (i, j, k, x, y, z)
+        affine = (sx, 0.0, ti[3] - ti[0] * sx,
+                  0.0, -sy, ti[4] + ti[1] * sy)
+    else:  # pixel-space identity (row 0 on top)
+        affine = (1.0, 0.0, 0.0, 0.0, -1.0, float(one(257, 0)))
+
+    return {
+        "endian": endian,
+        "width": int(one(256)), "height": int(one(257)),
+        "samples": int(one(277, 1)), "dtype": dtype,
+        "rows_per_strip": int(one(278, one(257, 1) or 1)),
+        "strip_offsets": [int(v) for v in vals.get(273, [])],
+        "strip_byte_counts": [int(v) for v in vals.get(279, [])],
+        "tile_width": int(one(322, 0)), "tile_length": int(one(323, 0)),
+        "tile_offsets": [int(v) for v in vals.get(324, [])],
+        "tile_byte_counts": [int(v) for v in vals.get(325, [])],
+        "affine": affine,
+    }
+
+
+def parse_geotiff_window(path: str, meta: dict, col0: int, row0: int,
+                         w: int, h: int) -> np.ndarray:
+    """Decode one (h, w[, samples]) window of an uncompressed GeoTIFF
+    with byte-range reads only — a window task never touches pixels
+    outside the strips/tiles it intersects."""
+    spp = meta["samples"]
+    dt = meta["dtype"]
+    out = np.zeros((h, w, spp), dt.newbyteorder("="))
+    W = meta["width"]
+    with open(path, "rb") as fh:
+        if meta["tile_width"]:
+            tw, tl = meta["tile_width"], meta["tile_length"]
+            tiles_across = (W + tw - 1) // tw
+            t_row_bytes = tw * spp * dt.itemsize
+            for trow in range(row0 // tl, (row0 + h - 1) // tl + 1):
+                for tcol in range(col0 // tw, (col0 + w - 1) // tw + 1):
+                    idx = trow * tiles_across + tcol
+                    fh.seek(meta["tile_offsets"][idx])
+                    raw = fh.read(tl * t_row_bytes)
+                    arr = np.frombuffer(raw, dt).reshape(tl, tw, spp)
+                    r0 = max(row0, trow * tl); r1 = min(row0 + h,
+                                                        (trow + 1) * tl)
+                    c0 = max(col0, tcol * tw); c1 = min(col0 + w,
+                                                        (tcol + 1) * tw)
+                    out[r0 - row0:r1 - row0, c0 - col0:c1 - col0] = (
+                        arr[r0 - trow * tl:r1 - trow * tl,
+                            c0 - tcol * tw:c1 - tcol * tw])
+        else:
+            rps = meta["rows_per_strip"]
+            row_bytes = W * spp * dt.itemsize
+            seg = w * spp * dt.itemsize
+            for r in range(row0, row0 + h):
+                s = r // rps
+                off = (meta["strip_offsets"][s]
+                       + (r - s * rps) * row_bytes
+                       + col0 * spp * dt.itemsize)
+                fh.seek(off)
+                out[r - row0] = np.frombuffer(fh.read(seg), dt).reshape(
+                    w, spp)
+    return out[:, :, 0] if spp == 1 else out
+
+
+def write_geotiff(img: np.ndarray, out_path: str,
+                  affine: tuple = (1.0, 0.0, 0.0, 0.0, -1.0, 0.0),
+                  rows_per_strip: int = 64) -> None:
+    """Write one uncompressed striped GeoTIFF (uint8/uint16/float32,
+    1 or n samples, ModelPixelScale + ModelTiepoint georeference from
+    the north-up ``affine``). Fixture/export sink — the at-scale tile
+    layout stays parquet."""
+    img = np.ascontiguousarray(img)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, spp = img.shape
+    if img.dtype == np.uint8:
+        bits, sfmt = 8, 1
+    elif img.dtype == np.uint16:
+        bits, sfmt = 16, 1
+    elif img.dtype == np.float32:
+        bits, sfmt = 32, 3
+    else:
+        raise ValueError(f"unsupported dtype {img.dtype}")
+    a, b, c, d, e, f = affine
+    if b or d:
+        raise ValueError("write_geotiff emits north-up rasters only "
+                         "(b = d = 0); use ModelTransformation-aware "
+                         "tooling for rotated grids")
+    n_strips = (h + rows_per_strip - 1) // rows_per_strip
+    row_bytes = w * spp * img.dtype.itemsize
+    data_off = 8
+    strip_offsets = [data_off + i * rows_per_strip * row_bytes
+                    for i in range(n_strips)]
+    strip_counts = [min(rows_per_strip, h - i * rows_per_strip) * row_bytes
+                    for i in range(n_strips)]
+    ifd_off = data_off + h * row_bytes
+
+    # out-of-line value area sits after the IFD
+    entries: list[tuple[int, int, int, bytes | int]] = []
+    extra: list[bytes] = []
+
+    def add(tag, typ, values):
+        fmt = _TIFF_TYPE_FMT[typ]
+        payload = struct.pack("<" + fmt * len(values), *values)
+        entries.append((tag, typ, len(values), payload))
+
+    add(256, 4, [w]); add(257, 4, [h])
+    add(258, 3, [bits] * spp)
+    add(259, 3, [1])                      # no compression
+    add(262, 3, [1 if spp == 1 else 2])   # photometric
+    add(273, 4, strip_offsets)
+    add(277, 3, [spp])
+    add(278, 4, [rows_per_strip])
+    add(279, 4, strip_counts)
+    add(284, 3, [1])
+    add(339, 3, [sfmt] * spp)
+    add(33550, 12, [a, -e, 0.0])          # ModelPixelScale (sx, sy, sz)
+    add(33922, 12, [0.0, 0.0, 0.0, c, f, 0.0])  # ModelTiepoint
+    entries.sort()
+    n = len(entries)
+    val_off = ifd_off + 2 + n * 12 + 4
+    ifd = struct.pack("<H", n)
+    for tag, typ, count, payload in entries:
+        if len(payload) <= 4:
+            raw4 = payload.ljust(4, b"\x00")
+        else:
+            raw4 = struct.pack("<I", val_off)
+            extra.append(payload)
+            val_off += len(payload)
+        ifd += struct.pack("<HHI", tag, typ, count) + raw4
+    ifd += struct.pack("<I", 0)  # no next IFD
+    with open(out_path, "wb") as fh:
+        fh.write(b"II" + struct.pack("<HI", 42, ifd_off))
+        fh.write(img.astype(img.dtype.newbyteorder("<")).tobytes())
+        fh.write(ifd)
+        for payload in extra:
+            fh.write(payload)
+
+
+def _geotiff_window_ds(metas: dict, windows: list[dict]):
+    """Plan → Dataset: one decode task per window batch, each doing
+    byte-range reads only and emitting the engine's tiles schema
+    (fmt='npy', window-local affine)."""
+    import ray.data as rd
+
+    def decode(batch: dict) -> pa.Table:
+        from ..functions import codec
+
+        rows = {k: [] for k in ("tile_id", "minx", "miny", "maxx",
+                                "maxy", "w", "h", "a", "b", "c", "d",
+                                "e", "f", "bytes", "fmt")}
+        for i in range(len(batch["path"])):
+            fpath = str(batch["path"][i])
+            m = metas[fpath]
+            c0, r0 = int(batch["col0"][i]), int(batch["row0"][i])
+            w, h = int(batch["w"][i]), int(batch["h"][i])
+            win = parse_geotiff_window(fpath, m, c0, r0, w, h)
+            a, b, cc, d, e, f = m["affine"]
+            # window-local affine: shift the translation terms
+            wc = cc + a * c0 + b * r0
+            wf = f + d * c0 + e * r0
+            xs = [wc, wc + a * w + b * h]
+            ys = [wf, wf + d * w + e * h]
+            rows["tile_id"].append(str(batch["tile_id"][i]))
+            rows["minx"].append(min(xs)); rows["maxx"].append(max(xs))
+            rows["miny"].append(min(ys)); rows["maxy"].append(max(ys))
+            rows["w"].append(w); rows["h"].append(h)
+            rows["a"].append(a); rows["b"].append(b); rows["c"].append(wc)
+            rows["d"].append(d); rows["e"].append(e); rows["f"].append(wf)
+            rows["bytes"].append(codec.encode_npy(np.ascontiguousarray(win)))
+            rows["fmt"].append("npy")
+        return pa.table({
+            **{k: pa.array(rows[k]) for k in ("tile_id",)},
+            **{k: pa.array(rows[k], pa.float64()) for k in
+               ("minx", "miny", "maxx", "maxy")},
+            **{k: pa.array(rows[k], pa.int32()) for k in ("w", "h")},
+            **{k: pa.array(rows[k], pa.float64()) for k in
+               ("a", "b", "c", "d", "e", "f")},
+            "bytes": pa.array(rows["bytes"], pa.binary()),
+            "fmt": pa.array(rows["fmt"]),
+        })
+
+    return rd.from_items(windows).map_batches(
+        decode, batch_format="numpy", batch_size=8)
+
+
+def read_geotiff_grid(path: str, tile_px: int = 256,
+                      overlap_px: int = 0, cell_res: int = 13):
+    """One north-up square uncompressed GeoTIFF → ``(GridSpec,
+    Dataset)`` with windows aligned BOTTOM-UP to the analytic grid the
+    chips pipeline assumes — exactly the synthetic tiler's layout
+    (max-edge overlap, grid tile ids ``t_RRRR_CCCC``), so the result
+    feeds ``extract_chips(crowns, tiles, captions, grid)`` directly.
+    This is the reference's ortho→delineation entry re-expressed:
+    rasterio window reads + split_raster overlap
+    (get_polygons.py:588-623, batch_sam.py:359)."""
+    from ..pipelines.chips import GridSpec
+
+    meta = read_geotiff_meta(path)
+    a, b, cc, d, e, f = meta["affine"]
+    if b or d or e >= 0:
+        raise NotImplementedError("read_geotiff_grid needs a north-up "
+                                  "raster (b = d = 0, e < 0)")
+    if abs(-e - a) > 1e-12:
+        raise NotImplementedError("non-square pixels not supported")
+    H, W = meta["height"], meta["width"]
+    if H != W:
+        raise NotImplementedError(
+            "read_geotiff_grid assumes a square ortho tile "
+            "(GridSpec extent is per-axis uniform); window-read "
+            "rectangular rasters via read_raster")
+    res = a
+    grid = GridSpec(cc, f + e * H, tile_px * res, overlap_px * res,
+                    W * res)
+    windows = []
+    for k in range(grid.n):           # grid row: 0 at raster BOTTOM
+        r_end = H - k * tile_px
+        r_start = max(0, H - (k * tile_px + tile_px + overlap_px))
+        for j in range(grid.n):
+            c_start = j * tile_px
+            c_end = min(W, c_start + tile_px + overlap_px)
+            windows.append({
+                "path": path,
+                "tile_id": f"t_{k:04d}_{j:04d}",
+                "col0": c_start, "row0": r_start,
+                "w": c_end - c_start, "h": r_end - r_start,
+            })
+
+    def add_cell(t: pa.Table) -> pa.Table:
+        from ..functions.cells import cell_of
+
+        cx = (t["minx"].to_numpy() + t["maxx"].to_numpy()) / 2
+        cy = (t["miny"].to_numpy() + t["maxy"].to_numpy()) / 2
+        return t.append_column(
+            "cell", pa.array(cell_of(cx, cy, cell_res), pa.uint64()))
+
+    return grid, _geotiff_window_ds({path: meta}, windows).map_batches(
+        add_cell, batch_format="pyarrow")
+
+
 def read_raster(path: str, tile_px: int = 256):
     """Raster source → Dataset in the engine's tiles schema (tile_id,
-    bytes, fmt, affine a/c/e/f). GeoTIFF needs rasterio (absent here);
-    parquet tile tables pass through."""
+    bytes, fmt='npy', bbox, w/h, affine a..f). Parquet tile tables
+    pass through; uncompressed GeoTIFF window-reads natively (driver
+    parses each file's IFD once, then one task per tile_px² window
+    does byte-range reads only — reference get_polygons.py:588-623
+    rasterio windowed read, re-expressed dependency-free). Compressed
+    TIFF needs rasterio (absent → loud gate)."""
     import ray.data as rd
 
     files = _files_of(path, _RASTER_EXTS)
     exts = {detect_format(f) for f in files}
     if exts == {".parquet"}:
         return rd.read_parquet(files)
+    if exts <= {".tif", ".tiff", ".parquet"}:
+        tif_files = [f for f in files if detect_format(f) != ".parquet"]
+        metas = {f: read_geotiff_meta(f) for f in tif_files}
+        windows = []
+        for fpath, m in metas.items():
+            stem = os.path.splitext(os.path.basename(fpath))[0]
+            for r0 in range(0, m["height"], tile_px):
+                for c0 in range(0, m["width"], tile_px):
+                    windows.append({
+                        "path": fpath,
+                        "tile_id": f"{stem}_r{r0 // tile_px:04d}"
+                                   f"_c{c0 // tile_px:04d}",
+                        "col0": c0, "row0": r0,
+                        "w": min(tile_px, m["width"] - c0),
+                        "h": min(tile_px, m["height"] - r0),
+                    })
+        ds = _geotiff_window_ds(metas, windows)
+        pq_files = [f for f in files if detect_format(f) == ".parquet"]
+        if pq_files:
+            ds = ds.union(rd.read_parquet(pq_files))
+        return ds
     if _have("rasterio"):  # pragma: no cover - absent here
         raise NotImplementedError(
             "GeoTIFF decode seam: window-read each tile_px² block via "
             "rasterio and emit the tiles schema"
         )
     raise NotImplementedError(
-        "reading GeoTIFF requires rasterio (not installed); pre-tile to "
-        "the parquet tiles schema (tile_id, bytes, fmt, a, c, e, f)"
+        "reading this raster format requires rasterio (not installed); "
+        "pre-tile to the parquet tiles schema (tile_id, bytes, fmt, "
+        "a, c, e, f)"
     )
 
 

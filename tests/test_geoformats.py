@@ -106,12 +106,15 @@ def test_wkb_roundtrip_and_parquet_decode(ray_session, tmp_path):
 
 
 def test_gated_formats_fail_loudly(tmp_path):
-    for name, fn in (("x.tif", gf.read_raster),
-                     ("x.laz", gf.read_lidar)):
-        p = tmp_path / name
-        p.write_bytes(b"\x00")
-        with pytest.raises(NotImplementedError, match="requires"):
-            fn(str(p))
+    p = tmp_path / "x.laz"
+    p.write_bytes(b"\x00")
+    with pytest.raises(NotImplementedError, match="requires"):
+        gf.read_lidar(str(p))
+    # .tif decodes natively now; garbage fails loudly as a bad TIFF
+    t = tmp_path / "x.tif"
+    t.write_bytes(b"\x00")
+    with pytest.raises(ValueError, match="TIFF"):
+        gf.read_raster(str(t))
 
 
 def test_wkb_holes_roundtrip():
@@ -183,6 +186,155 @@ def test_gpkg_write_read_roundtrip(ray_session, tmp_path):
     gf.write_gpkg(ds.filter(lambda r: r["crown_id"] >= "c2"), str(d / "b.gpkg"))
     both = gf.read_vector(str(d)).to_pandas()
     assert sorted(both["crown_id"]) == [f"c{i}" for i in range(5)]
+
+
+def test_geotiff_write_read_roundtrip(ray_session, tmp_path):
+    rng = np.random.default_rng(11)
+    # 300x200 uint8, 2 samples, striped; affine: 0.1 m/px anchored at
+    # (500, 800) with row 0 on top
+    img = rng.integers(0, 255, size=(200, 300, 2), dtype=np.uint8)
+    p = tmp_path / "ortho.tif"
+    aff = (0.1, 0.0, 500.0, 0.0, -0.1, 800.0)
+    gf.write_geotiff(img, str(p), affine=aff, rows_per_strip=48)
+
+    m = gf.read_geotiff_meta(str(p))
+    assert (m["width"], m["height"], m["samples"]) == (300, 200, 2)
+    assert m["affine"] == aff
+
+    # windowed read matches the in-memory slice exactly
+    win = gf.parse_geotiff_window(str(p), m, 37, 51, 100, 90)
+    np.testing.assert_array_equal(win, img[51:141, 37:137])
+
+    # dataset read: windows re-assemble to the full pixel sum
+    from geotreehealth_ray.functions import codec
+    ds = gf.read_raster(str(p), tile_px=128)
+    rows = ds.to_pandas()
+    assert len(rows) == 6  # ceil(300/128) x ceil(200/128)
+    total = sum(int(codec.decode_npy(b).astype(np.uint64).sum())
+                for b in rows["bytes"])
+    assert total == int(img.astype(np.uint64).sum())
+    assert (rows["fmt"] == "npy").all()
+    r00 = rows[rows["tile_id"].str.endswith("r0000_c0000")].iloc[0]
+    assert r00["c"] == 500.0 and r00["f"] == 800.0 and r00["a"] == 0.1
+    # window r0 c1 translation shifts by 128 px * 0.1 m
+    r01 = rows[rows["tile_id"].str.endswith("r0000_c0001")].iloc[0]
+    assert np.isclose(r01["c"], 500.0 + 12.8)
+    assert np.isclose(r00["miny"], 800.0 - 12.8) and r00["maxy"] == 800.0
+
+
+def test_geotiff_float_and_gates(tmp_path):
+    # float32 single-band roundtrip through the window reader
+    img = np.linspace(0, 1, 64 * 48, dtype=np.float32).reshape(48, 64)
+    p = tmp_path / "chm.tif"
+    gf.write_geotiff(img, str(p), affine=(1.0, 0, 0, 0, -1.0, 48.0),
+                     rows_per_strip=16)
+    m = gf.read_geotiff_meta(str(p))
+    win = gf.parse_geotiff_window(str(p), m, 0, 0, 64, 48)
+    np.testing.assert_array_equal(win, img)
+
+    # compression gate is loud and names the tool
+    data = bytearray(p.read_bytes())
+    # patch the compression tag value (find tag 259 in the IFD)
+    ifd_off = struct_unpack_ifd = int.from_bytes(data[4:8], "little")
+    n = int.from_bytes(data[ifd_off:ifd_off + 2], "little")
+    for i in range(n):
+        e = ifd_off + 2 + i * 12
+        if int.from_bytes(data[e:e + 2], "little") == 259:
+            data[e + 8] = 5  # LZW
+    pz = tmp_path / "lzw.tif"
+    pz.write_bytes(bytes(data))
+    with pytest.raises(NotImplementedError, match="rasterio"):
+        gf.read_geotiff_meta(str(pz))
+
+
+def test_geotiff_grid_feeds_extract_chips(ray_session, tmp_path):
+    """End-to-end ortho path: one square GeoTIFF window-read into the
+    analytic grid layout and pushed through extract_chips must emit
+    EXACTLY the chips the synthetic tiler path emits from the same
+    pixels (same tile ids, same affines, same chip pixels)."""
+    import ray.data as rd
+
+    from geotreehealth_ray.functions import codec
+    from geotreehealth_ray.pipelines.chips import GridSpec, extract_chips
+    from geotreehealth_ray.sources import synth
+
+    cfg = synth.TINY
+    # whole-extent ortho from the texture formula (pixel centers,
+    # row 0 on top — same convention as the synth tiler)
+    n_px = int(round(cfg.extent_m / cfg.res_m))
+    pxc = cfg.origin_m + (np.arange(n_px) + 0.5) * cfg.res_m
+    pyc = (cfg.origin_m + cfg.extent_m) - (np.arange(n_px) + 0.5) * cfg.res_m
+    ortho = synth.texture_at(pxc[None, :], pyc[:, None], cfg.res_m, cfg.seed)
+    tif = tmp_path / "ortho.tif"
+    gf.write_geotiff(
+        ortho, str(tif),
+        affine=(cfg.res_m, 0.0, cfg.origin_m, 0.0, -cfg.res_m,
+                cfg.origin_m + cfg.extent_m),
+        rows_per_strip=256,
+    )
+
+    grid, tif_tiles = gf.read_geotiff_grid(
+        str(tif), tile_px=int(round(cfg.tile_m / cfg.res_m)),
+        overlap_px=int(round(cfg.overlap_m / cfg.res_m)),
+        cell_res=cfg.cell_res)
+    ref_grid = GridSpec.from_synth(cfg)
+    assert (grid.origin_x, grid.origin_y, grid.tile_m, grid.overlap_m,
+            grid.n) == (ref_grid.origin_x, ref_grid.origin_y,
+                        ref_grid.tile_m, ref_grid.overlap_m, ref_grid.n)
+
+    # reference tiles: the synth generator's metadata with the SAME
+    # lossless npy payloads (so both inputs are semantically identical
+    # and any difference is the windowed-read path's fault)
+    syn_tiles, _ = synth.gen_tiles_and_images(cfg)
+    tif_pd = tif_tiles.to_pandas().sort_values("tile_id").reset_index(drop=True)
+    syn_pd = syn_tiles.to_pandas().sort_values("tile_id").reset_index(drop=True)
+    assert list(tif_pd["tile_id"]) == list(syn_pd["tile_id"])
+    for col in ("minx", "miny", "maxx", "maxy", "a", "e", "c", "f"):
+        np.testing.assert_allclose(tif_pd[col], syn_pd[col], atol=1e-9,
+                                   err_msg=col)
+    assert (tif_pd["cell"].to_numpy() == syn_pd["cell"].to_numpy()).all()
+    for i in range(len(tif_pd)):
+        win = codec.decode_npy(tif_pd.loc[i, "bytes"])
+        exp = codec.decode(syn_pd.loc[i, "bytes"], syn_pd.loc[i, "fmt"])
+        if syn_pd.loc[i, "fmt"] == "png":  # lossless → exact
+            np.testing.assert_array_equal(win, exp)
+        assert win.shape == exp.shape
+
+    # chips from the GeoTIFF path == chips from the equivalent
+    # in-memory tiles table (tile assignment, ids, pixel checksums)
+    crowns = rd.from_arrow(synth.gen_crowns(cfg, 0))
+    caps = tif_tiles.map_batches(
+        lambda t: pa.table({"tile_id": t["tile_id"],
+                            "caption": t["tile_id"]}),
+        batch_format="pyarrow")
+
+    def tile_npy(i):
+        w, h = int(syn_pd.loc[i, "w"]), int(syn_pd.loc[i, "h"])
+        px = syn_pd.loc[i, "minx"] + (np.arange(w) + 0.5) * cfg.res_m
+        py = syn_pd.loc[i, "maxy"] - (np.arange(h) + 0.5) * cfg.res_m
+        return codec.encode_npy(
+            synth.texture_at(px[None, :], py[:, None], cfg.res_m,
+                             cfg.seed))
+
+    mem_tiles = rd.from_arrow(pa.table({
+        "tile_id": pa.array(list(syn_pd["tile_id"])),
+        "cell": pa.array(syn_pd["cell"].to_numpy(), pa.uint64()),
+        "a": pa.array(syn_pd["a"], pa.float64()),
+        "c": pa.array(syn_pd["c"], pa.float64()),
+        "e": pa.array(syn_pd["e"], pa.float64()),
+        "f": pa.array(syn_pd["f"], pa.float64()),
+        "bytes": pa.array([tile_npy(i) for i in range(len(syn_pd))],
+                          pa.binary()),
+        "fmt": pa.array(["npy"] * len(syn_pd)),
+    }))
+    chips_a = extract_chips(crowns, tif_tiles, caps, grid).to_pandas()
+    chips_b = extract_chips(crowns, mem_tiles, caps, grid).to_pandas()
+    a = chips_a.sort_values("crown_id").reset_index(drop=True)
+    b = chips_b.sort_values("crown_id").reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    assert (a["pixel_checksum"].to_numpy()
+            == b["pixel_checksum"].to_numpy()).all()
+    assert (a["tile_id"].to_numpy() == b["tile_id"].to_numpy()).all()
 
 
 def test_las_write_read_roundtrip(ray_session, tmp_path):
