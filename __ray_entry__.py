@@ -2563,6 +2563,140 @@ def _q_synth_pansharpen(sf_dir: str):
     )
 
 
+# one-shot per-process geo-format artifacts for the roundtrip queries
+_FMT_DONE: set = set()
+
+
+def _q_synth_gpkg_roundtrip(sf_dir: str):
+    """Native GPKG write→read roundtrip as a driver query: the synth
+    crowns stream into one spec-conformant GeoPackage
+    (geoformats.write_gpkg, stdlib sqlite3) and are decoded back
+    (read_vector → strip_gpkg_header → parse_wkb_polygons). WKB
+    stores float64 exactly, so the read-back ring equals the parquet
+    ring bit-for-bit; the emitted mm-integer shoelace (order-free
+    BIGINT sum) is reproduced closed-form by the DuckDB oracle from
+    the ORIGINAL parquet — proving the whole write+read path.
+    Reference primary input format: gpd.read_file(.gpkg),
+    tree_health_detection/main.py:71-88."""
+    import os
+
+    from geotreehealth_ray.sources import geoformats as gf
+
+    p = _synth_paths()
+    path = f"{_SYNTH_CACHE}/crowns_roundtrip.gpkg"
+    if "gpkg" not in _FMT_DONE or not os.path.exists(path):
+        gf.write_gpkg(_rd().read_parquet(p["crowns"]), path)
+        _FMT_DONE.add("gpkg")
+
+    def mm_shoelace(t: pa.Table) -> pa.Table:
+        ring = t["ring"].combine_chunks()
+        offs = ring.offsets.to_numpy()
+        xs = ring.values.field("x").to_numpy()
+        ys = ring.values.field("y").to_numpy()
+        xi = np.floor(xs * 1000.0 + 0.5).astype(np.int64)
+        yi = np.floor(ys * 1000.0 + 0.5).astype(np.int64)
+        # next-vertex index, wrapping inside each ring
+        nxt = np.arange(1, len(xs) + 1)
+        nxt[offs[1:] - 1] = offs[:-1]
+        cross = xi * yi[nxt] - xi[nxt] * yi
+        area2 = np.abs(np.add.reduceat(cross, offs[:-1])) if len(xs) \
+            else np.array([], np.int64)
+        return pa.table({
+            "crown_id": t["crown_id"],
+            "n_pts": pa.array(np.diff(offs).astype(np.int64)),
+            "area2_mm2": pa.array(area2.astype(np.int64)),
+        })
+
+    return gf.read_vector(path).map_batches(
+        mm_shoelace, batch_format="pyarrow")
+
+
+def _q_synth_geotiff_windows(sf_dir: str):
+    """Native uncompressed-GeoTIFF windowed read as a driver query:
+    one whole-extent ortho raster is materialized ONCE from the
+    texture formula and written with geoformats.write_geotiff; the
+    query window-reads it back through read_geotiff_grid (grid-aligned
+    byte-range tasks, the synthetic tiler's layout) and emits each
+    window's integer pixel sum, which the DuckDB oracle recomputes
+    closed-form from the texture formula — proving IFD parse, strip
+    offsets, window math and affines end to end. Reference:
+    rasterio windowed ortho reads, get_polygons.py:588-623."""
+    import os
+
+    from geotreehealth_ray.functions import codec
+    from geotreehealth_ray.sources import geoformats as gf
+    from geotreehealth_ray.sources import synth
+
+    cfg = synth.TINY
+    path = f"{_SYNTH_CACHE}/ortho_roundtrip.tif"
+    if "tif" not in _FMT_DONE or not os.path.exists(path):
+        n_px = int(round(cfg.extent_m / cfg.res_m))
+        pxc = cfg.origin_m + (np.arange(n_px) + 0.5) * cfg.res_m
+        pyc = (cfg.origin_m + cfg.extent_m) - (np.arange(n_px) + 0.5) * cfg.res_m
+        ortho = synth.texture_at(pxc[None, :], pyc[:, None], cfg.res_m,
+                                 cfg.seed)
+        gf.write_geotiff(
+            ortho, path,
+            affine=(cfg.res_m, 0.0, cfg.origin_m, 0.0, -cfg.res_m,
+                    cfg.origin_m + cfg.extent_m),
+            rows_per_strip=256,
+        )
+        _FMT_DONE.add("tif")
+
+    _grid, tiles = gf.read_geotiff_grid(
+        path, tile_px=int(round(cfg.tile_m / cfg.res_m)),
+        overlap_px=int(round(cfg.overlap_m / cfg.res_m)),
+        cell_res=cfg.cell_res)
+
+    def sums(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        pix = [int(codec.decode_npy(b.as_py()).astype(np.int64).sum())
+               for b in t["bytes"]]
+        return pa.table({
+            "tile_id": t["tile_id"],
+            "w": pc.cast(t["w"], pa.int64()),
+            "h": pc.cast(t["h"], pa.int64()),
+            "pix_sum": pa.array(pix, pa.int64()),
+        })
+
+    return tiles.map_batches(sums, batch_format="pyarrow")
+
+
+def _q_synth_las_roundtrip(sf_dir: str):
+    """Native uncompressed-LAS write→read roundtrip as a driver
+    query: the synth lidar table streams into one LAS 1.2 format-1
+    file (geoformats.write_las, fixed origin → parallelism-
+    independent int32 grid, half-up mm snap) and decodes back through
+    the chunked byte-range reader; emitted mm-integer coordinates are
+    reproduced by the DuckDB oracle applying the writer's exact IEEE
+    quantization to the ORIGINAL parquet. Reference lidar ingest:
+    laspy crown clips, store_data_structures.py:42-55."""
+    import os
+
+    from geotreehealth_ray.sources import geoformats as gf
+    from geotreehealth_ray.sources import synth
+
+    cfg = synth.TINY
+    p = _synth_paths()
+    path = f"{_SYNTH_CACHE}/cloud_roundtrip.las"
+    origin = (cfg.origin_m, cfg.origin_m, 0.0)
+    if "las" not in _FMT_DONE or not os.path.exists(path):
+        gf.write_las(_rd().read_parquet(p["lidar"]), path, origin=origin)
+        _FMT_DONE.add("las")
+
+    def to_mm(t: pa.Table) -> pa.Table:
+        def snap(col, o):
+            v = t[col].to_numpy()
+            return pa.array(np.floor((v - o) / 0.001 + 0.5).astype(np.int64))
+
+        return pa.table({"x_mm": snap("x", origin[0]),
+                         "y_mm": snap("y", origin[1]),
+                         "z_mm": snap("z", origin[2])})
+
+    return gf.read_lidar(path).map_batches(to_mm, batch_format="pyarrow")
+
+
 def _q_synth_pyramid(sf_dir: str):
     """Multi-resolution tile pyramid over the north-rule image table
     (stages/raster.py PyramidBuilder): 3 box-mean overview levels per
@@ -3145,6 +3279,9 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "synth_training": _q_synth_training,
         "synth_alignment": _q_synth_alignment,
         "synth_pansharpen": _q_synth_pansharpen,
+        "synth_gpkg_roundtrip": _q_synth_gpkg_roundtrip,
+        "synth_geotiff_windows": _q_synth_geotiff_windows,
+        "synth_las_roundtrip": _q_synth_las_roundtrip,
         # --- tier 2: dedup / ANN / text training-data family ---
         "doc_exact_dedup": _q_doc_dedup,
         "minhash_pairs": _q_minhash_pairs,
@@ -3618,6 +3755,80 @@ def oracle_sql() -> dict[str, str]:
             FROM win w
             JOIN imgs i ON i.image_id = w.tile_id
             LEFT JOIN msk m ON m.crown_id = w.crown_id
+        """,
+        "synth_gpkg_roundtrip": f"""
+            -- GPKG write+read roundtrip oracle: WKB carries float64
+            -- exactly, so the read-back ring == the parquet ring
+            -- bit-for-bit and the mm-integer shoelace (order-free
+            -- BIGINT arithmetic) reconstructs closed-form from the
+            -- ORIGINAL crowns table. Engine mirror: np.floor(v*1000
+            -- + 0.5), int64 cross-product sum per ring.
+            WITH c AS (
+              SELECT crown_id, ring, len(ring) AS n
+              FROM read_parquet('{_SYNTH_CACHE}/crowns/*.parquet')),
+            v AS (
+              SELECT crown_id, n, u.i,
+                CAST(floor(ring[u.i].x * 1000.0 + 0.5) AS BIGINT) AS xi,
+                CAST(floor(ring[u.i].y * 1000.0 + 0.5) AS BIGINT) AS yi,
+                CAST(floor(ring[(u.i % n) + 1].x * 1000.0 + 0.5) AS BIGINT) AS xj,
+                CAST(floor(ring[(u.i % n) + 1].y * 1000.0 + 0.5) AS BIGINT) AS yj
+              FROM c, unnest(generate_series(1, n)) AS u(i))
+            SELECT crown_id,
+                   CAST(any_value(n) AS BIGINT) AS n_pts,
+                   CAST(abs(sum(xi*yj - xj*yi)) AS BIGINT) AS area2_mm2
+            FROM v GROUP BY crown_id
+        """,
+        "synth_geotiff_windows": f"""
+            -- GeoTIFF windowed-read oracle: per grid window (TINY
+            -- constants — 1600 px raster, 256 px tile, 32 px overlap,
+            -- n=7, origin 1024 m, top 1184 m, res 0.1), every pixel's
+            -- value is the texture formula at its center; the window
+            -- sum is exact integer arithmetic. Engine mirror: same
+            -- IEEE center/floor ops in synth.texture_at.
+            WITH ks AS (SELECT unnest(generate_series(0, 6)) AS k),
+            js AS (SELECT unnest(generate_series(0, 6)) AS j),
+            wins AS (
+              SELECT k, j, printf('t_%04d_%04d', k, j) AS tile_id,
+                     j*256 AS c0, least(1600, j*256 + 288) AS c1,
+                     greatest(0, 1600 - (k*256 + 288)) AS r0,
+                     1600 - k*256 AS r1
+              FROM ks, js),
+            colsx AS (
+              SELECT tile_id, r0, r1, c1 - c0 AS w, r1 - r0 AS h,
+                     unnest(generate_series(c0, c1 - 1)) AS i
+              FROM wins),
+            px AS (
+              SELECT tile_id, w, h, i,
+                     unnest(generate_series(r0, r1 - 1)) AS rr
+              FROM colsx),
+            g AS (
+              SELECT tile_id, w, h,
+                CAST(floor((1024.0 + (CAST(i AS DOUBLE) + 0.5) * 0.1)
+                           / 0.1) AS BIGINT) AS gx,
+                CAST(floor((1184.0 - (CAST(rr AS DOUBLE) + 0.5) * 0.1)
+                           / 0.1) AS BIGINT) AS gy
+              FROM px)
+            SELECT tile_id,
+                   CAST(any_value(w) AS BIGINT) AS w,
+                   CAST(any_value(h) AS BIGINT) AS h,
+                   CAST(sum((gx*31 + gy*17 + 42) % 251
+                          + (gx*13 + gy*41 + 294) % 241
+                          + (gx*29 + gy*23 + 546) % 239) AS BIGINT)
+                     AS pix_sum
+            FROM g GROUP BY tile_id
+        """,
+        "synth_las_roundtrip": f"""
+            -- LAS write+read roundtrip oracle: the writer's half-up
+            -- mm snap floor((v - origin)/0.001 + 0.5) applied to the
+            -- ORIGINAL lidar table (same IEEE op sequence); the
+            -- engine recovers the identical grid index from the
+            -- descaled read-back coordinates (exact int32·scale +
+            -- offset, see _q_synth_las_roundtrip).
+            SELECT
+              CAST(floor((x - 1024.0) / 0.001 + 0.5) AS BIGINT) AS x_mm,
+              CAST(floor((y - 1024.0) / 0.001 + 0.5) AS BIGINT) AS y_mm,
+              CAST(floor((z - 0.0) / 0.001 + 0.5) AS BIGINT) AS z_mm
+            FROM read_parquet('{_SYNTH_CACHE}/lidar/*.parquet')
         """,
         "cell_hulls": f"""
             -- per-cell canonical strict convex hull, closed form: a

@@ -993,6 +993,7 @@ def parse_las_points(path: str, start: int = 0,
 
 
 def write_las(ds, out_path: str, scale: float = 0.001,
+              origin: tuple[float, float, float] | None = None,
               batch_size: int = 65536) -> int:
     """Stream (x, y, z [, intensity, classification, gps_time]) rows to
     ONE uncompressed LAS 1.2 point-format-1 file (fixture/export sink —
@@ -1009,8 +1010,9 @@ def write_las(ds, out_path: str, scale: float = 0.001,
     n = 0
     mins = np.array([np.inf] * 3)
     maxs = np.array([-np.inf] * 3)
-    first = True
-    origin = np.zeros(3)
+    first = origin is None
+    origin = np.zeros(3) if origin is None else np.asarray(origin,
+                                                          np.float64)
     with open(out_path, "w+b") as fh:
         fh.write(head)
         for batch in ds.iter_batches(batch_size=batch_size,
@@ -1022,11 +1024,15 @@ def write_las(ds, out_path: str, scale: float = 0.001,
             ]).astype(np.float64)
             if first and len(xyz):
                 # anchor the int32 grid near the data so µm-scale
-                # offsets survive the quantization
+                # offsets survive the quantization (pass an explicit
+                # ``origin`` for a parallelism-independent grid)
                 origin = np.floor(xyz.min(axis=0))
                 first = False
             rec = np.zeros(len(xyz), dt)
-            q = np.round((xyz - origin) / scale)
+            # half-up snap: floor(v/scale + 0.5) — the exact IEEE op
+            # sequence a SQL oracle can mirror (np.round would be
+            # half-to-even, which SQL round() is not)
+            q = np.floor((xyz - origin) / scale + 0.5)
             rec["X"], rec["Y"], rec["Z"] = (
                 q[:, 0].astype(np.int32), q[:, 1].astype(np.int32),
                 q[:, 2].astype(np.int32))
