@@ -23,7 +23,8 @@ import zlib
 import numpy as np
 
 __all__ = ["encode", "decode", "encode_png", "decode_png", "encode_qdct",
-           "decode_qdct", "encode_npy", "decode_npy", "psnr", "average_hash"]
+           "decode_qdct", "encode_npy", "decode_npy", "encode_wav",
+           "decode_wav", "psnr", "average_hash"]
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -306,6 +307,78 @@ def decode_npy(data: bytes) -> np.ndarray:
     shape = np.frombuffer(data[off : off + 4 * ndim], dtype=np.int32)
     off += 4 * ndim
     return np.frombuffer(data[off:], dtype=dt).reshape(shape).copy()
+
+
+# ------------------------------------------------------------- wav
+# PCM WAV is a fixed RIFF layout (public spec) — decodable with
+# struct + numpy alone, so the audio path needs no codec library for
+# uncompressed recordings. Compressed codecs stay a loud gate.
+
+def encode_wav(signal: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """float (-1..1) or int16 mono/multichannel → PCM16 WAV bytes."""
+    sig = np.asarray(signal)
+    if sig.dtype.kind == "f":
+        pcm = np.clip(np.floor(sig * 32767.0 + 0.5),
+                      -32768, 32767).astype("<i2")
+    else:
+        pcm = sig.astype("<i2")
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    n_ch = pcm.shape[1]
+    data = pcm.tobytes()
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, n_ch, sample_rate,
+                                    sample_rate * n_ch * 2, n_ch * 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """PCM (8/16/24/32-bit) or IEEE-float WAV → (mono float32 signal
+    in [-1, 1], sample_rate). Multichannel mixes down by mean.
+    Compressed codecs (mp3-in-wav, ADPCM, ...) raise loudly."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, raw = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        sz = struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8:pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            raw = body
+        pos += 8 + sz + (sz & 1)
+    if fmt is None or raw is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _br, _ba, bits = fmt
+    if audio_fmt == 1:
+        if bits == 8:
+            sig = (np.frombuffer(raw, np.uint8).astype(np.float32)
+                   - 128.0) / 128.0
+        elif bits == 16:
+            sig = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+        elif bits == 24:
+            b3 = np.frombuffer(raw, np.uint8)
+            b3 = b3[: len(b3) - len(b3) % 3].reshape(-1, 3).astype(np.int32)
+            v = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+            v = (v ^ 0x800000) - 0x800000
+            sig = v.astype(np.float32) / 8388608.0
+        elif bits == 32:
+            sig = np.frombuffer(raw, "<i4").astype(np.float32) / 2147483648.0
+        else:
+            raise NotImplementedError(f"PCM {bits}-bit WAV not supported")
+    elif audio_fmt == 3:
+        sig = np.frombuffer(raw, "<f4" if bits == 32 else "<f8").astype(
+            np.float32)
+    else:
+        raise NotImplementedError(
+            f"WAV audio format {audio_fmt} is compressed; decoding needs "
+            "an audio codec library (not installed) — transcode to PCM"
+        )
+    if n_ch > 1:
+        sig = sig[: len(sig) - len(sig) % n_ch].reshape(-1, n_ch).mean(
+            axis=1, dtype=np.float32)
+    return sig, int(rate)
 
 
 # --------------------------------------------------------------- api

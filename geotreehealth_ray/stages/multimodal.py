@@ -37,24 +37,32 @@ def _stub_signal(payload: bytes, n: int) -> np.ndarray:
 
 
 class AudioFeatureSlot:
-    """Audio decode + feature extraction slot. Real path would load an
-    audio codec + model once per actor; stub path synthesizes a
-    deterministic waveform and computes REAL features (RMS energy,
-    zero-crossing rate, 8-band spectral energies via numpy FFT)."""
+    """Audio decode + feature extraction slot. PCM WAV payloads decode
+    for REAL (functions/codec.py decode_wav — RIFF is struct+numpy
+    parseable, no codec library needed); other payloads use the
+    deterministic stub waveform (``strict=True`` raises on them
+    instead). Features are real either way: RMS energy, zero-crossing
+    rate, 8-band spectral energies via numpy FFT — computed once per
+    payload inside the actor."""
 
     def __init__(self, strict: bool = False, frame_n: int = 4096):
-        if strict:
-            raise NotImplementedError(
-                "no audio decode library in this environment; "
-                "use strict=False for the deterministic stub decode"
-            )
+        self.strict = strict
         self.frame_n = frame_n
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {"audio_id": [], "rms": [], "zcr": [], "band_energy": []}
         for i in range(len(batch)):
             payload = batch["bytes"][i].as_py() or b""
-            sig = _stub_signal(payload, self.frame_n)
+            if payload[:4] == b"RIFF":
+                sig, _rate = codec.decode_wav(payload)
+            elif self.strict:
+                raise NotImplementedError(
+                    "non-WAV audio payload: compressed codecs need an "
+                    "audio library (not installed); transcode to PCM "
+                    "WAV, or use strict=False for the stub decode"
+                )
+            else:
+                sig = _stub_signal(payload, self.frame_n)
             out["audio_id"].append(batch["audio_id"][i].as_py())
             out["rms"].append(float(np.sqrt(np.mean(sig**2))))
             out["zcr"].append(float(np.mean(np.diff(np.signbit(sig)) != 0)))
