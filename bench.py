@@ -219,6 +219,7 @@ def main():
     # Raising the thresholds keeps freed buffers in the arena for
     # reuse. Set BEFORE ray.init so raylet-spawned workers inherit.
     os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "2147483647")
+    os.environ.setdefault("RAY_DEFAULT_OBJECT_STORE_MEMORY_PROPORTION", "0.5")  # headroom: at 42.9% the 15M-stem exchange queues deadlock the streaming scheduler
     os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "2147483647")
 
     if "--scaling" in sys.argv:

@@ -316,13 +316,15 @@ def cells_covering_many(
 
 def fused_group_key(raw_cell: np.ndarray, salt) -> np.ndarray:
     """Bijective (cell, salt) → uniform uint64 group key: the salt
-    (< 16) packs into the low 4 bits ahead of the :func:`mix64`
+    (< 128) packs into the low 7 bits ahead of the :func:`mix64`
     scramble, so two different (cell, salt) pairs can NEVER collide
     (injective pack ∘ bijective mix) and the key is uniform over
     [0, 2^64) — the property that lets a sort exchange use analytic
     ``uniform_uint64_boundaries`` instead of a sampling round.
-    Requires raw cells < 2^60 (Morton keys at res ≤ 30; DEFAULT_RES
-    is 13)."""
+    Requires the cell's Morton payload < 2^57 (res ≤ 28; DEFAULT_RES
+    is 13 → 26 payload bits). The res nibble in the key's top bits is
+    shifted out — all rows of one exchange share a single res, so
+    grouping is unaffected."""
     c = np.asarray(raw_cell, np.uint64)
     s = np.asarray(salt, np.uint64) if not np.isscalar(salt) else np.uint64(salt)
-    return mix64((c << np.uint64(4)) | (s & np.uint64(0xF)))
+    return mix64((c << np.uint64(7)) | (s & np.uint64(0x7F)))

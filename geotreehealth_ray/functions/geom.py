@@ -196,8 +196,13 @@ def points_in_rings_pairs(px: np.ndarray, py: np.ndarray,
 
     Exactly the same ray-casting + on-edge arithmetic as
     :func:`points_in_ring` (element-for-element identical formulas), so
-    results are bit-equal; work is ``sum(len(ring) per pair)`` edge
-    rows reduced with ``bincount`` — no Python per-ring loop."""
+    results are bit-equal. Layout: pairs are COHORTED BY RING LENGTH
+    and each cohort loops over edge SLOTS (L small vectorized passes
+    over per-pair arrays) instead of materializing the full
+    pairs×edges explosion — same ``sum(len(ring) per pair)`` edge
+    tests, but ~O(pairs) peak memory and no giant int64 index/repeat
+    temporaries (which made dense-cluster groups memory-bandwidth
+    bound at 10^7 pairs)."""
     px = np.asarray(px, np.float64)
     py = np.asarray(py, np.float64)
     ring_ids = np.asarray(ring_ids, np.int64)
@@ -205,6 +210,67 @@ def points_in_rings_pairs(px: np.ndarray, py: np.ndarray,
     n = len(px)
     if n == 0:
         return np.zeros(0, dtype=bool)
+    if n < 32_768:
+        # small groups (the long tail — most cells): one-shot edge
+        # explosion; ~15 numpy calls total vs the cohort layout's
+        # L×cohorts small calls (which cost more than the work here)
+        return _pairs_pip_exploded(px, py, ring_ids, edge_pack)
+    eps = 1e-9
+    out = np.zeros(n, dtype=bool)
+    pls = lens[ring_ids]
+    for L in np.unique(pls):
+        sel = np.flatnonzero(pls == L)
+        base = starts[ring_ids[sel]]
+        PX, PY = px[sel], py[sel]
+        crossings = np.zeros(len(sel), np.int64)
+        on_edge = np.zeros(len(sel), dtype=bool)
+        for e in range(int(L)):
+            ei = base + e
+            Y1, Y2 = y1[ei], y2[ei]
+            # cheap y-tests first — most (pair, edge) rows fail both,
+            # so the x/cross arithmetic runs on small survivor sets
+            lo1 = Y1 <= PY
+            # crossing test only on edges straddling the point's y
+            # level (cond excludes horizontal edges, so no 0-denom)
+            cand = np.flatnonzero(lo1 != (Y2 <= PY))
+            # on-edge candidates by the edge's y eps-band
+            near = np.flatnonzero(
+                (PY >= np.minimum(Y1, Y2) - eps)
+                & (PY <= np.maximum(Y1, Y2) + eps)
+            )
+            if len(cand):
+                e1 = ei[cand]
+                X1c, X2c = x1[e1], x2[e1]
+                xint = X1c + (PY[cand] - Y1[cand]) * (
+                    X2c - X1c) / (Y2[cand] - Y1[cand])
+                crossings[cand[PX[cand] < xint]] += 1
+            if len(near):
+                e2 = ei[near]
+                X1n, X2n = x1[e2], x2[e2]
+                PXn = PX[near]
+                inb = np.flatnonzero(
+                    (PXn >= np.minimum(X1n, X2n) - eps)
+                    & (PXn <= np.maximum(X1n, X2n) + eps)
+                )
+                if len(inb):
+                    nb = near[inb]
+                    dx = X2n[inb] - X1n[inb]
+                    dy = Y2[nb] - Y1[nb]
+                    cross = dx * (PY[nb] - Y1[nb]) - dy * (PX[nb] - X1n[inb])
+                    collinear = np.abs(cross) <= eps * (
+                        np.abs(dx) + np.abs(dy) + 1.0)
+                    on_edge[nb[collinear]] = True
+        out[sel] = ((crossings % 2) == 1) | on_edge
+    return out
+
+
+def _pairs_pip_exploded(px: np.ndarray, py: np.ndarray,
+                        ring_ids: np.ndarray, edge_pack) -> np.ndarray:
+    """Small-input PIP layout: materialize the pairs×edges explosion
+    and reduce with bincount (identical per-(pair, edge) formulas as
+    the cohort path → bit-equal results)."""
+    x1, y1, x2, y2, lens, starts = edge_pack
+    n = len(px)
     ecnt = lens[ring_ids]
     total = int(ecnt.sum())
     pair_of_edge = np.repeat(np.arange(n), ecnt)

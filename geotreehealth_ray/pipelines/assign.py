@@ -86,8 +86,9 @@ _UNION_SCHEMA = pa.schema(
 # 5k-stem × ~1k-crown cell in ~0.2-0.3 s, a healthy task size — only
 # beyond that is splitting worth the replicated stem rows.
 N_SALT = 8  # blanket fan-out used by salt_mode='all' only
-N_SALT_MAX = 16
+N_SALT_MAX = 96  # fused key carries 7 salt bits (cells.fused_group_key)
 HOT_CELL_THRESHOLD = 5000
+HOT_CELL_EXTREME = 3 * HOT_CELL_THRESHOLD  # quadratic-salt escalation floor
 
 
 def _salt_of(ids, k: np.ndarray) -> np.ndarray:
@@ -101,38 +102,184 @@ _HOT_SAMPLE_ROWS = 200_000
 
 
 def _crown_reach(crowns) -> tuple[float, float]:
-    """One narrow column scan → (mx, my): the max reach of any crown's
-    bbox from its centroid, per axis. This is the stem halo margin for
-    owner-mode assignment: a crown can only contain stems within
-    (mx, my) of its centroid, so replicating each stem to every cell
-    its margin box touches guarantees the (crown, contained-stem) pair
-    co-locates in the crown's owner cell. The scan is a combiner
-    (one max row per batch) — no shuffle, driver sees #batches rows."""
+    """Back-compat wrapper: (mx, my) global max reach only."""
+    mx, my, _qx, _qy = _reach_stats(crowns)
+    return mx, my
+
+
+# outlier-crown broadcast budget (rows). Above this the reach tail is
+# too fat to call "outliers" and the plan falls back to the full
+# max-reach margin.
+BIG_BROADCAST_MAX = 200_000
+_REACH_QUANTILE = 0.9995
+# the split must BUY something: only trigger when the quantile margin
+# is well under the max (a genuine monster-polygon tail). On smooth
+# heavy-tailed reach distributions the broadcast join costs more than
+# the saved replication (measured: p99.8 split on the 15.36M synth
+# input = 49k "outliers", cover 1.76→1.44, net SLOWER), so the guard
+# stays dormant there and the plan keeps the max-reach margin.
+_REACH_SPLIT_RATIO = 0.6
+
+
+def _reach_stats(crowns) -> tuple[float, float, float, float]:
+    """One narrow combiner scan → (mx, my, qx, qy): the global max
+    crown reach per axis (bbox extent from the centroid) AND a high
+    reach quantile (p≈99.8) from a deterministic hash sample. The
+    margin for owner-mode stem replication only needs to cover the
+    crowns that take the exchange path — crowns with reach beyond the
+    quantile go through the outlier broadcast join instead, so ONE
+    21 m monster crown no longer inflates every stem's margin box
+    (measured: max-reach margin was 1.77× stem replication vs 1.27×
+    at p99.8 on the 15.36M clustered input). Which crowns take which
+    path is a pure partitioning choice — both paths are exact — so a
+    sampled quantile is safe. The scan is a combiner (one slim row
+    per batch) — no shuffle."""
 
     def partial(t: pa.Table):
         if len(t) == 0:
             return pa.table({"mx": pa.array([], pa.float64()),
-                             "my": pa.array([], pa.float64())})
+                             "my": pa.array([], pa.float64()),
+                             "sx": pa.array([], pa.binary()),
+                             "sy": pa.array([], pa.binary())})
         cx = t["cx"].to_numpy()
         cy = t["cy"].to_numpy()
-        mx = max(
-            float(np.max(cx - t["minx"].to_numpy())),
-            float(np.max(t["maxx"].to_numpy() - cx)),
-        )
-        my = max(
-            float(np.max(cy - t["miny"].to_numpy())),
-            float(np.max(t["maxy"].to_numpy() - cy)),
-        )
-        return pa.table({"mx": pa.array([mx]), "my": pa.array([my])})
+        rx = np.maximum(cx - t["minx"].to_numpy(),
+                        t["maxx"].to_numpy() - cx)
+        ry = np.maximum(cy - t["miny"].to_numpy(),
+                        t["maxy"].to_numpy() - cy)
+        h = pd.util.hash_pandas_object(
+            pd.Series(t["crown_id"].to_numpy(zero_copy_only=False)),
+            index=False,
+        ).to_numpy()
+        pick = (h % np.uint64(64)) == 0  # ~1.6% deterministic sample
+        return pa.table({
+            "mx": pa.array([float(rx.max())]),
+            "my": pa.array([float(ry.max())]),
+            "sx": pa.array([rx[pick].tobytes()], pa.binary()),
+            "sy": pa.array([ry[pick].tobytes()], pa.binary()),
+        })
 
     parts = (
-        crowns.select_columns(["cx", "cy", "minx", "miny", "maxx", "maxy"])
+        crowns.select_columns(
+            ["crown_id", "cx", "cy", "minx", "miny", "maxx", "maxy"]
+        )
         .map_batches(partial, batch_format="pyarrow")
         .to_pandas()
     )
     if len(parts) == 0:
-        return 0.0, 0.0
-    return float(parts["mx"].max()), float(parts["my"].max())
+        return 0.0, 0.0, 0.0, 0.0
+    mx = float(parts["mx"].max())
+    my = float(parts["my"].max())
+    sx = (np.concatenate([np.frombuffer(b) for b in parts["sx"]])
+          if len(parts) else np.array([]))
+    sy = (np.concatenate([np.frombuffer(b) for b in parts["sy"]])
+          if len(parts) else np.array([]))
+    qx = float(np.quantile(sx, _REACH_QUANTILE)) if len(sx) else mx
+    qy = float(np.quantile(sy, _REACH_QUANTILE)) if len(sy) else my
+    return mx, my, qx, qy
+
+
+def _collect_big_crowns(crowns, qx: float, qy: float) -> pa.Table:
+    """Slim driver-side table of the outlier crowns (reach beyond the
+    quantile margin): (crown_id, ring_b, ccx, ccy). By construction
+    ≤ ~0.2% of crowns — small enough to broadcast."""
+    import ray
+
+    def pick(t: pa.Table) -> pa.Table:
+        empty = pa.table({"crown_id": pa.array([], pa.string()),
+                          "ring_b": pa.array([], pa.binary()),
+                          "ccx": pa.array([], pa.float64()),
+                          "ccy": pa.array([], pa.float64())})
+        if len(t) == 0:
+            return empty
+        cx = t["cx"].to_numpy()
+        cy = t["cy"].to_numpy()
+        rx = np.maximum(cx - t["minx"].to_numpy(),
+                        t["maxx"].to_numpy() - cx)
+        ry = np.maximum(cy - t["miny"].to_numpy(),
+                        t["maxy"].to_numpy() - cy)
+        m = (rx > qx) | (ry > qy)
+        if not m.any():
+            return empty
+        t = t.filter(pa.array(m))
+        t = pack_rings(t)
+        return pa.table({
+            "crown_id": t["crown_id"],
+            "ring_b": t["ring_b"],
+            "ccx": t["cx"],
+            "ccy": t["cy"],
+        })
+
+    tabs = ray.get(
+        crowns.select_columns(
+            ["crown_id", "ring", "cx", "cy", "minx", "miny", "maxx", "maxy"]
+        ).map_batches(pick, batch_format="pyarrow").to_arrow_refs()
+    )
+    tabs = [t for t in tabs if len(t)]
+    if not tabs:
+        return pa.table({"crown_id": pa.array([], pa.string()),
+                         "ring_b": pa.array([], pa.binary()),
+                         "ccx": pa.array([], pa.float64()),
+                         "ccy": pa.array([], pa.float64())})
+    return pa.concat_tables(tabs)
+
+
+_BIG_PACK_CACHE: dict = {}
+
+
+def _big_crown_partials(t: pa.Table, big_ref) -> pa.Table:
+    """Map-side broadcast join of one stems batch against the outlier
+    crowns: per-batch partial (dist, stem_id) argmin per crown — same
+    candidate prefilter + PIP + argmin arithmetic as _assign_cell, so
+    the global reduce over partials is bit-identical to the exchange
+    path. The parsed edge pack is cached per worker process."""
+    import ray
+
+    empty = pa.table({"crown_id": pa.array([], pa.string()),
+                      "stem_id": pa.array([], pa.string()),
+                      "dist": pa.array([], pa.float64())})
+    key = big_ref.hex() if hasattr(big_ref, "hex") else id(big_ref)
+    ent = _BIG_PACK_CACHE.get(key)
+    if ent is None:
+        bt = ray.get(big_ref)
+        ent = (
+            edge_pack_from_binary(bt["ring_b"]),
+            bt["crown_id"].to_numpy(zero_copy_only=False),
+            bt["ccx"].to_numpy(),
+            bt["ccy"].to_numpy(),
+        )
+        _BIG_PACK_CACHE.clear()  # one live broadcast per pipeline
+        _BIG_PACK_CACHE[key] = ent
+    pack, cids, ccx, ccy = ent
+    if len(t) == 0 or len(cids) == 0:
+        return empty
+    sx = t["x"].to_numpy()
+    sy = t["y"].to_numpy()
+    sid = t["stem_id"].to_numpy(zero_copy_only=False)
+    skey = _stem_sort_key(sx, sy)
+    order = np.argsort(skey, kind="stable")
+    sx, sy, sid, skey = sx[order], sy[order], sid[order], skey[order]
+    win_ring, win_pt, win_d = [], [], []
+    for ring_ids, pt in _candidate_pairs(skey, sy, pack):
+        inside = geom.points_in_rings_pairs(sx[pt], sy[pt], ring_ids, pack)
+        if not inside.any():
+            continue
+        ring_ids, pt = ring_ids[inside], pt[inside]
+        d = np.hypot(sx[pt] - ccx[ring_ids], sy[pt] - ccy[ring_ids])
+        sel = np.lexsort((sid[pt], d, ring_ids))
+        first = sel[np.r_[True, ring_ids[sel][1:] != ring_ids[sel][:-1]]]
+        win_ring.append(ring_ids[first])
+        win_pt.append(pt[first])
+        win_d.append(d[first])
+    if not win_ring:
+        return empty
+    ring_ids = np.concatenate(win_ring)
+    pt = np.concatenate(win_pt)
+    return pa.table({
+        "crown_id": pa.array(cids[ring_ids], pa.string()),
+        "stem_id": pa.array(sid[pt], pa.string()),
+        "dist": pa.array(np.concatenate(win_d), pa.float64()),
+    })
 
 
 def _hot_cells(stems, res: int):
@@ -162,8 +309,22 @@ def _hot_cells(stems, res: int):
     uniq, cnt = np.unique(key, return_counts=True)
     est = cnt / frac
     hot = est > HOT_CELL_THRESHOLD
+    # Per-group PIP work in a hot cell scales like stems × crowns ×
+    # local density ∝ est² (dense clusters pack both join sides into
+    # the same cell), and crowns split across salts while stems
+    # replicate — so k ∝ est only equalizes ROWS, leaving one
+    # ~est²-pair straggler group per cluster core (measured 15M-pair
+    # / 16 s tasks at 15.36M stems). Fix: k ∝ (est/threshold)² for
+    # the EXTREME tail (est ≥ HOT_CELL_EXTREME) equalizes PAIRS per
+    # group there; mid-tier hot cells keep the linear rule — blanket
+    # quadratic k would multiply the whole exchange (est·k extra stem
+    # rows per cell), while the extreme tail is only a handful of
+    # cluster-core cells.
+    eh = est[hot] / HOT_CELL_THRESHOLD
     ks = np.minimum(
-        np.ceil(est[hot] / HOT_CELL_THRESHOLD), N_SALT_MAX
+        np.where(est[hot] >= HOT_CELL_EXTREME,
+                 np.ceil(eh ** 1.5), np.ceil(eh)),
+        N_SALT_MAX,
     ).astype(np.int64)
     keys = uniq[hot].astype(np.uint64)  # np.unique output is sorted
     extra = float(np.sum(est[hot] * (ks - 1)))
@@ -299,12 +460,25 @@ def _stem_side_owner(batch: pa.Table, res: int, mx: float, my: float,
 
 
 def _crown_side_owner(batch: pa.Table, res: int, hot_ref=None,
-                      salt_all=True) -> pa.Table:
+                      salt_all=True, max_reach=None) -> pa.Table:
     """Owner-mode crown side: exactly ONE row per crown, keyed by its
     centroid's cell (the ownership rule — SURVEY.md §7.4 halo
-    correctness). No replication, no ``multi`` duplicate resolution."""
+    correctness). No replication, no ``multi`` duplicate resolution.
+    With ``max_reach=(mx, my)``, crowns reaching beyond it are DROPPED
+    here — they take the outlier broadcast path instead (see
+    assign_stems_to_crowns)."""
     import ray
 
+    if max_reach is not None and len(batch):
+        cx = batch["cx"].to_numpy()
+        cy = batch["cy"].to_numpy()
+        rx = np.maximum(cx - batch["minx"].to_numpy(),
+                        batch["maxx"].to_numpy() - cx)
+        ry = np.maximum(cy - batch["miny"].to_numpy(),
+                        batch["maxy"].to_numpy() - cy)
+        keep = (rx <= max_reach[0]) & (ry <= max_reach[1])
+        if not keep.all():
+            batch = batch.filter(pa.array(keep))
     batch = pack_rings(batch)
     keys = cells.cell_of(batch["cx"].to_numpy(), batch["cy"].to_numpy(), res)
     n = len(batch)
@@ -333,7 +507,7 @@ _YKEY_STRIDE = float(1 << 21)  # > world extent → composite key is exact
 
 
 def _candidate_pairs(skey: np.ndarray, sy: np.ndarray, pack,
-                     max_block_pairs: int = 64_000):
+                     max_block_pairs: int = 1_000_000):
     """Vectorized 2-D bbox prefilter for ALL (crown, stem) pairs of a
     partition at once (replaces the per-crown grid-index probe loop,
     whose ~0.4 ms/probe numpy fixed cost dominated the join stage).
@@ -364,7 +538,7 @@ def _candidate_pairs(skey: np.ndarray, sy: np.ndarray, pack,
 def _bbox_candidate_pairs(skey: np.ndarray, sy: np.ndarray,
                           minx: np.ndarray, miny: np.ndarray,
                           maxx: np.ndarray, maxy: np.ndarray,
-                          max_block_pairs: int = 64_000):
+                          max_block_pairs: int = 1_000_000):
     """bbox-rectangle variant of :func:`_candidate_pairs` (same probe,
     boxes given directly — used by the lidar range join). Yields exact
     bbox-hit ``(box_ids, pt_idx)`` chunks; within a chunk ``box_ids``
@@ -533,7 +707,23 @@ def assign_stems_to_crowns(stems, crowns, res: int = cells.DEFAULT_RES,
         return stem_rows * 90.0 + n_crowns * 420.0
 
     if mode == "owner":
-        mx, my = margin if margin is not None else _crown_reach(crowns)
+        import ray
+
+        big_ref = None
+        if margin is not None:
+            mx, my = margin
+        else:
+            mx, my, qx, qy = _reach_stats(crowns)
+            if (qx <= _REACH_SPLIT_RATIO * mx
+                    or qy <= _REACH_SPLIT_RATIO * my):
+                # outlier split: crowns with reach beyond the high
+                # quantile broadcast instead of inflating every stem's
+                # margin box (a single monster crown otherwise sets
+                # the replication factor for the whole exchange)
+                big_tbl = _collect_big_crowns(crowns, qx, qy)
+                if 0 < len(big_tbl) <= BIG_BROADCAST_MAX:
+                    big_ref = ray.put(big_tbl)
+                    mx, my = qx, qy
         parts = shuffle_partitions_for(_union_bytes(mx, my))
         s = stems.select_columns(["stem_id", "x", "y"]).map_batches(
             _stem_side_owner, batch_format="pyarrow",
@@ -544,7 +734,10 @@ def assign_stems_to_crowns(stems, crowns, res: int = cells.DEFAULT_RES,
             ["crown_id", "ring", "cx", "cy", "minx", "miny", "maxx", "maxy"]
         ).map_batches(
             _crown_side_owner, batch_format="pyarrow",
-            fn_kwargs={"res": res, "hot_ref": hot_ref, "salt_all": salt_all},
+            fn_kwargs={"res": res, "hot_ref": hot_ref,
+                       "salt_all": salt_all,
+                       "max_reach": (mx, my) if big_ref is not None
+                       else None},
         )
         # each crown lives in exactly one group → the per-group
         # (dist, stem_id) argmin IS the global winner; project off the
@@ -555,6 +748,16 @@ def assign_stems_to_crowns(stems, crowns, res: int = cells.DEFAULT_RES,
             s.union(c), ["cell"], _assign_cell, partitions=parts,
             boundaries=uniform_uint64_boundaries(parts),
         ).select_columns(["crown_id", "stem_id", "dist"])
+        if big_ref is not None:
+            # outlier crowns: map-side broadcast join over the stems
+            # scan + one tiny grouped reduce (partials ≪ stems)
+            partials = stems.select_columns(["stem_id", "x", "y"]).map_batches(
+                _big_crown_partials, batch_format="pyarrow",
+                fn_kwargs={"big_ref": big_ref},
+            )
+            big_asgn = bucketed_reduce(partials, "crown_id",
+                                       _final_pick_bucket)
+            assignment = assignment.union(big_asgn)
     else:
         parts = shuffle_partitions_for(_union_bytes(6.0, 6.0))
         s = stems.select_columns(["stem_id", "x", "y"]).map_batches(

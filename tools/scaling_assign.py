@@ -75,6 +75,7 @@ def _prep(cfg) -> str:
 
 def child(num_cpus: int) -> None:
     os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "2147483647")
+    os.environ.setdefault("RAY_DEFAULT_OBJECT_STORE_MEMORY_PROPORTION", "0.5")  # headroom: at 42.9% the 15M-stem exchange queues deadlock the streaming scheduler
     os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "2147483647")
     import ray
     import ray.data as rd
