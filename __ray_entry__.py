@@ -2697,6 +2697,64 @@ def _q_synth_las_roundtrip(sf_dir: str):
     return gf.read_lidar(path).map_batches(to_mm, batch_format="pyarrow")
 
 
+def _q_synth_wav_roundtrip(sf_dir: str):
+    """PCM WAV encode→decode roundtrip as a driver query: 24 integer
+    waveforms (pure modular formula — no libm, so DuckDB reproduces
+    every sample exactly) encode to WAV via codec.encode_wav, and the
+    Ray stage decodes with codec.decode_wav (the real RIFF parser the
+    audio slot uses). Emitted per-clip facts are integer-exact on the
+    reconstructed PCM grid: sample count, PCM sum, and the
+    sign-change count — so the oracle recomputes them closed-form
+    from the waveform formula, proving header walk, PCM scaling and
+    sample order. Stereo clips (every 3rd) exercise the mean mixdown:
+    channels v and -v-1 mix to the exact constant -0.5/32768."""
+    import os
+
+    from geotreehealth_ray.functions import codec
+
+    n_clips, n_samp = 24, 4096
+    d = f"{_SYNTH_CACHE}/wav"
+    if "wav" not in _FMT_DONE or not os.path.isdir(d):
+        os.makedirs(d, exist_ok=True)
+        for a in range(n_clips):
+            i = np.arange(n_samp, dtype=np.int64)
+            v = ((i * (2 * a + 3) + a * 17) % 20001) - 10000  # int16 range
+            if a % 3 == 0:  # stereo: (v, -v-1) → mean -0.5/32768
+                sig = np.stack([v, -v - 1], axis=1).astype(np.int16)
+            else:
+                sig = v.astype(np.int16)
+            with open(f"{d}/clip{a:02d}.wav", "wb") as fh:
+                fh.write(codec.encode_wav(sig, 16000))
+        _FMT_DONE.add("wav")
+
+    def decode(batch: dict) -> pa.Table:
+        out = {"audio_id": [], "n_samples": [], "pcm_sum": [],
+               "sign_changes": []}
+        for p in batch["path"]:
+            with open(str(p), "rb") as fh:
+                sig, rate = codec.decode_wav(fh.read())
+            # back to the exact PCM grid: float32 k/32768 is exact for
+            # |k| < 2^15, and the stereo mean lands on the half-grid
+            # (-1/65536), so scaling ×65536 keeps everything integral
+            k2 = np.round(sig.astype(np.float64) * 65536.0).astype(np.int64)
+            s = np.signbit(sig)
+            out["audio_id"].append(os.path.basename(str(p))[:-4])
+            out["n_samples"].append(len(sig))
+            out["pcm_sum"].append(int(k2.sum()))
+            out["sign_changes"].append(int((s[1:] != s[:-1]).sum()))
+        return pa.table({
+            "audio_id": pa.array(out["audio_id"], pa.string()),
+            "n_samples": pa.array(out["n_samples"], pa.int64()),
+            "pcm_sum": pa.array(out["pcm_sum"], pa.int64()),
+            "sign_changes": pa.array(out["sign_changes"], pa.int64()),
+        })
+
+    files = sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".wav"))
+    return _rd().from_items([{"path": f} for f in files]).map_batches(
+        decode, batch_format="numpy", batch_size=4)
+
+
 def _q_synth_pyramid(sf_dir: str):
     """Multi-resolution tile pyramid over the north-rule image table
     (stages/raster.py PyramidBuilder): 3 box-mean overview levels per
@@ -3282,6 +3340,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "synth_gpkg_roundtrip": _q_synth_gpkg_roundtrip,
         "synth_geotiff_windows": _q_synth_geotiff_windows,
         "synth_las_roundtrip": _q_synth_las_roundtrip,
+        "synth_wav_roundtrip": _q_synth_wav_roundtrip,
         # --- tier 2: dedup / ANN / text training-data family ---
         "doc_exact_dedup": _q_doc_dedup,
         "minhash_pairs": _q_minhash_pairs,
@@ -3829,6 +3888,39 @@ def oracle_sql() -> dict[str, str]:
               CAST(floor((y - 1024.0) / 0.001 + 0.5) AS BIGINT) AS y_mm,
               CAST(floor((z - 0.0) / 0.001 + 0.5) AS BIGINT) AS z_mm
             FROM read_parquet('{_SYNTH_CACHE}/lidar/*.parquet')
+        """,
+        "synth_wav_roundtrip": """
+            -- WAV encode+decode roundtrip oracle: waveforms are pure
+            -- modular-arithmetic int16 samples, so every decoded PCM
+            -- value reconstructs exactly (mono: k2 = 2v; stereo mean
+            -- of (v, -v-1): k2 = -1 per sample). No libm, no float
+            -- accumulation — BIGINT arithmetic end to end.
+            WITH clips AS (SELECT unnest(generate_series(0, 23)) AS a),
+            samp AS (
+              SELECT a, unnest(generate_series(0, 4095)) AS i
+              FROM clips),
+            v AS (
+              SELECT a, i,
+                ((i * (2*a + 3) + a * 17) % 20001) - 10000 AS val
+              FROM samp),
+            v2 AS (
+              SELECT a, i, val,
+                lead(val) OVER (PARTITION BY a ORDER BY i) AS nxt
+              FROM v),
+            facts AS (
+              SELECT a,
+                CASE WHEN a % 3 = 0 THEN -4096
+                     ELSE 2 * sum(val) END AS pcm_sum,
+                CASE WHEN a % 3 = 0 THEN 0
+                     ELSE sum(CASE WHEN i < 4095 AND
+                       ((val < 0) <> (nxt < 0))
+                       THEN 1 ELSE 0 END) END AS sign_changes
+              FROM v2 GROUP BY a)
+            SELECT printf('clip%02d', a) AS audio_id,
+                   CAST(4096 AS BIGINT) AS n_samples,
+                   CAST(pcm_sum AS BIGINT) AS pcm_sum,
+                   CAST(sign_changes AS BIGINT) AS sign_changes
+            FROM facts
         """,
         "cell_hulls": f"""
             -- per-cell canonical strict convex hull, closed form: a

@@ -147,22 +147,21 @@ def _reach_stats(crowns) -> tuple[float, float, float, float]:
                         t["maxx"].to_numpy() - cx)
         ry = np.maximum(cy - t["miny"].to_numpy(),
                         t["maxy"].to_numpy() - cy)
-        h = pd.util.hash_pandas_object(
-            pd.Series(t["crown_id"].to_numpy(zero_copy_only=False)),
-            index=False,
-        ).to_numpy()
-        pick = (h % np.uint64(64)) == 0  # ~1.6% deterministic sample
+        # every-64th row: deterministic, costs nothing (row order
+        # inside a parquet batch is stable; the quantile only steers a
+        # partitioning choice, so mild within-batch correlation is
+        # irrelevant — an id-hash sample here measurably slowed the
+        # whole pass at small scale)
+        step = 64
         return pa.table({
             "mx": pa.array([float(rx.max())]),
             "my": pa.array([float(ry.max())]),
-            "sx": pa.array([rx[pick].tobytes()], pa.binary()),
-            "sy": pa.array([ry[pick].tobytes()], pa.binary()),
+            "sx": pa.array([rx[::step].tobytes()], pa.binary()),
+            "sy": pa.array([ry[::step].tobytes()], pa.binary()),
         })
 
     parts = (
-        crowns.select_columns(
-            ["crown_id", "cx", "cy", "minx", "miny", "maxx", "maxy"]
-        )
+        crowns.select_columns(["cx", "cy", "minx", "miny", "maxx", "maxy"])
         .map_batches(partial, batch_format="pyarrow")
         .to_pandas()
     )
