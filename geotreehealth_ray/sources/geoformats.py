@@ -14,13 +14,23 @@ inputs plug in unchanged:
   exteriors become ring rows. Writer emits one .geojson part per
   block, same layout contract as ``checkpoint.write_partitioned``.
 - **WKB geometry columns** — REAL, dependency-free: a pure-numpy WKB
-  parser (Polygon/MultiPolygon, both endiannesses, 2-D) decodes
-  GeoParquet-style ``geometry`` binary columns to ring rows.
-- **GPKG / GeoTIFF / LAZ** — gated seams: decoded through
-  pyogrio/fiona, rasterio, laspy when importable (none are in this
-  sandbox); otherwise a loud NotImplementedError naming the parquet
-  fallback. The format detection, schema normalization and Ray
-  plumbing around the seam are real and tested either way.
+  parser (Polygon/MultiPolygon incl. interior rings, both
+  endiannesses, 2-D) decodes GeoParquet-style ``geometry`` binary
+  columns to ring rows.
+- **GPKG** — REAL, stdlib-only: sqlite3 + the WKB codec (read all
+  feature layers; spec-conformant single-file writer).
+- **Shapefile** — REAL, from-scratch: .shp polygon records (ring
+  orientation → exterior/hole roles) + .dbf attributes; triplet
+  writer for fixtures/export.
+- **GeoTIFF** — REAL for uncompressed rasters: TIFF 6.0 IFD +
+  GeoTIFF tags, byte-range window reads (strip and tile layouts);
+  compressed TIFF stays a loud gate naming rasterio.
+- **LAS** — REAL for uncompressed point clouds: numpy structured
+  records over the fixed layouts (formats 0-3, 6-7), chunked
+  byte-range tasks; LAZ stays a loud gate naming laszip.
+All decode tasks are Ray map_batches stages over file/byte-range
+work lists — driver reads headers only; pixels/points/features are
+decoded inside tasks.
 """
 
 from __future__ import annotations
@@ -53,9 +63,12 @@ __all__ = [
     "rings_to_wkb",
     "strip_gpkg_header",
     "make_gpkg_blob",
+    "parse_shp_polygons",
+    "parse_dbf",
+    "write_shp",
 ]
 
-_VECTOR_EXTS = {".geojson", ".json", ".gpkg", ".parquet"}
+_VECTOR_EXTS = {".geojson", ".json", ".gpkg", ".shp", ".parquet"}
 _RASTER_EXTS = {".tif", ".tiff", ".parquet"}
 _LIDAR_EXTS = {".laz", ".las", ".parquet"}
 
@@ -223,14 +236,17 @@ def _rows_from_rings(ids: list, rings: list[np.ndarray],
     then net of holes — geom.polygon_area_with_holes)."""
     from ..functions import geom
 
-    if holes is not None and any(holes):
+    if holes is not None:
+        # the column is emitted even when every hole list is empty —
+        # per-block schema must be CONSISTENT or downstream block
+        # concatenation trips over the ragged column (one file with
+        # donuts + one without)
         area = np.array(
             [geom.polygon_area_with_holes(r, h) for r, h in zip(rings, holes)],
             np.float64,
         )
     else:
         area = np.array([geom.ring_area(r) for r in rings], np.float64)
-        holes = None
     cx = np.empty(len(rings)); cy = np.empty(len(rings))
     minx = np.empty(len(rings)); miny = np.empty(len(rings))
     maxx = np.empty(len(rings)); maxy = np.empty(len(rings))
@@ -499,12 +515,238 @@ def read_vector(path: str, wkb_col: str = "geometry"):
         return rd.from_items([{"path": f} for f in files]).map_batches(
             _parse_gpkg_batch, batch_format="numpy", batch_size=1
         )
+    if exts == {".shp"}:
+        # from-scratch ESRI shapefile decode (.shp polygons + .dbf
+        # attributes) — one task per file
+        return rd.from_items([{"path": f} for f in files]).map_batches(
+            _parse_shp_batch, batch_format="numpy", batch_size=1
+        )
     raise NotImplementedError(f"unsupported vector formats {exts}")
 
 
 # ---------------------------------------------------------------------------
 # Raster / lidar readers (gated seams + parquet passthrough)
 # ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Shapefile (.shp + .dbf) — fixed public binary layouts (ESRI shapefile
+# technical description + dBase III), struct/numpy only.
+# ---------------------------------------------------------------------------
+
+_SHP_POLYGON_TYPES = {5, 15, 25}  # Polygon, PolygonZ, PolygonM
+
+
+def parse_shp_polygons(path: str) -> list[list[tuple[np.ndarray,
+                                                     list[np.ndarray]]]]:
+    """One .shp file → per-record list of (exterior, [holes]) polygon
+    tuples. Ring roles follow the spec's orientation rule (exterior
+    rings clockwise = negative shoelace in y-up coordinates, holes
+    counter-clockwise); holes attach to the exterior that contains
+    their first vertex. Z/M payloads are skipped (2-D engine)."""
+    from ..functions import geom
+
+    with open(path, "rb") as fh:
+        data = fh.read()
+    if len(data) < 100 or struct.unpack(">i", data[:4])[0] != 9994:
+        raise ValueError(f"{path}: not a shapefile (bad file code)")
+    file_len = struct.unpack(">i", data[24:28])[0] * 2
+    out: list[list[tuple[np.ndarray, list[np.ndarray]]]] = []
+    pos = 100
+    while pos + 8 <= min(file_len, len(data)):
+        content_len = struct.unpack(">i", data[pos + 4:pos + 8])[0] * 2
+        body = data[pos + 8:pos + 8 + content_len]
+        pos += 8 + content_len
+        stype = struct.unpack_from("<i", body, 0)[0]
+        if stype == 0:  # null shape
+            out.append([])
+            continue
+        if stype not in _SHP_POLYGON_TYPES:
+            raise NotImplementedError(
+                f"{path}: shape type {stype} not supported (polygon "
+                "shapefiles only; points/lines → use a point table)")
+        nparts, npts = struct.unpack_from("<ii", body, 36)
+        parts = np.frombuffer(body, "<i4", nparts, 44)
+        pts = np.frombuffer(body, "<f8", npts * 2, 44 + 4 * nparts)
+        pts = pts.reshape(npts, 2)
+        bounds = np.r_[parts, npts]
+        exteriors: list[tuple[np.ndarray, list[np.ndarray]]] = []
+        holes: list[np.ndarray] = []
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            ring = np.ascontiguousarray(pts[a:b].astype(np.float64))
+            if len(ring) > 1 and (ring[0] == ring[-1]).all():
+                ring = ring[:-1]
+            if len(ring) < 3:
+                continue
+            if geom.signed_ring_area(ring) < 0:  # CW → exterior
+                exteriors.append((ring, []))
+            else:
+                holes.append(ring)
+        for h in holes:
+            if len(exteriors) == 1:
+                exteriors[0][1].append(h)
+                continue
+            for ext, hs in exteriors:
+                if geom.points_in_ring(h[:1, 0], h[:1, 1], ext)[0]:
+                    hs.append(h)
+                    break
+        out.append(exteriors)
+    return out
+
+
+def parse_dbf(path: str) -> dict[str, list]:
+    """.dbf attribute table → {column: values} (dBase III layout:
+    C→str, N/F→float (int when no decimals), L→bool, D→str)."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    n_rec = struct.unpack_from("<I", data, 4)[0]
+    hdr_sz, rec_sz = struct.unpack_from("<HH", data, 8)
+    fields = []
+    p = 32
+    while p < hdr_sz - 1 and data[p] != 0x0D:
+        name = data[p:p + 11].split(b"\x00")[0].decode("latin-1")
+        ftype = chr(data[p + 11])
+        flen = data[p + 16]
+        fdec = data[p + 17]
+        fields.append((name, ftype, flen, fdec))
+        p += 32
+    cols: dict[str, list] = {name: [] for name, *_ in fields}
+    for r in range(n_rec):
+        off = hdr_sz + r * rec_sz
+        if off >= len(data) or data[off:off + 1] == b"*":  # deleted
+            continue
+        q = off + 1
+        for name, ftype, flen, fdec in fields:
+            raw = data[q:q + flen]
+            q += flen
+            txt = raw.decode("latin-1").strip()
+            if ftype in ("N", "F"):
+                if not txt:
+                    cols[name].append(None)
+                elif ftype == "N" and fdec == 0 and "." not in txt:
+                    cols[name].append(int(txt))
+                else:
+                    cols[name].append(float(txt))
+            elif ftype == "L":
+                cols[name].append(txt.upper() in ("T", "Y"))
+            else:
+                cols[name].append(txt)
+    return cols
+
+
+def _parse_shp_batch(batch: dict) -> pa.Table:
+    ids: list = []
+    rings: list[np.ndarray] = []
+    holes: list[list[np.ndarray]] = []
+    prop_rows: list[dict] = []
+    for p in batch["path"]:
+        path = str(p)
+        stem = os.path.splitext(os.path.basename(path))[0]
+        polys = parse_shp_polygons(path)
+        dbf_path = os.path.splitext(path)[0] + ".dbf"
+        props = parse_dbf(dbf_path) if os.path.exists(dbf_path) else {}
+        id_col = next(
+            (c for c in ("id", "crown_id", "StemTag") if c in props), None)
+        for rec_i, record in enumerate(polys):
+            rid = (props[id_col][rec_i]
+                   if id_col and rec_i < len(props[id_col])
+                   else f"{stem}:{rec_i}")
+            row_props = {k: (v[rec_i] if rec_i < len(v) else None)
+                         for k, v in props.items() if k != id_col}
+            for ext, hs in record:
+                ids.append(rid)
+                rings.append(ext)
+                holes.append(hs)
+                prop_rows.append(row_props)
+    keys = sorted({k for row in prop_rows for k in row})
+    props_out = {k: [row.get(k) for row in prop_rows] for k in keys}
+    return _rows_from_rings(ids, rings, props_out, holes=holes)
+
+
+def write_shp(ds, out_path: str, ring_col: str = "ring",
+              id_col: str = "crown_id") -> int:
+    """Write ring rows (+ optional ``holes``) as ONE .shp/.dbf/.shx
+    triplet (polygon type 5; exterior rings emitted clockwise, holes
+    counter-clockwise per the spec). Fixture/export sink like
+    write_gpkg; returns the feature count."""
+    base = os.path.splitext(out_path)[0]
+    records: list[bytes] = []
+    id_vals: list[str] = []
+    gmin = [np.inf, np.inf]
+    gmax = [-np.inf, -np.inf]
+    from ..functions import geom
+
+    def close_cw(ring: np.ndarray, want_cw: bool) -> np.ndarray:
+        s = geom.signed_ring_area(ring)
+        if (s < 0) != want_cw:
+            ring = ring[::-1]
+        return np.vstack([ring, ring[:1]])
+
+    for batch in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        has_holes = "holes" in batch.column_names
+        ids_v = batch[id_col].to_pylist()
+        rings_v = batch[ring_col].to_pylist()
+        holes_v = batch["holes"].to_pylist() if has_holes else None
+        for i in range(len(batch)):
+            ext = np.array([[pt["x"], pt["y"]] for pt in rings_v[i]],
+                           np.float64)
+            hs = ([np.array([[pt["x"], pt["y"]] for pt in h], np.float64)
+                   for h in holes_v[i]] if holes_v and holes_v[i] else [])
+            closed = [close_cw(ext, True)] + [close_cw(h, False)
+                                             for h in hs]
+            allpts = np.vstack(closed)
+            parts = np.cumsum([0] + [len(r) for r in closed[:-1]])
+            body = struct.pack("<i", 5)
+            body += struct.pack("<4d", allpts[:, 0].min(),
+                                allpts[:, 1].min(), allpts[:, 0].max(),
+                                allpts[:, 1].max())
+            body += struct.pack("<ii", len(closed), len(allpts))
+            body += np.asarray(parts, "<i4").tobytes()
+            body += allpts.astype("<f8").tobytes()
+            records.append(body)
+            id_vals.append(str(ids_v[i]))
+            gmin[0] = min(gmin[0], allpts[:, 0].min())
+            gmin[1] = min(gmin[1], allpts[:, 1].min())
+            gmax[0] = max(gmax[0], allpts[:, 0].max())
+            gmax[1] = max(gmax[1], allpts[:, 1].max())
+    n = len(records)
+    if n == 0:
+        gmin = [0.0, 0.0]; gmax = [0.0, 0.0]
+
+    def shp_header(total_words: int) -> bytes:
+        return (struct.pack(">i", 9994) + b"\x00" * 20
+                + struct.pack(">i", total_words)
+                + struct.pack("<ii", 1000, 5)
+                + struct.pack("<4d", gmin[0], gmin[1], gmax[0], gmax[1])
+                + struct.pack("<4d", 0, 0, 0, 0))
+
+    total = 100 + sum(8 + len(b) for b in records)
+    offsets = []
+    with open(base + ".shp", "wb") as fh:
+        fh.write(shp_header(total // 2))
+        pos = 100
+        for i, body in enumerate(records):
+            offsets.append(pos)
+            fh.write(struct.pack(">ii", i + 1, len(body) // 2) + body)
+            pos += 8 + len(body)
+    with open(base + ".shx", "wb") as fh:
+        fh.write(shp_header((100 + 8 * n) // 2))
+        for off, body in zip(offsets, records):
+            fh.write(struct.pack(">ii", off // 2, len(body) // 2))
+    # dbf with one C(64) id column
+    flen = 64
+    with open(base + ".dbf", "wb") as fh:
+        hdr_sz = 32 + 32 + 1
+        rec_sz = 1 + flen
+        fh.write(struct.pack("<B3BIHH20x", 3, 26, 8, 20, n, hdr_sz,
+                             rec_sz))
+        fh.write(b"id".ljust(11, b"\x00") + b"C" + b"\x00" * 4
+                 + bytes([flen, 0]) + b"\x00" * 14)
+        fh.write(b"\x0d")
+        for v in id_vals:
+            fh.write(b" " + v.encode("latin-1")[:flen].ljust(flen, b" "))
+        fh.write(b"\x1a")
+    return n
+
 
 # ---------------------------------------------------------------------------
 # GeoTIFF (uncompressed) — from-scratch baseline-TIFF 6.0 + GeoTIFF-tag

@@ -188,6 +188,63 @@ def test_gpkg_write_read_roundtrip(ray_session, tmp_path):
     assert sorted(both["crown_id"]) == [f"c{i}" for i in range(5)]
 
 
+def test_shapefile_write_read_roundtrip(ray_session, tmp_path):
+    import ray.data as rd
+
+    ext = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], float)
+    hole = np.array([[2, 1], [4, 1], [4, 2], [2, 2]], float)
+    rows = []
+    for i in range(6):
+        off = 20.0 * i
+        rows.append({
+            "crown_id": f"c{i}",
+            "ring": [{"x": float(x + off), "y": float(y)} for x, y in ext],
+            "holes": ([[{"x": float(x + off), "y": float(y)}
+                        for x, y in hole]] if i == 1 else []),
+        })
+    ds = rd.from_items(rows)
+    shp = tmp_path / "crowns.shp"
+    n = gf.write_shp(ds, str(shp))
+    assert n == 6
+    assert (tmp_path / "crowns.dbf").exists()
+    assert (tmp_path / "crowns.shx").exists()
+
+    back = gf.read_vector(str(shp)).to_pandas().sort_values(
+        "crown_id").reset_index(drop=True)
+    assert list(back["crown_id"]) == [f"c{i}" for i in range(6)]
+    # c1 is the donut: net area 98 (hole parsed via CCW orientation)
+    assert back["area"].tolist() == [100.0, 98.0] + [100.0] * 4
+    assert back.loc[1, "minx"] == 20.0 and back.loc[1, "maxx"] == 30.0
+    # coordinates round-trip bit-exactly (f8 in both directions)
+    r0 = back.loc[0, "ring"]
+    assert sorted((p["x"], p["y"]) for p in r0) == sorted(
+        (float(x), float(y)) for x, y in ext)
+
+    # low-level: the dbf parses and ring roles honor orientation
+    polys = gf.parse_shp_polygons(str(shp))
+    assert len(polys) == 6 and len(polys[1][0][1]) == 1  # one hole on c1
+    dbf = gf.parse_dbf(str(tmp_path / "crowns.dbf"))
+    assert dbf["id"] == [f"c{i}" for i in range(6)]
+
+    # dir-of-shapefiles concat like the other vector readers
+    d = tmp_path / "sdir"
+    d.mkdir()
+    gf.write_shp(ds.filter(lambda r: r["crown_id"] < "c3"), str(d / "a.shp"))
+    gf.write_shp(ds.filter(lambda r: r["crown_id"] >= "c3"), str(d / "b.shp"))
+    both = gf.read_vector(str(d)).to_pandas()
+    assert sorted(both["crown_id"]) == [f"c{i}" for i in range(6)]
+
+    # unsupported shape types gate loudly
+    bad = bytearray((tmp_path / "crowns.shp").read_bytes())
+    # record shape type lives at offset 108 (first record body)
+    import struct as st
+    st.pack_into("<i", bad, 108, 3)  # PolyLine
+    pz = tmp_path / "lines.shp"
+    pz.write_bytes(bytes(bad))
+    with pytest.raises(NotImplementedError, match="shape type"):
+        gf.parse_shp_polygons(str(pz))
+
+
 def test_geotiff_write_read_roundtrip(ray_session, tmp_path):
     rng = np.random.default_rng(11)
     # 300x200 uint8, 2 samples, striped; affine: 0.1 m/px anchored at
