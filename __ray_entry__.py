@@ -2611,6 +2611,47 @@ def _q_synth_gpkg_roundtrip(sf_dir: str):
         mm_shoelace, batch_format="pyarrow")
 
 
+def _q_synth_shp_roundtrip(sf_dir: str):
+    """Native ESRI shapefile write→read roundtrip as a driver query:
+    the synth crowns stream into one .shp/.dbf/.shx triplet
+    (geoformats.write_shp — exterior rings CW per spec) and decode
+    back through parse_shp_polygons + parse_dbf. The .shp record
+    stores float64 verbatim, so the read-back ring equals the parquet
+    ring bit-for-bit (possibly reversed — orientation normalization —
+    which the order-free mm-integer shoelace is invariant to). Same
+    closed-form oracle as synth_gpkg_roundtrip."""
+    import os
+
+    from geotreehealth_ray.sources import geoformats as gf
+
+    p = _synth_paths()
+    path = f"{_SYNTH_CACHE}/crowns_roundtrip.shp"
+    if "shp" not in _FMT_DONE or not os.path.exists(path):
+        gf.write_shp(_rd().read_parquet(p["crowns"]), path)
+        _FMT_DONE.add("shp")
+
+    def mm_shoelace(t: pa.Table) -> pa.Table:
+        ring = t["ring"].combine_chunks()
+        offs = ring.offsets.to_numpy()
+        xs = ring.values.field("x").to_numpy()
+        ys = ring.values.field("y").to_numpy()
+        xi = np.floor(xs * 1000.0 + 0.5).astype(np.int64)
+        yi = np.floor(ys * 1000.0 + 0.5).astype(np.int64)
+        nxt = np.arange(1, len(xs) + 1)
+        nxt[offs[1:] - 1] = offs[:-1]
+        cross = xi * yi[nxt] - xi[nxt] * yi
+        area2 = np.abs(np.add.reduceat(cross, offs[:-1])) if len(xs) \
+            else np.array([], np.int64)
+        return pa.table({
+            "crown_id": t["crown_id"],
+            "n_pts": pa.array(np.diff(offs).astype(np.int64)),
+            "area2_mm2": pa.array(area2.astype(np.int64)),
+        })
+
+    return gf.read_vector(path).map_batches(
+        mm_shoelace, batch_format="pyarrow")
+
+
 def _q_synth_geotiff_windows(sf_dir: str):
     """Native uncompressed-GeoTIFF windowed read as a driver query:
     one whole-extent ortho raster is materialized ONCE from the
@@ -3338,6 +3379,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "synth_alignment": _q_synth_alignment,
         "synth_pansharpen": _q_synth_pansharpen,
         "synth_gpkg_roundtrip": _q_synth_gpkg_roundtrip,
+        "synth_shp_roundtrip": _q_synth_shp_roundtrip,
         "synth_geotiff_windows": _q_synth_geotiff_windows,
         "synth_las_roundtrip": _q_synth_las_roundtrip,
         "synth_wav_roundtrip": _q_synth_wav_roundtrip,
@@ -3817,6 +3859,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "synth_gpkg_roundtrip": f"""
             -- GPKG write+read roundtrip oracle: WKB carries float64
+            -- exactly, so the read-back ring == the parquet ring
+            -- bit-for-bit and the mm-integer shoelace (order-free
+            -- BIGINT arithmetic) reconstructs closed-form from the
+            -- ORIGINAL crowns table. Engine mirror: np.floor(v*1000
+            -- + 0.5), int64 cross-product sum per ring.
+            WITH c AS (
+              SELECT crown_id, ring, len(ring) AS n
+              FROM read_parquet('{_SYNTH_CACHE}/crowns/*.parquet')),
+            v AS (
+              SELECT crown_id, n, u.i,
+                CAST(floor(ring[u.i].x * 1000.0 + 0.5) AS BIGINT) AS xi,
+                CAST(floor(ring[u.i].y * 1000.0 + 0.5) AS BIGINT) AS yi,
+                CAST(floor(ring[(u.i % n) + 1].x * 1000.0 + 0.5) AS BIGINT) AS xj,
+                CAST(floor(ring[(u.i % n) + 1].y * 1000.0 + 0.5) AS BIGINT) AS yj
+              FROM c, unnest(generate_series(1, n)) AS u(i))
+            SELECT crown_id,
+                   CAST(any_value(n) AS BIGINT) AS n_pts,
+                   CAST(abs(sum(xi*yj - xj*yi)) AS BIGINT) AS area2_mm2
+            FROM v GROUP BY crown_id
+        """,
+"synth_shp_roundtrip": f"""
+            -- Shapefile write+read roundtrip oracle: .shp carries float64
             -- exactly, so the read-back ring == the parquet ring
             -- bit-for-bit and the mm-integer shoelace (order-free
             -- BIGINT arithmetic) reconstructs closed-form from the
