@@ -273,11 +273,20 @@ def _rows_from_rings(ids: list, rings: list[np.ndarray],
 
 
 def _parse_geojson_batch(batch: dict) -> pa.Table:
-    """read_binary_files batch → ring rows; runs once per FILE task
-    (the distributed dir-concat)."""
+    """read_binary_files batch → ring rows (interior rings parsed into
+    the ``holes`` column); runs once per FILE task (the distributed
+    dir-concat)."""
     ids: list = []
     rings: list[np.ndarray] = []
+    holes: list[list[np.ndarray]] = []
     prop_rows: list[dict] = []
+
+    def as_ring(coords) -> np.ndarray | None:
+        ring = np.asarray(coords, np.float64)[:, :2]
+        if len(ring) > 1 and (ring[0] == ring[-1]).all():
+            ring = ring[:-1]
+        return ring if len(ring) >= 3 else None
+
     for path, data in zip(batch["path"], batch["bytes"]):
         doc = json.loads(bytes(data).decode("utf-8"))
         feats = doc["features"] if doc.get("type") == "FeatureCollection" else [doc]
@@ -291,17 +300,18 @@ def _parse_geojson_batch(batch: dict) -> pa.Table:
             p = f.get("properties") or {}
             fid = p.get("id", f.get("id", f"{os.path.basename(path)}:{i}"))
             for poly in polys:
-                ring = np.asarray(poly[0], np.float64)[:, :2]
-                if len(ring) > 1 and (ring[0] == ring[-1]).all():
-                    ring = ring[:-1]
-                if len(ring) < 3:
+                ring = as_ring(poly[0])
+                if ring is None:
                     continue
+                hs = [h for h in (as_ring(c) for c in poly[1:])
+                      if h is not None]
                 ids.append(fid)
                 rings.append(ring)
+                holes.append(hs)
                 prop_rows.append({k: v for k, v in p.items() if k != "id"})
     keys = sorted({k for row in prop_rows for k in row})
     props = {k: [row.get(k) for row in prop_rows] for k in keys}
-    return _rows_from_rings(ids, rings, props)
+    return _rows_from_rings(ids, rings, props, holes=holes)
 
 
 def _gpkg_feature_tables(con) -> list[tuple[str, str]]:
@@ -1360,14 +1370,22 @@ def write_geojson(ds, out_dir: str, ring_col: str = "ring",
         import hashlib
 
         feats = []
+        has_holes = "holes" in df.columns
         for row in df.itertuples():
             ring = getattr(row, ring_col)
-            coords = [[float(p["x"]), float(p["y"])] for p in ring]
-            coords.append(coords[0])
+
+            def closed(pts):
+                c = [[float(p["x"]), float(p["y"])] for p in pts]
+                c.append(c[0])
+                return c
+
+            coords = [closed(ring)]
+            if has_holes and row.holes is not None and len(row.holes):
+                coords += [closed(h) for h in row.holes]
             feats.append({
                 "type": "Feature",
                 "properties": {"id": getattr(row, id_col)},
-                "geometry": {"type": "Polygon", "coordinates": [coords]},
+                "geometry": {"type": "Polygon", "coordinates": coords},
             })
         payload = json.dumps(
             {"type": "FeatureCollection", "features": feats},

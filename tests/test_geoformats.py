@@ -188,6 +188,36 @@ def test_gpkg_write_read_roundtrip(ray_session, tmp_path):
     assert sorted(both["crown_id"]) == [f"c{i}" for i in range(5)]
 
 
+def test_geojson_holes_roundtrip(ray_session, tmp_path):
+    """Donut polygons survive GeoJSON write → read (interior rings
+    emitted and parsed, net area computed)."""
+    import ray.data as rd
+
+    ext = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], float)
+    hole = np.array([[2, 1], [4, 1], [4, 2], [2, 2]], float)
+    rows = [{"crown_id": "donut",
+             "ring": [{"x": float(x), "y": float(y)} for x, y in ext],
+             "holes": [[{"x": float(x), "y": float(y)} for x, y in hole]]},
+            {"crown_id": "plain",
+             "ring": [{"x": float(x + 20), "y": float(y)} for x, y in ext],
+             "holes": []}]
+    out = tmp_path / "gj"
+    n = gf.write_geojson(rd.from_items(rows), str(out))
+    assert n == 2
+    back = gf.read_vector(str(out)).to_pandas().sort_values(
+        "crown_id").reset_index(drop=True)
+    assert back["area"].tolist() == [98.0, 100.0]
+    assert back.loc[0, "holes"] is not None and len(back.loc[0, "holes"]) == 1
+    # a hand-written GeoJSON with a hole parses the same way
+    _write_geojson_file(tmp_path / "h.geojson", [
+        {"type": "Feature", "properties": {"id": "d2"},
+         "geometry": {"type": "Polygon", "coordinates": [
+             _square(0, 0, 10),
+             [[2, 1], [4, 1], [4, 2], [2, 2], [2, 1]]]}}])
+    d2 = gf.read_vector(str(tmp_path / "h.geojson")).to_pandas()
+    assert d2["area"].tolist() == [98.0]
+
+
 def test_shapefile_write_read_roundtrip(ray_session, tmp_path):
     import ray.data as rd
 
