@@ -44,9 +44,14 @@ __all__ = [
 
 def ring_area(ring: np.ndarray) -> float:
     """Shoelace area of a simple ring (reference: shapely ``.area``,
-    used at tree_health_detection/main.py:120, batch_sam.py:784)."""
+    used at tree_health_detection/main.py:120, batch_sam.py:784).
+    Uses np.sum, NOT np.dot: BLAS ddot picks a different instruction
+    path (and rounding order) for unaligned buffers, so bit-identical
+    values could yield different areas depending on where a decoded
+    ring landed in memory (seen with WKB payloads, whose doubles sit
+    at byte 13). np.sum's pairwise order depends only on length."""
     x, y = ring[:, 0], ring[:, 1]
-    return float(abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))) / 2.0
+    return float(abs(np.sum(x * np.roll(y, -1)) - np.sum(y * np.roll(x, -1)))) / 2.0
 
 
 def polygon_area_with_holes(ring: np.ndarray,
@@ -84,8 +89,9 @@ def points_in_polygon_with_holes(px: np.ndarray, py: np.ndarray,
 
 
 def signed_ring_area(ring: np.ndarray) -> float:
+    # np.sum, not BLAS dot — see ring_area (alignment-stable rounding)
     x, y = ring[:, 0], ring[:, 1]
-    return float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))) / 2.0
+    return float(np.sum(x * np.roll(y, -1)) - np.sum(y * np.roll(x, -1))) / 2.0
 
 
 def ring_centroid(ring: np.ndarray) -> tuple[float, float]:

@@ -283,20 +283,21 @@ class ChipExtractor:
         import ray
         import pyarrow.parquet as pq
 
-        # file-range index built ONCE per worker: (min_tid, max_tid,
-        # path) per fragment, from parquet row-group stats — a tile
-        # fetch is then one binary search + one (cached) file read,
-        # not a filtered scan over every fragment's metadata.
-        self.ranges: list[tuple[str, str, str]] = []
+        # ROW-GROUP-range index built ONCE per worker: (min_tid,
+        # max_tid, path, row_group) per row group, from parquet
+        # stats — a tile fetch is then one binary search + one
+        # (cached) row-group read. Row-group granularity (not whole
+        # files) bounds the miss cost at production file sizes
+        # (a 1 GB file re-read per boundary miss vs one ~100 MB
+        # group); ranges are assumed non-overlapping, which the
+        # grid-ordered tile writer guarantees.
+        self.ranges: list[tuple[str, str, str, int]] = []
         for path in sorted(glob.glob(f"{tiles_path}/**/*.parquet", recursive=True)):
             md = pq.read_metadata(path)
             idx = md.schema.to_arrow_schema().get_field_index("tile_id")
-            lo, hi = None, None
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(idx).statistics
-                lo = st.min if lo is None else min(lo, st.min)
-                hi = st.max if hi is None else max(hi, st.max)
-            self.ranges.append((lo, hi, path))
+                self.ranges.append((st.min, st.max, path, rg))
         self.ranges.sort()
         self.captions = ray.get(caption_ref) if caption_ref is not None else {}
         self.cache: dict[str, tuple] = {}
@@ -313,18 +314,20 @@ class ChipExtractor:
         i = bisect.bisect_right([r[0] for r in self.ranges], tid) - 1
         if i < 0 or tid > self.ranges[i][1]:
             raise KeyError(f"tile {tid} not found")
-        path = self.ranges[i][2]
-        rows = self._file_cache.get(path)
+        _lo, _hi, path, rg = self.ranges[i]
+        key = (path, rg)
+        rows = self._file_cache.get(key)
         if rows is None:
-            t = pq.read_table(path, columns=["tile_id", "bytes", "fmt", "a", "c", "e", "f"])
-            # one vectorized materialization of the id column per FILE
-            # load (not a per-row as_py loop)
+            t = pq.ParquetFile(path).read_row_group(
+                rg, columns=["tile_id", "bytes", "fmt", "a", "c", "e", "f"])
+            # one vectorized materialization of the id column per
+            # row-group load (not a per-row as_py loop)
             ids = t["tile_id"].to_numpy(zero_copy_only=False)
             rows = dict(zip(ids, range(len(t))))
             rows["__table"] = t
-            self._file_cache[path] = rows
-            self._file_order.append(path)
-            if len(self._file_order) > 2:
+            self._file_cache[key] = rows
+            self._file_order.append(key)
+            if len(self._file_order) > 4:
                 del self._file_cache[self._file_order.pop(0)]
         return rows
 

@@ -116,7 +116,10 @@ def parse_wkb_polygons(buf: bytes) -> list[tuple[np.ndarray, list[np.ndarray]]]:
         ring = coords
         if npts > 1 and (ring[0] == ring[-1]).all():
             ring = ring[:-1]
-        return np.ascontiguousarray(ring), p + 4 + npts * 16
+        # full copy, not just contiguous: WKB doubles sit at odd byte
+        # offsets and an unaligned view changes downstream BLAS/SIMD
+        # rounding paths (see geom.ring_area)
+        return np.array(ring, np.float64), p + 4 + npts * 16
 
     def _poly(pos: int) -> int:
         endian = "<" if buf[pos] == 1 else ">"
@@ -577,7 +580,7 @@ def parse_shp_polygons(path: str) -> list[list[tuple[np.ndarray,
         nparts, npts = struct.unpack_from("<ii", body, 36)
         parts = np.frombuffer(body, "<i4", nparts, 44)
         pts = np.frombuffer(body, "<f8", npts * 2, 44 + 4 * nparts)
-        pts = pts.reshape(npts, 2)
+        pts = np.array(pts.reshape(npts, 2))  # aligned copy
         bounds = np.r_[parts, npts]
         exteriors: list[tuple[np.ndarray, list[np.ndarray]]] = []
         holes: list[np.ndarray] = []

@@ -76,3 +76,64 @@ def test_cell_roundtrip_property(x, y, res):
     minx, miny, maxx, maxy = cells.cell_bounds(c)
     assert minx[0] <= x < maxx[0] + 1e-6
     assert miny[0] <= y < maxy[0] + 1e-6
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(4, 40),
+       st.booleans())
+def test_pairs_pip_layouts_agree(seed, n_rings, force_cohort):
+    """The size-dispatched pair-PIP layouts (one-shot explosion vs
+    ring-length cohorts) must agree bit-for-bit on identical inputs —
+    the dispatch is a pure performance fork."""
+    rng = np.random.default_rng(seed)
+    rings = []
+    for _ in range(n_rings):
+        nv = int(rng.integers(3, 17))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+        r = rng.uniform(0.5, 8.0)
+        cx, cy = rng.uniform(0, 60, 2)
+        rings.append(np.column_stack([cx + r * np.cos(ang),
+                                      cy + r * np.sin(ang)]))
+    pack = geom.pack_ring_edges(rings)
+    n_pairs = int(rng.integers(1, 5000))
+    ids = np.sort(rng.integers(0, n_rings, n_pairs))
+    px = rng.uniform(-5, 65, n_pairs)
+    py = rng.uniform(-5, 65, n_pairs)
+    a = geom._pairs_pip_exploded(px, py, ids, pack)
+    got = geom.points_in_rings_pairs(px, py, ids, pack)
+    np.testing.assert_array_equal(got, a)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(1, 3))
+def test_wkb_gpkg_shp_record_roundtrips(seed, n_holes):
+    """Random polygon (+ holes) survives every binary codec exactly:
+    WKB, GPKG blob, and the shapefile record layout (up to ring
+    orientation, which the shp writer normalizes)."""
+    from geotreehealth_ray.sources import geoformats as gf
+
+    rng = np.random.default_rng(seed)
+    nv = int(rng.integers(3, 24))
+    ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+    r = rng.uniform(5.0, 20.0)
+    ext = np.column_stack([50 + r * np.cos(ang), 50 + r * np.sin(ang)])
+    holes = []
+    for _ in range(n_holes):
+        hv = int(rng.integers(3, 8))
+        hang = np.sort(rng.uniform(0, 2 * np.pi, hv))
+        hr = rng.uniform(0.2, 1.5)
+        hc = 50 + rng.uniform(-1, 1, 2)
+        holes.append(np.column_stack([hc[0] + hr * np.cos(hang),
+                                      hc[1] + hr * np.sin(hang)]))
+    # WKB
+    buf = gf.rings_to_wkb(ext, holes=holes)
+    (gext, gholes), = gf.parse_wkb_polygons(buf)
+    np.testing.assert_array_equal(gext, ext)
+    assert len(gholes) == len(holes)
+    for a, b in zip(gholes, holes):
+        np.testing.assert_array_equal(a, b)
+    # GPKG blob header
+    assert gf.strip_gpkg_header(gf.make_gpkg_blob(buf)) == buf
+    # exact net area is codec-invariant
+    want = geom.polygon_area_with_holes(ext, holes)
+    assert geom.polygon_area_with_holes(gext, gholes) == want
