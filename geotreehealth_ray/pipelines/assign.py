@@ -679,6 +679,9 @@ def assign_stems_to_crowns(stems, crowns, res: int = cells.DEFAULT_RES,
     contains ≥1 stem. unassigned: (stem_id) — distinct stems no crown
     selected.
     """
+    from ..stages.spatial import reject_holed
+
+    crowns = reject_holed(crowns, "assign_stems_to_crowns")
     hot_ref, hot_extra = (
         _hot_cells(stems, res) if salt_mode == "hot" else (None, 0.0)
     )

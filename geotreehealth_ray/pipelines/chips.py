@@ -436,6 +436,9 @@ def extract_chips_storage(crowns, tiles_path: str, captions, grid: GridSpec,
     tasks fetch/decode tiles on demand with a per-worker LRU cache."""
     import ray
 
+    from ..stages.spatial import reject_holed
+
+    crowns = reject_holed(crowns, "extract_chips")
     cap_cols = captions.columns()
     cap_key = "image_id" if "image_id" in cap_cols else "tile_id"
     cap_df = captions.select_columns([cap_key, "caption"]).to_pandas()

@@ -14,6 +14,7 @@ import pyarrow as pa
 from ..functions import cells
 
 __all__ = [
+    "reject_holed",
     "rings_from_arrow",
     "ring_to_bytes",
     "rings_from_binary",
@@ -154,6 +155,41 @@ def edge_pack_from_binary(col):
     if len(ends):
         nxt[ends - 1] = starts
     return vx, vy, vx[nxt], vy[nxt], lens, starts
+
+
+def reject_holed(ds, op: str):
+    """Guard for exterior-ring-only kernels: polygons with interior
+    rings now flow in from every format reader (WKB/GPKG/shapefile/
+    GeoJSON emit a ``holes`` column), but the packed-edge PIP and the
+    raster mask treat rings as FILLED — a donut crown would silently
+    capture stems/pixels inside its hole. This maps a cheap vectorized
+    check over the stream and raises loudly on the first non-empty
+    hole list, naming the remediations. No-op when the column is
+    absent (the engine's native crown tables)."""
+    if "holes" not in (ds.columns() or []):
+        return ds
+
+    def check(t: pa.Table) -> pa.Table:
+        col = t["holes"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if len(col):
+            import pyarrow.compute as pc
+
+            mx = pc.max(pc.list_value_length(col)).as_py()
+            if mx and mx > 0:
+                raise NotImplementedError(
+                    f"{op}: polygons with interior rings are not "
+                    "supported by this kernel (rings are treated as "
+                    "filled). Subtract the holes upstream "
+                    "(functions.geom.difference_rings), split the "
+                    "geometry, or use the hole-aware scalar kernels "
+                    "(geom.points_in_polygon_with_holes / "
+                    "polygon_area_with_holes)."
+                )
+        return t
+
+    return ds.map_batches(check, batch_format="pyarrow")
 
 
 def pack_rings(batch: pa.Table, ring_col: str = "ring",

@@ -486,3 +486,36 @@ def test_parquet_passthrough_matches_native_read(ray_session, tmp_path):
     a = gf.read_lidar(str(p)).to_pandas()
     b = rd.read_parquet(str(p)).to_pandas()
     assert a.equals(b)
+
+
+def test_holed_crowns_rejected_loudly_by_filled_kernels(ray_session, tmp_path):
+    """A donut crown read from a real format must NOT silently behave
+    as a filled polygon in the assignment join — the guard raises,
+    naming the remediation; hole-free format reads pass through."""
+    import ray.data as rd
+
+    from geotreehealth_ray.pipelines.assign import assign_stems_to_crowns
+
+    ext = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], float)
+    hole = np.array([[4, 4], [6, 4], [6, 6], [4, 6]], float)
+    rows = [{"crown_id": "donut",
+             "ring": [{"x": float(x), "y": float(y)} for x, y in ext],
+             "holes": [[{"x": float(x), "y": float(y)} for x, y in hole]]}]
+    gp = tmp_path / "donut.gpkg"
+    gf.write_gpkg(rd.from_items(rows), str(gp))
+    crowns = gf.read_vector(str(gp))  # cx/cy already in the schema
+    stems = rd.from_items([{"stem_id": "s0", "x": 5.0, "y": 5.0}])
+    with pytest.raises(Exception, match="interior rings"):
+        a, _ = assign_stems_to_crowns(stems, crowns)
+        a.to_pandas()
+
+    # hole-free read (all-empty holes column) passes the guard
+    rows2 = [{"crown_id": "plain",
+              "ring": [{"x": float(x), "y": float(y)} for x, y in ext],
+              "holes": []}]
+    gp2 = tmp_path / "plain.gpkg"
+    gf.write_gpkg(rd.from_items(rows2), str(gp2))
+    crowns2 = gf.read_vector(str(gp2))
+    a, _ = assign_stems_to_crowns(stems, crowns2)
+    out = a.to_pandas()
+    assert out["crown_id"].tolist() == ["plain"]
