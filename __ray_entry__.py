@@ -2466,8 +2466,7 @@ def _q_synth_training(sf_dir: str):
 
     from geotreehealth_ray.pipelines.chips import GridSpec, extract_chips
     from geotreehealth_ray.pipelines.training import (
-        crown_lidar_points,
-        multimodal_training_rows,
+        multimodal_training_pipeline,
     )
     from geotreehealth_ray.sources import synth
 
@@ -2476,8 +2475,11 @@ def _q_synth_training(sf_dir: str):
     images = _rd().read_parquet(p["images"])
     lidar = _rd().read_parquet(p["lidar"])
     chips = extract_chips(crowns, tiles, images, GridSpec.from_synth(synth.TINY))
-    pts = crown_lidar_points(lidar, crowns, max_points=64)
-    rows = multimodal_training_rows(chips, pts, rgb_shape=16, max_points=64)
+    # fused handoff: point merge + chip attach + assembly in ONE
+    # crown_id exchange (byte-identical to the composable path —
+    # tests/test_training_handoff.py)
+    rows = multimodal_training_pipeline(chips, lidar, crowns,
+                                        rgb_shape=16, max_points=64)
 
     def checksum(df: pd.DataFrame) -> pd.DataFrame:
         import zlib

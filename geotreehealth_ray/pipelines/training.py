@@ -33,28 +33,22 @@ from .lidar import normalize_xyz, subsample_points
 
 __all__ = [
     "crown_lidar_points",
+    "multimodal_training_pipeline",
     "multimodal_training_rows",
     "iter_training_batches",
     "iter_torch_training_batches",
 ]
 
 
-def crown_lidar_points(lidar, crowns, res: int = cells.DEFAULT_RES,
-                       max_points: int = 256):
-    """(crown_id, xyz) — per-crown lidar point set, subsampled/padded
-    to ``max_points`` rows of (x, y, z) float64, mean-centered
-    (reference __getitem__ lidar branch, build_dataloaders.py:58-73 —
-    but RNG-free: points are canonically sorted before the hash-ranked
-    subsample, so the result is identical at any parallelism).
-
-    Two exchanges, both slim: the cell-co-partitioned bbox range join
-    (points 24 B/row, crowns replicate to bbox cells — the same layout
-    as :func:`lidar.crown_lidar_stats`), then a bucketed merge of the
-    per-cell partial point sets keyed by crown_id."""
+def _crown_point_partials(lidar, crowns, res: int = cells.DEFAULT_RES):
+    """Per-cell (crown_id, xyz_b) point-set partials: the
+    cell-co-partitioned bbox range join (points 24 B/row, crowns
+    replicate to bbox cells — the same layout as
+    :func:`lidar.crown_lidar_stats`). ONE exchange; callers fold the
+    partials per crown in their own crown_id-keyed exchange."""
     from ..stages.spatial import attach_cell, explode_to_covering_cells
     from .assign import _bbox_candidate_pairs, _stem_sort_key
     from .lidar import _UNION, _nulls
-    from .relational import bucketed_reduce
 
     def point_side(t: pa.Table) -> pa.Table:
         n = len(t)
@@ -147,22 +141,25 @@ def crown_lidar_points(lidar, crowns, res: int = cells.DEFAULT_RES,
         ["cell"], points_cell,
     )
 
-    def merge_crown(df: pd.DataFrame) -> pd.DataFrame:
-        out_id, out_b = [], []
-        for cid, grp in df.groupby("crown_id", sort=False):
-            pts = np.concatenate([
-                np.frombuffer(b, np.float64).reshape(-1, 3)
-                for b in grp["xyz_b"]
-            ])
-            # canonical order BEFORE the index-ranked subsample —
-            # merge order of per-cell partials must not matter
-            pts = pts[np.lexsort((pts[:, 2], pts[:, 1], pts[:, 0]))]
-            fixed = normalize_xyz(subsample_points(pts, max_points))
-            out_id.append(cid)
-            out_b.append(fixed.tobytes())
-        return pd.DataFrame({"crown_id": out_id, "xyz_b": out_b})
+    return partials
 
-    merged = bucketed_reduce(partials, "crown_id", merge_crown)
+
+def crown_lidar_points(lidar, crowns, res: int = cells.DEFAULT_RES,
+                       max_points: int = 256):
+    """(crown_id, xyz) — per-crown lidar point set, subsampled/padded
+    to ``max_points`` rows of (x, y, z) float64, mean-centered
+    (reference __getitem__ lidar branch, build_dataloaders.py:58-73 —
+    but RNG-free: points are canonically sorted before the hash-ranked
+    subsample, so the result is identical at any parallelism).
+
+    Two exchanges, both slim: :func:`_crown_point_partials`, then a
+    bucketed merge of the per-cell partials keyed by crown_id."""
+    from .relational import bucketed_reduce
+
+    partials = _crown_point_partials(lidar, crowns, res)
+    merged = bucketed_reduce(
+        partials, "crown_id",
+        lambda df: _merge_crown_points(df, max_points))
     # typed Arrow blocks: a pandas object column of bytes would be
     # mis-schema'd as string by downstream join schema inference
     return merged.map_batches(
@@ -172,6 +169,25 @@ def crown_lidar_points(lidar, crowns, res: int = cells.DEFAULT_RES,
         }),
         batch_format="pandas",
     )
+
+
+def _merge_crown_points(df: pd.DataFrame, max_points: int) -> pd.DataFrame:
+    """Per-crown fold of the per-cell point partials: concatenate,
+    canonical-sort BEFORE the index-ranked subsample (merge order of
+    partials must not matter), subsample/pad to ``max_points``, mean-
+    center. Shared by the composable and fused handoff paths — the
+    bytes are identical by construction."""
+    out_id, out_b = [], []
+    for cid, grp in df.groupby("crown_id", sort=False):
+        pts = np.concatenate([
+            np.frombuffer(b, np.float64).reshape(-1, 3)
+            for b in grp["xyz_b"]
+        ])
+        pts = pts[np.lexsort((pts[:, 2], pts[:, 1], pts[:, 0]))]
+        fixed = normalize_xyz(subsample_points(pts, max_points))
+        out_id.append(cid)
+        out_b.append(fixed.tobytes())
+    return pd.DataFrame({"crown_id": out_id, "xyz_b": out_b})
 
 
 # HSI stand-in band count AFTER preprocess_hsi's reference contract
@@ -230,23 +246,12 @@ def multimodal_training_rows(chips, lidar_points, rgb_shape: int = 32,
         for row in df.itertuples():  # per-SAMPLE image decode (each
             # chip has its own dims — genuinely row-wise work, like
             # the reference __getitem__; the kernels inside are numpy)
-            img = codec.decode(row.bytes, row.fmt)
-            if img.ndim == 2:
-                img = img[:, :, None]
-            if img.shape[2] == 1:
-                img = np.repeat(img, 3, axis=2)
-            rgb_hwc = normalize_rgb_array(img, crop=rgb_shape)
-            rgb = np.moveaxis(rgb_hwc, 2, 0)  # CHW like the reference
-            raw = _center_crop_or_pad(
-                img[:, :, :3].astype(np.float64), rgb_shape, rgb_shape
-            )
-            hsi_hwc = preprocess_hsi(_pseudo_hsi_cube(raw))
-            hsi = np.moveaxis(hsi_hwc, 2, 0)  # (314, rs, rs+4)
-            xyz = np.frombuffer(row.xyz_b, np.float64).reshape(-1, 3)
+            hsi_b, rgb_b, lidar_b = _build_sample(
+                row.bytes, row.fmt, row.xyz_b, rgb_shape)
             out["crown_id"].append(row.crown_id)
-            out["hsi_b"].append(hsi.astype(np.float32).tobytes())
-            out["rgb_b"].append(rgb.astype(np.float32).tobytes())
-            out["lidar_b"].append(xyz.astype(np.float32).tobytes())
+            out["hsi_b"].append(hsi_b)
+            out["rgb_b"].append(rgb_b)
+            out["lidar_b"].append(lidar_b)
             out["label"].append(getattr(row, label_col) or "")
         res = pd.DataFrame(out)
         res["rgb_shape"] = rgb_shape
@@ -254,6 +259,107 @@ def multimodal_training_rows(chips, lidar_points, rgb_shape: int = 32,
         return res
 
     return joined.map_batches(assemble, batch_format="pandas")
+
+
+def _build_sample(img_bytes: bytes, fmt: str, xyz_b: bytes,
+                  rgb_shape: int) -> tuple[bytes, bytes, bytes]:
+    """One sample's tensor bytes (reference __getitem__ math — shared
+    verbatim by the composable and fused paths)."""
+    from ..stages.raster import _center_crop_or_pad
+
+    img = codec.decode(img_bytes, fmt)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.shape[2] == 1:
+        img = np.repeat(img, 3, axis=2)
+    rgb_hwc = normalize_rgb_array(img, crop=rgb_shape)
+    rgb = np.moveaxis(rgb_hwc, 2, 0)  # CHW like the reference
+    raw = _center_crop_or_pad(
+        img[:, :, :3].astype(np.float64), rgb_shape, rgb_shape
+    )
+    hsi_hwc = preprocess_hsi(_pseudo_hsi_cube(raw))
+    hsi = np.moveaxis(hsi_hwc, 2, 0)  # (314, rs, rs+4)
+    xyz = np.frombuffer(xyz_b, np.float64).reshape(-1, 3)
+    return (hsi.astype(np.float32).tobytes(),
+            rgb.astype(np.float32).tobytes(),
+            xyz.astype(np.float32).tobytes())
+
+
+def multimodal_training_pipeline(chips, lidar, crowns,
+                                 res: int = cells.DEFAULT_RES,
+                                 rgb_shape: int = 32,
+                                 max_points: int = 256,
+                                 label_col: str = "caption"):
+    """FUSED training handoff: chip rows and per-cell lidar point
+    partials meet in ONE crown_id-bucketed exchange whose kernel does
+    the point merge, the chip attach (inner join) AND the sample
+    assembly — versus the composable path's merge exchange + two-sided
+    hash join + assemble map (three exchanges, chip bytes crossing the
+    wire twice). Output rows are byte-identical to
+    ``multimodal_training_rows(chips, crown_lidar_points(...))`` —
+    both use _merge_crown_points and _build_sample."""
+    from ..stages.spatial import attach_cell  # noqa: F401 (doc link)
+    from .relational import bucketed_reduce
+
+    partials = _crown_point_partials(lidar, crowns, res)
+    _COLS = ["crown_id", "kind", "xyz_b", "bytes", "fmt", "label"]
+
+    def part_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"crown_id": df["crown_id"], "kind": np.int8(0),
+             "xyz_b": df["xyz_b"], "bytes": b"", "fmt": "",
+             "label": ""}
+        ).reindex(columns=_COLS)
+
+    def chip_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"crown_id": df["crown_id"], "kind": np.int8(1),
+             "xyz_b": b"", "bytes": df["bytes"], "fmt": df["fmt"],
+             "label": df[label_col]}
+        ).reindex(columns=_COLS)
+
+    union = partials.map_batches(part_side, batch_format="pandas").union(
+        chips.select_columns(
+            ["crown_id", "bytes", "fmt", label_col]
+        ).map_batches(chip_side, batch_format="pandas")
+    )
+
+    def fused(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"crown_id": pd.Series([], dtype=object),
+             "hsi_b": pd.Series([], dtype=object),
+             "rgb_b": pd.Series([], dtype=object),
+             "lidar_b": pd.Series([], dtype=object),
+             "label": pd.Series([], dtype=object),
+             "rgb_shape": pd.Series([], dtype="int64"),
+             "max_points": pd.Series([], dtype="int64")}
+        )
+        pts = df[df["kind"] == 0]
+        ch = df[df["kind"] == 1]
+        if len(pts) == 0 or len(ch) == 0:
+            return empty
+        merged = _merge_crown_points(pts[["crown_id", "xyz_b"]],
+                                     max_points)
+        m = ch.merge(merged, on="crown_id", how="inner",
+                     suffixes=("", "_p"))
+        if len(m) == 0:
+            return empty
+        out = {"crown_id": [], "hsi_b": [], "rgb_b": [], "lidar_b": [],
+               "label": []}
+        for row in m.itertuples():
+            hsi_b, rgb_b, lidar_b = _build_sample(
+                row.bytes, row.fmt, row.xyz_b_p, rgb_shape)
+            out["crown_id"].append(row.crown_id)
+            out["hsi_b"].append(hsi_b)
+            out["rgb_b"].append(rgb_b)
+            out["lidar_b"].append(lidar_b)
+            out["label"].append(row.label or "")
+        res = pd.DataFrame(out)
+        res["rgb_shape"] = rgb_shape
+        res["max_points"] = max_points
+        return res
+
+    return bucketed_reduce(union, "crown_id", fused)
 
 
 def _unpack(batch: dict) -> dict:

@@ -112,3 +112,26 @@ def test_iter_torch_requires_torch(samples):
         pass
     with pytest.raises(NotImplementedError, match="torch"):
         next(training.iter_torch_training_batches(samples))
+
+
+def test_fused_pipeline_matches_composable(tiny, samples, ray_session):
+    """multimodal_training_pipeline (single crown_id exchange) must be
+    byte-identical to crown_lidar_points + multimodal_training_rows."""
+    import ray.data as rd
+
+    crowns = rd.read_parquet(tiny["crowns"])
+    tiles = rd.read_parquet(tiny["tiles"])
+    images = rd.read_parquet(tiny["images"])
+    lidar = rd.read_parquet(tiny["lidar"])
+    grid = GridSpec.from_synth(synth.TINY)
+    chips = extract_chips(crowns, tiles, images, grid)
+
+    fused = training.multimodal_training_pipeline(
+        chips, lidar, crowns, rgb_shape=RS, max_points=MP
+    ).to_pandas().sort_values("crown_id").reset_index(drop=True)
+    base = samples.to_pandas().sort_values("crown_id").reset_index(drop=True)
+    assert len(fused) == len(base) > 0
+    for col in ("crown_id", "label", "rgb_shape", "max_points"):
+        assert (fused[col].to_numpy() == base[col].to_numpy()).all(), col
+    for col in ("hsi_b", "rgb_b", "lidar_b"):
+        assert all(a == b for a, b in zip(fused[col], base[col])), col
