@@ -1,6 +1,9 @@
-"""Geo-format adapter layer: GeoJSON + WKB are real (dependency-free),
-GPKG/GeoTIFF/LAZ are gated seams (reference delineation_pipeline.py:
-63-64, store_data_structures.py:42-55)."""
+"""Geo-format adapter layer: GeoJSON, WKB (incl. interior rings),
+GPKG (stdlib sqlite3), ESRI shapefile, uncompressed GeoTIFF and LAS
+all decode natively (reference delineation_pipeline.py:63-64,
+store_data_structures.py:42-55, get_polygons.py:588-623); only
+genuinely-compressed formats (LAZ, deflate/LZW TIFF, non-PCM audio)
+stay loud gates naming the decompression tool."""
 
 import json
 import os
