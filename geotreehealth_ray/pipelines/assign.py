@@ -855,7 +855,10 @@ def _pairs_cell(group: pa.Table) -> pa.Table:
 def pip_join_pairs(stems, crowns, res: int = cells.DEFAULT_RES):
     """(crown_id, stem_id) — every point-in-polygon containment pair
     (the spatial inner join itself, without the nearest-stem reduce)."""
+    from ..stages.spatial import reject_holed
     from .relational import sorted_group_map, uniform_uint64_boundaries
+
+    crowns = reject_holed(crowns, "pip_join_pairs")
 
     # no salting: the vectorized pair kernel keeps even dense cells to
     # sub-second tasks, and the pair join has no per-crown reduce to

@@ -698,6 +698,9 @@ def zonal_stats(crowns, tiles_path: str, grid: GridSpec,
     """Zonal statistics over the tile store: one slim sort exchange on
     tile_id, then worker-cached decode + masked per-band reductions.
     Output: (crown_id, tile_id, px_count, band_sums/mins/maxs)."""
+    from ..stages.spatial import reject_holed
+
+    crowns = reject_holed(crowns, "zonal_stats")
     import ray
 
     crowns_t = assign_crowns_to_tiles(
