@@ -272,18 +272,25 @@ def _q_top_orders(sf_dir: str):
 
 
 def _q_revenue_by_nation(sf_dir: str):
-    """Per-nation lineitem revenue with NO driver-side fact
-    materialization: lineitem pre-aggregates per orderkey (combiner),
-    co-partitions with orders on orderkey (both SF-linear — always a
-    hash join), the orders-sized result re-aggregates per custkey and
-    attaches customer through the size-gated auto_join (broadcast at
-    test scale, co-partition at 100 TB); only the 25-row nation dim
-    is ever collected."""
+    """Per-nation lineitem revenue in ONE fact exchange: lineitem
+    partials (combiner per batch) union with slim orders rows keyed by
+    orderkey, and the bucket kernel does the per-order aggregate, the
+    orders join AND a per-custkey partial — the fused union-reduce
+    pattern (was: per-order groupby + hash join + per-cust groupby =
+    three exchanges over the same keys). The customer side then
+    attaches through the size gate: broadcast custkey→nationkey map at
+    in-store scale (zero exchange), co-partitioned join + grouped agg
+    at 100 TB; nation (25 rows) and the ≤25-key final fold are dim
+    collects, never facts. Integer c4 partials are associative, so
+    every fusion is value-exact."""
+    import ray
+
     from geotreehealth_ray.pipelines.relational import (
+        AUTO_BROADCAST_BYTES,
         auto_join,
         broadcast_join,
+        bucketed_reduce,
         grouped_agg,
-        hash_join,
         input_bytes_estimate,
     )
 
@@ -292,27 +299,70 @@ def _q_revenue_by_nation(sf_dir: str):
     ).to_pandas().rename(columns={"n_nationkey": "c_nationkey"})
     cust_raw = _read(sf_dir, "customer")
     cust_bytes = input_bytes_estimate(cust_raw)
+
+    _COLS = ["key", "kind", "disc_c4", "o_custkey"]
+
+    def li_rows(t: pa.Table) -> pd.DataFrame:
+        disc = t["l_extendedprice"].to_numpy() * (1.0 - t["l_discount"].to_numpy())
+        df = pd.DataFrame({
+            "key": t["l_orderkey"].to_numpy(),
+            "disc_c4": np.floor(disc * 10000 + 0.5).astype(np.int64),
+        })
+        # combiner: per-batch partial sum per orderkey BEFORE the wire
+        part = df.groupby("key", as_index=False)["disc_c4"].sum()
+        part["kind"] = np.int8(0)
+        part["o_custkey"] = np.int64(-1)
+        return part.reindex(columns=_COLS)
+
+    def ord_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": df["o_orderkey"], "kind": np.int8(1),
+            "disc_c4": np.int64(0), "o_custkey": df["o_custkey"],
+        }).reindex(columns=_COLS)
+
+    union = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_rows, batch_format="pyarrow").union(
+        _read(sf_dir, "orders").select_columns(
+            ["o_orderkey", "o_custkey"]
+        ).map_batches(ord_rows, batch_format="pandas")
+    )
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        li = df[df["kind"] == 0].groupby("key", as_index=False)["disc_c4"].sum()
+        od = df[df["kind"] == 1][["key", "o_custkey"]]
+        m = od.merge(li, on="key", how="inner")
+        # per-custkey partial inside the same exchange (combiner)
+        return m.groupby("o_custkey", as_index=False)["disc_c4"].sum()
+
+    per_cust = bucketed_reduce(union, "key", bucket)
+
+    if cust_bytes is not None and cust_bytes <= AUTO_BROADCAST_BYTES:
+        cdf = cust_raw.select_columns(
+            ["c_custkey", "c_nationkey"]).to_pandas()
+        lut_ref = ray.put(dict(zip(cdf["c_custkey"].to_numpy(),
+                                   cdf["c_nationkey"].to_numpy())))
+
+        def partial_by_nation(df: pd.DataFrame) -> pd.DataFrame:
+            lut = ray.get(lut_ref)
+            nk = df["o_custkey"].map(lut)
+            return pd.DataFrame({"c_nationkey": nk,
+                                 "disc_c4": df["disc_c4"]}).groupby(
+                "c_nationkey", as_index=False)["disc_c4"].sum()
+
+        # ≤25 keys × #blocks of partials: a dim-sized driver fold
+        parts = per_cust.map_batches(
+            partial_by_nation, batch_format="pandas").to_pandas()
+        agg = parts.groupby("c_nationkey", as_index=False)["disc_c4"].sum()
+        out = agg.merge(nation, on="c_nationkey")
+        return pd.DataFrame({"n_name": out["n_name"],
+                             "revenue": out["disc_c4"] / 10000.0})
+
+    # 100 TB path: co-partitioned customer join + grouped agg
     cust = cust_raw.select_columns(["c_custkey", "c_nationkey"]).map_batches(
         lambda df: df.rename(columns={"c_custkey": "o_custkey"}),
         batch_format="pandas",
     )
-
-    def prep(t: pa.Table) -> pa.Table:
-        disc = t["l_extendedprice"].to_numpy() * (1.0 - t["l_discount"].to_numpy())
-        return pa.table(
-            {
-                "o_orderkey": t["l_orderkey"],
-                "disc_c4": pa.array(np.floor(disc * 10000 + 0.5).astype(np.int64)),
-            }
-        )
-
-    li = _read(sf_dir, "lineitem").select_columns(
-        ["l_orderkey", "l_extendedprice", "l_discount"]
-    ).map_batches(prep, batch_format="pyarrow")
-    per_order = grouped_agg(li, ["o_orderkey"], {"disc_c4": "disc_c4"})
-    orders = _read(sf_dir, "orders").select_columns(["o_orderkey", "o_custkey"])
-    joined = hash_join(per_order, orders, on="o_orderkey")
-    per_cust = grouped_agg(joined, ["o_custkey"], {"disc_c4": "disc_c4"})
     with_nat = broadcast_join(
         auto_join(per_cust, cust, on="o_custkey", right_bytes=cust_bytes),
         nation, on="c_nationkey",
@@ -1186,17 +1236,16 @@ def _q_q5_region_volume(sf_dir: str):
     """TPC-H Q5-style five-table composition: revenue per nation for
     1996 orders where the lineitem's supplier and the order's customer
     sit in the SAME nation of one region. nation⋈region folds on the
-    driver (tiny); supplier→nationkey attaches through the size-gated
-    auto_join (broadcast at test scale, co-partitioned at 100 TB —
-    supplier is SF-linear, never collected driver-side); customer
-    attaches to date-filtered orders through one co-partitioned hash
-    join on custkey, lineitem attaches through a second on orderkey;
-    the final per-nation sum is a combiner groupby over ~25 groups."""
+    driver (tiny); supplier→nationkey and customer→nationkey attach
+    through the size-gated auto_join (broadcast at test scale,
+    co-partitioned at 100 TB — both SF-linear, never collected
+    driver-side as facts); the ONE fact all-to-all is the fused
+    orderkey exchange — lineitem partials (pre-combined per
+    (orderkey, s_nationkey) in the map) union with slim order rows,
+    and the bucket kernel joins + applies the same-nation predicate +
+    emits ≤25-key per-nation partials, folded on the driver."""
     from geotreehealth_ray.pipelines.relational import (
         auto_join,
-        broadcast_join,
-        grouped_agg,
-        hash_join,
         input_bytes_estimate,
     )
 
@@ -1217,8 +1266,10 @@ def _q_q5_region_volume(sf_dir: str):
         df = df[(day >= lo) & (day < hi)]
         return df[["o_orderkey", "o_custkey"]]
 
+    cust_raw = _read(sf_dir, "customer")
+    cust_bytes = input_bytes_estimate(cust_raw)
     cust = (
-        _read(sf_dir, "customer")
+        cust_raw
         .map_batches(
             lambda df: df[df["c_nationkey"].isin(keys)][
                 ["c_custkey", "c_nationkey"]
@@ -1226,9 +1277,12 @@ def _q_q5_region_volume(sf_dir: str):
             batch_format="pandas",
         )
     )
-    orders = hash_join(
+    # customer attach is size-gated: broadcast at in-store scale (no
+    # custkey exchange — customer is far smaller than orders), hash
+    # co-partition at 100 TB
+    orders = auto_join(
         _read(sf_dir, "orders").map_batches(order_prep, batch_format="pandas"),
-        cust, on="o_custkey",
+        cust, on="o_custkey", right_bytes=cust_bytes,
     ).select_columns(["o_orderkey", "c_nationkey"])
 
     supp_raw = _read(sf_dir, "supplier")
@@ -1256,15 +1310,54 @@ def _q_q5_region_volume(sf_dir: str):
         .map_batches(li_prep, batch_format="pandas"),
         supp, on="l_suppkey", right_bytes=supp_bytes,
     )
-    joined = hash_join(li, orders, on="o_orderkey").map_batches(
-        lambda df: df[df["s_nationkey"] == df["c_nationkey"]][
-            ["s_nationkey", "disc_c4"]
-        ],
-        batch_format="pandas",
-    )
-    name_map = asia.rename(columns={"n_nationkey": "s_nationkey"})
-    named = broadcast_join(joined, name_map, on="s_nationkey")
-    return grouped_agg(named, ["n_name"], {"revenue_c4": "disc_c4"})
+
+    # FUSED fact exchange (the one all-to-all of this plan): lineitem
+    # partials — combined per (orderkey, s_nationkey) inside the map —
+    # union with the slim order rows; the bucket kernel joins, applies
+    # the same-nation predicate and emits per-nation partials. Integer
+    # c4 sums are associative, so the fusion is value-exact.
+    _COLS = ["key", "kind", "s_nationkey", "c_nationkey", "disc_c4"]
+
+    def li_rows(df: pd.DataFrame) -> pd.DataFrame:
+        part = df.groupby(["o_orderkey", "s_nationkey"],
+                          as_index=False)["disc_c4"].sum()
+        return pd.DataFrame({
+            "key": part["o_orderkey"], "kind": np.int8(0),
+            "s_nationkey": part["s_nationkey"].astype("int64"),
+            "c_nationkey": np.int64(-1), "disc_c4": part["disc_c4"],
+        }).reindex(columns=_COLS)
+
+    def ord_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": df["o_orderkey"], "kind": np.int8(1),
+            "s_nationkey": np.int64(-1),
+            "c_nationkey": df["c_nationkey"].astype("int64"),
+            "disc_c4": np.int64(0),
+        }).reindex(columns=_COLS)
+
+    union = li.map_batches(li_rows, batch_format="pandas").union(
+        orders.map_batches(ord_rows, batch_format="pandas"))
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["kind"] == 0][["key", "s_nationkey", "disc_c4"]]
+        o = df[df["kind"] == 1][["key", "c_nationkey"]]
+        m = l.merge(o, on="key", how="inner")
+        m = m[m["s_nationkey"] == m["c_nationkey"]]
+        return m.groupby("s_nationkey", as_index=False)["disc_c4"].sum()
+
+    from geotreehealth_ray.pipelines.relational import bucketed_reduce
+
+    per_nat = bucketed_reduce(union, "key", bucket)
+    # ≤25-key driver fold over the per-bucket partials (a dim collect)
+    parts = per_nat.to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"n_name": pd.Series([], dtype=object),
+                             "revenue_c4": pd.Series([], dtype="int64")})
+    agg = parts.groupby("s_nationkey", as_index=False)["disc_c4"].sum()
+    out = agg.merge(asia.rename(columns={"n_nationkey": "s_nationkey"}),
+                    on="s_nationkey")
+    return pd.DataFrame({"n_name": out["n_name"],
+                         "revenue_c4": out["disc_c4"].astype("int64")})
 
 
 def _q_q12_shipmode(sf_dir: str):
