@@ -221,6 +221,17 @@ def points_in_rings_pairs(px: np.ndarray, py: np.ndarray,
         # explosion; ~15 numpy calls total vs the cohort layout's
         # L×cohorts small calls (which cost more than the work here)
         return _pairs_pip_exploded(px, py, ring_ids, edge_pack)
+    return _pairs_pip_cohort(px, py, ring_ids, edge_pack)
+
+
+def _pairs_pip_cohort(px: np.ndarray, py: np.ndarray,
+                      ring_ids: np.ndarray, edge_pack) -> np.ndarray:
+    """Large-input PIP layout: pairs cohorted by ring length, L small
+    vectorized passes per cohort (~O(pairs) peak memory). Same
+    per-(pair, edge) formulas as :func:`_pairs_pip_exploded` →
+    bit-equal results (tested directly in test_geom_properties)."""
+    x1, y1, x2, y2, lens, starts = edge_pack
+    n = len(px)
     eps = 1e-9
     out = np.zeros(n, dtype=bool)
     pls = lens[ring_ids]

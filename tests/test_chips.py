@@ -123,3 +123,26 @@ def test_unservable_crowns_are_flagged(tiny, ray_session):
         np.array([synth.TINY.origin_m + 100.0]),
     )
     assert out[0] == ""
+
+
+def test_tile_rank_wide_grids():
+    """Grids with n >= 10000 tiles per side (100 TB scale) keep the
+    tile_rank contract: id width grows with the grid, rank parse is
+    exact, and lexicographic id order == row-major rank order
+    (ADVICE r3: zfill(4) broke both at n >= 10000)."""
+    import pyarrow as pa
+
+    from geotreehealth_ray.pipelines.chips import tile_rank
+
+    g = GridSpec(0, 0, 25.6, 2.0, 25.6 * 12000)
+    assert g.n == 12000 and g.id_width == 5
+    rows = np.array([0, 9999, 10000, 11999])
+    cols = np.array([5, 11999, 0, 11999])
+    ids = g.tile_id(rows, cols)
+    rk = tile_rank(pa.array([str(s) for s in ids]), g.n)
+    assert (rk == (rows * g.n + cols).astype(np.uint64)).all()
+    assert list(sorted(ids)) == list(ids[np.argsort(rk)])
+    # small grids keep the historic 4-digit ids (hash stability)
+    g4 = GridSpec(0, 0, 25.6, 2.0, 100.0)
+    assert g4.id_width == 4
+    assert g4.tile_id(np.array([3]), np.array([1]))[0] == "t_0003_0001"

@@ -100,7 +100,14 @@ def test_pairs_pip_layouts_agree(seed, n_rings, force_cohort):
     px = rng.uniform(-5, 65, n_pairs)
     py = rng.uniform(-5, 65, n_pairs)
     a = geom._pairs_pip_exploded(px, py, ids, pack)
-    got = geom.points_in_rings_pairs(px, py, ids, pack)
+    # n_pairs < 5000 is under the 32768 dispatch threshold, so the
+    # public entry always takes the exploded path here; force_cohort
+    # calls the cohort body DIRECTLY so the layout that runs on hot
+    # dense-cell groups is compared on the same inputs (ADVICE r3).
+    if force_cohort:
+        got = geom._pairs_pip_cohort(px, py, ids, pack)
+    else:
+        got = geom.points_in_rings_pairs(px, py, ids, pack)
     np.testing.assert_array_equal(got, a)
 
 
