@@ -2216,9 +2216,25 @@ def _synth_paths():
         synth.write_all(synth.TINY, _SYNTH_CACHE)
         with open(done, "w") as f:
             f.write("ok")
+    done_holed = f"{_SYNTH_CACHE}/_DONE_HOLED"
+    if not os.path.exists(done_holed):
+        # deterministic holed variant of the crowns table (separate
+        # gate: older caches predate it)
+        import glob
+
+        import pyarrow.parquet as pq
+
+        d = f"{_SYNTH_CACHE}/crowns_holed"
+        os.makedirs(d, exist_ok=True)
+        for src in sorted(glob.glob(f"{_SYNTH_CACHE}/crowns/*.parquet")):
+            pq.write_table(synth.add_holes(pq.read_table(src)),
+                           f"{d}/{os.path.basename(src)}")
+        with open(done_holed, "w") as f:
+            f.write("ok")
     return {
         name: f"{_SYNTH_CACHE}/{name}"
-        for name in ("stems", "crowns", "tiles", "images", "lidar")
+        for name in ("stems", "crowns", "crowns_holed", "tiles",
+                     "images", "lidar")
     }
 
 
@@ -3096,6 +3112,55 @@ def _q_synth_chips(sf_dir: str):
     )
 
 
+def _q_synth_holed_assign(sf_dir: str):
+    """Crown assignment over DONUT crowns (every crc32%3==0 crown of
+    the synthetic table carries one square interior ring —
+    synth.add_holes): the crown blob transports all loops through the
+    single owner-cell exchange and the pair-PIP parity excludes stems
+    inside holes (r4; retired the reject_holed abort). Oracle: the
+    synth_assign ray-crossing SQL with the hole edges UNIONed into the
+    parity sum — identical IEEE arithmetic."""
+    from geotreehealth_ray.pipelines.assign import assign_stems_to_crowns
+
+    p = _synth_paths()
+    assignment, _ = assign_stems_to_crowns(
+        _rd().read_parquet(p["stems"]),
+        _rd().read_parquet(p["crowns_holed"]),
+    )
+
+    def to_um(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "crown_id": df["crown_id"], "stem_id": df["stem_id"],
+            "dist_um": np.floor(
+                df["dist"].to_numpy() * 1e6 + 0.5
+            ).astype("int64"),
+        })
+
+    return assignment.map_batches(to_um, batch_format="pandas")
+
+
+def _q_synth_holed_chips(sf_dir: str):
+    """Chip extraction over the DONUT crowns table: the mask carves
+    hole interiors out (raster_mask_loops crossing parity), so
+    mask_px_count for a holed crown drops by exactly the hole's pixel
+    count. Same projection contract as synth_chips; the DuckDB oracle
+    runs the identical parity count over exterior + hole edges."""
+    from geotreehealth_ray.pipelines.chips import GridSpec, extract_chips_storage
+    from geotreehealth_ray.sources import synth
+
+    p = _synth_paths()
+    chips = extract_chips_storage(
+        _rd().read_parquet(p["crowns_holed"]),
+        p["tiles"],
+        _rd().read_parquet(p["images"]),
+        GridSpec.from_synth(synth.TINY),
+    )
+    return chips.map_batches(
+        lambda t: t.drop_columns(["bytes", "mask", "pixel_checksum"]),
+        batch_format="pyarrow",
+    )
+
+
 def _q_synth_lidar_stats(sf_dir: str):
     """Per-crown lidar bbox range-join stats. max/mean are emitted as
     integer micrometers: max_z is arithmetic-free (same stored double
@@ -3452,9 +3517,11 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
     return {
         # --- tier 1: spatial / raster / lidar flagship family (r1 driver-unchecked) ---
         "synth_assign": _q_synth_assign,
+        "synth_holed_assign": _q_synth_holed_assign,
         "synth_nms": _q_synth_nms,
         "synth_nms_boxes": _q_synth_nms_boxes,
         "synth_chips": _q_synth_chips,
+        "synth_holed_chips": _q_synth_holed_chips,
         "synth_lidar_stats": _q_synth_lidar_stats,
         "synth_treetops": _q_synth_treetops,
         "synth_knn_cardinal": _q_synth_knn_cardinal,
@@ -3711,15 +3778,45 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 5) -> str:
     return "".join(parts)
 
 
-def _chips_meta_sql(crown_where: str = "") -> str:
+def _chips_meta_sql(crown_where: str = "", src: str = "crowns",
+                    holed: bool = False) -> str:
     """Shared chip-extraction CTE chain (analytic crown->tile
     ownership, affine pixel window, center-parity scanline mask count)
-    used by the synth_chips and synth_health_dataset oracles.
+    used by the synth_chips / synth_holed_chips / synth_health_dataset
+    oracles. With ``holed``, interior-ring edges are UNIONed into the
+    parity count — the same crossing-parity rule the engine's
+    raster_mask_loops applies, so the mask count stays IEEE-exact.
     Returns the WITH-body text ending at the ``msk`` CTE; callers
     append their final SELECT (``win``/``imgs``/``msk`` in scope)."""
+    hole_edges = f"""
+              UNION ALL
+              SELECT a.crown_id, a.vx AS x1, a.vy AS y1,
+                     b.vx AS x2, b.vy AS y2
+              FROM (SELECT crown_id, hi, n, pt.x AS vx, pt.y AS vy, i
+                    FROM (SELECT crown_id, hi, len(hr) AS n,
+                                 unnest(hr) AS pt,
+                                 unnest(generate_series(1, len(hr))) AS i
+                          FROM (SELECT crown_id, unnest(holes) AS hr,
+                                       unnest(generate_series(
+                                         1, len(holes))) AS hi
+                                FROM read_parquet(
+                                  '{_SYNTH_CACHE}/{src}/*.parquet')
+                                WHERE len(holes) > 0))) a
+              JOIN (SELECT crown_id, hi, n, pt.x AS vx, pt.y AS vy, i
+                    FROM (SELECT crown_id, hi, len(hr) AS n,
+                                 unnest(hr) AS pt,
+                                 unnest(generate_series(1, len(hr))) AS i
+                          FROM (SELECT crown_id, unnest(holes) AS hr,
+                                       unnest(generate_series(
+                                         1, len(holes))) AS hi
+                                FROM read_parquet(
+                                  '{_SYNTH_CACHE}/{src}/*.parquet')
+                                WHERE len(holes) > 0))) b
+                ON b.crown_id = a.crown_id AND b.hi = a.hi
+               AND b.i = (a.i % a.n) + 1""" if holed else ""
     return f"""crowns AS (
               SELECT crown_id, ring, minx, miny, maxx, maxy, cell
-              FROM read_parquet('{_SYNTH_CACHE}/crowns/*.parquet')
+              FROM read_parquet('{_SYNTH_CACHE}/{src}/*.parquet')
               {crown_where}),
             tiles AS (
               SELECT tile_id, w AS tw, h AS th, a, c, e, f, fmt
@@ -3781,7 +3878,8 @@ def _chips_meta_sql(crown_where: str = "") -> str:
               SELECT a.crown_id, a.vx AS x1, a.vy AS y1,
                      b.vx AS x2, b.vy AS y2
               FROM v2 a JOIN v2 b
-                ON b.crown_id = a.crown_id AND b.i = (a.i % a.n) + 1),
+                ON b.crown_id = a.crown_id AND b.i = (a.i % a.n) + 1
+              {hole_edges}),
             pxr AS (
               SELECT crown_id, ta, tc, te, tf, col0, col1,
                      unnest(generate_series(row0, row1 - 1)) AS rw
@@ -3808,28 +3906,34 @@ def _chips_meta_sql(crown_where: str = "") -> str:
               FROM cnt WHERE k % 2 = 1 GROUP BY crown_id)"""
 
 
-def oracle_sql() -> dict[str, str]:
-    # the synth_* oracles below read the deterministic synthetic tables
-    # by absolute parquet path — make sure they exist regardless of the
-    # order the driver evaluates queries vs oracles in
-    _synth_paths()
-    return {
-        "synth_radius_pairs": f"""
-            -- all stem pairs within 6 m; engine emits each unordered
-            -- pair once (lower-id owner rule). dist_um is bit-exact:
-            -- (b.x-a.x)² + … and sqrt are the same correctly-rounded
-            -- IEEE ops the numpy kernel runs
-            WITH s AS (
-              SELECT DISTINCT stem_id, x, y
-              FROM read_parquet('{_SYNTH_CACHE}/stems/*.parquet'))
-            SELECT a.stem_id AS id_a, b.stem_id AS id_b,
-                   CAST(floor(sqrt((b.x-a.x)*(b.x-a.x)
-                                   + (b.y-a.y)*(b.y-a.y)) * 1000000
-                              + 0.5) AS BIGINT) AS dist_um
-            FROM s a JOIN s b ON a.stem_id < b.stem_id
-            WHERE (b.x-a.x)*(b.x-a.x) + (b.y-a.y)*(b.y-a.y) <= 36.0
-        """,
-        "synth_assign": f"""
+def _assign_oracle_sql(src: str = "crowns", holed: bool = False) -> str:
+    """Ray-crossing PIP assignment oracle over ``src``; with ``holed``
+    the interior-ring edges join the SAME parity sum + on-edge test —
+    exactly the engine's multi-loop kernel semantics (a point in a
+    hole crosses exterior+hole → even → outside; ON a hole boundary →
+    on-edge → inside)."""
+    hole_edges = f"""
+              UNION ALL
+              SELECT a.crown_id, a.cx, a.cy,
+                     a.vx AS x1, a.vy AS y1, b.vx AS x2, b.vy AS y2
+              FROM hv2 a JOIN hv2 b
+                ON b.crown_id = a.crown_id AND b.hi = a.hi
+               AND b.i = (a.i % a.n) + 1""" if holed else ""
+    hole_ctes = f"""
+            hrings AS (
+              SELECT crown_id, cx, cy, unnest(holes) AS hr,
+                     unnest(generate_series(1, len(holes))) AS hi
+              FROM read_parquet('{_SYNTH_CACHE}/{src}/*.parquet')
+              WHERE len(holes) > 0),
+            hverts AS (
+              SELECT crown_id, cx, cy, hi, len(hr) AS n,
+                     unnest(hr) AS pt,
+                     unnest(generate_series(1, len(hr))) AS i
+              FROM hrings),
+            hv2 AS (SELECT crown_id, cx, cy, hi, n,
+                           pt.x AS vx, pt.y AS vy, i
+                    FROM hverts),""" if holed else ""
+    return f"""
             -- crown assignment on TRUE star polygons: ray-crossing PIP
             -- over the unnested ring edges + the kernel's on-edge
             -- test (eps 1e-9), winner per crown = (dist, stem_id)
@@ -3837,19 +3941,20 @@ def oracle_sql() -> dict[str, str]:
             -- kernel (points_in_rings_pairs), fixed-seed input.
             WITH crowns AS (
               SELECT crown_id, cx, cy, ring, len(ring) AS n
-              FROM read_parquet('{_SYNTH_CACHE}/crowns/*.parquet')),
+              FROM read_parquet('{_SYNTH_CACHE}/{src}/*.parquet')),
             verts AS (
               SELECT crown_id, cx, cy, n,
                      unnest(ring) AS pt,
                      unnest(generate_series(1, n)) AS i
               FROM crowns),
             v2 AS (SELECT crown_id, cx, cy, n, pt.x AS vx, pt.y AS vy, i
-                   FROM verts),
+                   FROM verts),{hole_ctes}
             edges AS (
               SELECT a.crown_id, a.cx, a.cy,
                      a.vx AS x1, a.vy AS y1, b.vx AS x2, b.vy AS y2
               FROM v2 a JOIN v2 b
-                ON b.crown_id = a.crown_id AND b.i = (a.i % a.n) + 1),
+                ON b.crown_id = a.crown_id AND b.i = (a.i % a.n) + 1
+              {hole_edges}),
             stems AS (
               SELECT DISTINCT stem_id, x, y
               FROM read_parquet('{_SYNTH_CACHE}/stems/*.parquet')),
@@ -3879,7 +3984,33 @@ def oracle_sql() -> dict[str, str]:
             FROM inside
             QUALIFY row_number() OVER (
               PARTITION BY crown_id ORDER BY dist, stem_id) = 1
+        """
+
+
+def oracle_sql() -> dict[str, str]:
+    # the synth_* oracles below read the deterministic synthetic tables
+    # by absolute parquet path — make sure they exist regardless of the
+    # order the driver evaluates queries vs oracles in
+    _synth_paths()
+    return {
+        "synth_radius_pairs": f"""
+            -- all stem pairs within 6 m; engine emits each unordered
+            -- pair once (lower-id owner rule). dist_um is bit-exact:
+            -- (b.x-a.x)² + … and sqrt are the same correctly-rounded
+            -- IEEE ops the numpy kernel runs
+            WITH s AS (
+              SELECT DISTINCT stem_id, x, y
+              FROM read_parquet('{_SYNTH_CACHE}/stems/*.parquet'))
+            SELECT a.stem_id AS id_a, b.stem_id AS id_b,
+                   CAST(floor(sqrt((b.x-a.x)*(b.x-a.x)
+                                   + (b.y-a.y)*(b.y-a.y)) * 1000000
+                              + 0.5) AS BIGINT) AS dist_um
+            FROM s a JOIN s b ON a.stem_id < b.stem_id
+            WHERE (b.x-a.x)*(b.x-a.x) + (b.y-a.y)*(b.y-a.y) <= 36.0
         """,
+        "synth_assign": _assign_oracle_sql(),
+        "synth_holed_assign": _assign_oracle_sql("crowns_holed",
+                                                 holed=True),
         "synth_lidar_stats": f"""
             -- per-crown bbox range join over the synthetic point
             -- cloud (inclusive bounds, matching the searchsorted
@@ -3942,6 +4073,22 @@ def oracle_sql() -> dict[str, str]:
             -- parity — geom.raster_mask). TINY grid: origin 1024,
             -- tile 25.6 m, overlap 3.2 m, extent 160 m, res 0.1 m.
             WITH {_chips_meta_sql()}
+            SELECT w.crown_id, w.tile_id,
+                   CAST(w.col1 - w.col0 AS INTEGER) AS w,
+                   CAST(w.row1 - w.row0 AS INTEGER) AS h,
+                   w.fmt, i.caption,
+                   COALESCE(m.mask_px_count, 0) AS mask_px_count,
+                   w.cell
+            FROM win w
+            JOIN imgs i ON i.image_id = w.tile_id
+            LEFT JOIN msk m ON m.crown_id = w.crown_id
+        """,
+        "synth_holed_chips": f"""
+            -- chip extraction over DONUT crowns: same CTE chain with
+            -- the interior-ring edges UNIONed into the parity count
+            -- (raster_mask_loops semantics) — a holed crown's
+            -- mask_px_count drops by exactly its hole's pixel count
+            WITH {_chips_meta_sql(src="crowns_holed", holed=True)}
             SELECT w.crown_id, w.tile_id,
                    CAST(w.col1 - w.col0 AS INTEGER) AS w,
                    CAST(w.row1 - w.row0 AS INTEGER) AS h,

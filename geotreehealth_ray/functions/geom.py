@@ -610,7 +610,30 @@ def raster_mask(ring: np.ndarray, wx: np.ndarray, wy: np.ndarray) -> np.ndarray:
     of O(edges×pixels): per scanline, edge crossings are computed once
     and each pixel does one searchsorted lookup."""
     x1, y1 = ring[:, 0], ring[:, 1]
-    x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+    return _raster_mask_edges(x1, y1, np.roll(x1, -1), np.roll(y1, -1),
+                              wx, wy)
+
+
+def raster_mask_loops(loops: list[np.ndarray], wx: np.ndarray,
+                      wy: np.ndarray) -> np.ndarray:
+    """Hole-aware rasterization: crossing parity over ALL loops of a
+    polygon (exterior + interior rings). A pixel center inside a hole
+    crosses the exterior once and the hole once → even parity →
+    outside; rasterio.mask semantics for holed geometries (reference
+    produces them via shapely ``difference``,
+    tree_delineation/delineation_utils.py:38-47). For a single loop
+    this is BIT-IDENTICAL to :func:`raster_mask` (same edge arrays,
+    same arithmetic)."""
+    x1 = np.concatenate([lp[:, 0] for lp in loops])
+    y1 = np.concatenate([lp[:, 1] for lp in loops])
+    x2 = np.concatenate([np.roll(lp[:, 0], -1) for lp in loops])
+    y2 = np.concatenate([np.roll(lp[:, 1], -1) for lp in loops])
+    return _raster_mask_edges(x1, y1, x2, y2, wx, wy)
+
+
+def _raster_mask_edges(x1: np.ndarray, y1: np.ndarray, x2: np.ndarray,
+                       y2: np.ndarray, wx: np.ndarray,
+                       wy: np.ndarray) -> np.ndarray:
     h, w = len(wy), len(wx)
     # (E, R): which edges straddle each scanline — a straddling edge is
     # never horizontal, so the crossing-x division below is always safe

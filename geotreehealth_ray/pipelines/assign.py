@@ -42,13 +42,22 @@ import pyarrow as pa
 from ..functions import cells, geom
 from ..stages.spatial import (
     attach_cell,
-    edge_pack_from_binary,
+    crown_pack_from_blob,
     explode_to_covering_cells,
-    pack_rings,
+    pack_crown_blobs,
 )
 
 __all__ = ["assign_stems_to_crowns", "candidate_pairs_schema"]
 
+# Exchange payload (VERDICT r3 next #3): crown-only fields — centroid,
+# multi-cell flag, every ring loop (exterior + interior) — are FUSED
+# into one ``crown_b`` blob (stages.spatial.pack_crown_blobs) instead
+# of 4 separate columns. The stem side (the replicated, dominant side
+# of the union) previously paid ~24 dead bytes/row for the crown
+# columns' null slots (2 allocated float64 + 2 binary offsets); now it
+# pays one 4-byte blob offset. The blob also carries interior rings,
+# making the PIP kernels hole-aware (crossing parity over all loops —
+# crown_pack_from_blob) with no kernel change.
 _UNION_SCHEMA = pa.schema(
     [
         ("side", pa.int8()),  # 0 = stem, 1 = crown
@@ -57,10 +66,7 @@ _UNION_SCHEMA = pa.schema(
         ("x", pa.float64()),
         ("y", pa.float64()),
         ("crown_id", pa.string()),
-        ("ring_b", pa.binary()),
-        ("ccx", pa.float64()),
-        ("ccy", pa.float64()),
-        ("multi", pa.bool_()),  # crown bbox spans >1 cell → needs reduce
+        ("crown_b", pa.binary()),
     ]
 )
 # NOTE: salt is FUSED into the mixed cell key (cells.fused_group_key),
@@ -180,15 +186,14 @@ def _reach_stats(crowns) -> tuple[float, float, float, float]:
 
 def _collect_big_crowns(crowns, qx: float, qy: float) -> pa.Table:
     """Slim driver-side table of the outlier crowns (reach beyond the
-    quantile margin): (crown_id, ring_b, ccx, ccy). By construction
+    quantile margin): (crown_id, crown_b). By construction
     ≤ ~0.2% of crowns — small enough to broadcast."""
     import ray
 
+    empty = pa.table({"crown_id": pa.array([], pa.string()),
+                      "crown_b": pa.array([], pa.binary())})
+
     def pick(t: pa.Table) -> pa.Table:
-        empty = pa.table({"crown_id": pa.array([], pa.string()),
-                          "ring_b": pa.array([], pa.binary()),
-                          "ccx": pa.array([], pa.float64()),
-                          "ccy": pa.array([], pa.float64())})
         if len(t) == 0:
             return empty
         cx = t["cx"].to_numpy()
@@ -201,26 +206,29 @@ def _collect_big_crowns(crowns, qx: float, qy: float) -> pa.Table:
         if not m.any():
             return empty
         t = t.filter(pa.array(m))
-        t = pack_rings(t)
         return pa.table({
             "crown_id": t["crown_id"],
-            "ring_b": t["ring_b"],
-            "ccx": t["cx"],
-            "ccy": t["cy"],
+            "crown_b": pack_crown_blobs(t),
         })
 
     tabs = ray.get(
-        crowns.select_columns(
-            ["crown_id", "ring", "cx", "cy", "minx", "miny", "maxx", "maxy"]
-        ).map_batches(pick, batch_format="pyarrow").to_arrow_refs()
+        crowns.select_columns(_crown_cols(crowns)).map_batches(
+            pick, batch_format="pyarrow").to_arrow_refs()
     )
     tabs = [t for t in tabs if len(t)]
     if not tabs:
-        return pa.table({"crown_id": pa.array([], pa.string()),
-                         "ring_b": pa.array([], pa.binary()),
-                         "ccx": pa.array([], pa.float64()),
-                         "ccy": pa.array([], pa.float64())})
+        return empty
     return pa.concat_tables(tabs)
+
+
+def _crown_cols(crowns) -> list[str]:
+    """Crown-side projection: the narrow join columns plus ``holes``
+    when the source carries interior rings (every geo reader emits the
+    column for holed inputs; the blob packer folds them in)."""
+    cols = ["crown_id", "ring", "cx", "cy", "minx", "miny", "maxx", "maxy"]
+    if "holes" in (crowns.columns() or []):
+        cols.append("holes")
+    return cols
 
 
 _BIG_PACK_CACHE: dict = {}
@@ -241,12 +249,8 @@ def _big_crown_partials(t: pa.Table, big_ref) -> pa.Table:
     ent = _BIG_PACK_CACHE.get(key)
     if ent is None:
         bt = ray.get(big_ref)
-        ent = (
-            edge_pack_from_binary(bt["ring_b"]),
-            bt["crown_id"].to_numpy(zero_copy_only=False),
-            bt["ccx"].to_numpy(),
-            bt["ccy"].to_numpy(),
-        )
+        ccx, ccy, _multi, pack = crown_pack_from_blob(bt["crown_b"])
+        ent = (pack, bt["crown_id"].to_numpy(zero_copy_only=False), ccx, ccy)
         _BIG_PACK_CACHE.clear()  # one live broadcast per pipeline
         _BIG_PACK_CACHE[key] = ent
     pack, cids, ccx, ccy = ent
@@ -374,10 +378,7 @@ def _stem_side(batch: pa.Table, res: int, hot_ref=None, salt_all=True) -> pa.Tab
             "x": batch["x"],
             "y": batch["y"],
             "crown_id": pa.nulls(n, pa.string()),
-            "ring_b": pa.nulls(n, pa.binary()),
-            "ccx": pa.nulls(n, pa.float64()),
-            "ccy": pa.nulls(n, pa.float64()),
-            "multi": pa.nulls(n, pa.bool_()),
+            "crown_b": pa.nulls(n, pa.binary()),
         },
         schema=_UNION_SCHEMA,
     )
@@ -387,7 +388,6 @@ def _crown_side(batch: pa.Table, res: int, hot_ref=None, salt_all=True) -> pa.Ta
     import ray
 
     hot = ray.get(hot_ref) if hot_ref is not None else None
-    batch = pack_rings(batch)
     idx, keys = cells.cells_covering_arrays(
         batch["minx"].to_numpy(),
         batch["miny"].to_numpy(),
@@ -408,13 +408,10 @@ def _crown_side(batch: pa.Table, res: int, hot_ref=None, salt_all=True) -> pa.Ta
             "side": pa.array(np.ones(n, np.int8)),
             "cell": pa.array(cells.fused_group_key(keys, salts), pa.uint64()),
             "stem_id": pa.nulls(n, pa.string()),
-            "x": taken["minx"],  # carried for bbox prefilter
-            "y": taken["miny"],
+            "x": pa.nulls(n, pa.float64()),
+            "y": pa.nulls(n, pa.float64()),
             "crown_id": taken["crown_id"],
-            "ring_b": taken["ring_b"],
-            "ccx": taken["cx"],
-            "ccy": taken["cy"],
-            "multi": pa.array((reps > 1)[idx]),
+            "crown_b": pack_crown_blobs(taken, multi=(reps > 1)[idx]),
         },
         schema=_UNION_SCHEMA,
     )
@@ -450,10 +447,7 @@ def _stem_side_owner(batch: pa.Table, res: int, mx: float, my: float,
             "x": taken["x"],
             "y": taken["y"],
             "crown_id": pa.nulls(n, pa.string()),
-            "ring_b": pa.nulls(n, pa.binary()),
-            "ccx": pa.nulls(n, pa.float64()),
-            "ccy": pa.nulls(n, pa.float64()),
-            "multi": pa.nulls(n, pa.bool_()),
+            "crown_b": pa.nulls(n, pa.binary()),
         },
         schema=_UNION_SCHEMA,
     )
@@ -479,7 +473,6 @@ def _crown_side_owner(batch: pa.Table, res: int, hot_ref=None,
         keep = (rx <= max_reach[0]) & (ry <= max_reach[1])
         if not keep.all():
             batch = batch.filter(pa.array(keep))
-    batch = pack_rings(batch)
     keys = cells.cell_of(batch["cx"].to_numpy(), batch["cy"].to_numpy(), res)
     n = len(batch)
     hot = ray.get(hot_ref) if hot_ref is not None else None
@@ -490,13 +483,10 @@ def _crown_side_owner(batch: pa.Table, res: int, hot_ref=None,
             "side": pa.array(np.ones(n, np.int8)),
             "cell": pa.array(cells.fused_group_key(keys, salts), pa.uint64()),
             "stem_id": pa.nulls(n, pa.string()),
-            "x": batch["minx"],
-            "y": batch["miny"],
+            "x": pa.nulls(n, pa.float64()),
+            "y": pa.nulls(n, pa.float64()),
             "crown_id": batch["crown_id"],
-            "ring_b": batch["ring_b"],
-            "ccx": batch["cx"],
-            "ccy": batch["cy"],
-            "multi": pa.array(np.zeros(n, dtype=bool)),
+            "crown_b": pack_crown_blobs(batch),
         },
         schema=_UNION_SCHEMA,
     )
@@ -613,11 +603,8 @@ def _assign_cell(group: pa.Table) -> pa.Table:
     skey = _stem_sort_key(sx, sy)
     order = np.argsort(skey, kind="stable")  # ties broken by (d, id) below
     sx, sy, sid, skey = sx[order], sy[order], sid[order], skey[order]
-    pack = edge_pack_from_binary(crowns["ring_b"])
+    ccx, ccy, cmulti, pack = crown_pack_from_blob(crowns["crown_b"])
     cids = crowns["crown_id"].to_numpy(zero_copy_only=False)
-    ccx = crowns["ccx"].to_numpy()
-    ccy = crowns["ccy"].to_numpy()
-    cmulti = crowns["multi"].to_numpy(zero_copy_only=False)
     win_ring: list[np.ndarray] = []
     win_pt: list[np.ndarray] = []
     win_d: list[np.ndarray] = []
@@ -678,11 +665,10 @@ def assign_stems_to_crowns(stems, crowns, res: int = cells.DEFAULT_RES,
 
     assignment: (crown_id, stem_id, dist) — one row per crown that
     contains ≥1 stem. unassigned: (stem_id) — distinct stems no crown
-    selected.
+    selected. Interior rings (holed crowns, e.g. the reference's
+    ``difference`` outputs) are honored: the crown blob carries every
+    loop and the PIP parity excludes stems inside holes.
     """
-    from ..stages.spatial import reject_holed
-
-    crowns = reject_holed(crowns, "assign_stems_to_crowns")
     hot_ref, hot_extra = (
         _hot_cells(stems, res) if salt_mode == "hot" else (None, 0.0)
     )
@@ -707,7 +693,10 @@ def assign_stems_to_crowns(stems, crowns, res: int = cells.DEFAULT_RES,
         cover = (1.0 + 2.0 * mx / edge) * (1.0 + 2.0 * my / edge)
         mult = N_SALT if salt_all else 1.0
         stem_rows = n_stems * cover * mult + (0 if salt_all else hot_extra)
-        return stem_rows * 90.0 + n_crowns * 420.0
+        # per-row constants re-measured for the fused-blob schema
+        # (Arrow IPC: stem row 49 B — was 66 with the 4 crown null
+        # columns — plus block overheads; crown row +16 B header)
+        return stem_rows * 67.0 + n_crowns * 435.0
 
     if mode == "owner":
         import ray
@@ -733,9 +722,7 @@ def assign_stems_to_crowns(stems, crowns, res: int = cells.DEFAULT_RES,
             fn_kwargs={"res": res, "mx": mx, "my": my,
                        "hot_ref": hot_ref, "salt_all": salt_all},
         )
-        c = crowns.select_columns(
-            ["crown_id", "ring", "cx", "cy", "minx", "miny", "maxx", "maxy"]
-        ).map_batches(
+        c = crowns.select_columns(_crown_cols(crowns)).map_batches(
             _crown_side_owner, batch_format="pyarrow",
             fn_kwargs={"res": res, "hot_ref": hot_ref,
                        "salt_all": salt_all,
@@ -767,9 +754,7 @@ def assign_stems_to_crowns(stems, crowns, res: int = cells.DEFAULT_RES,
             _stem_side, batch_format="pyarrow",
             fn_kwargs={"res": res, "hot_ref": hot_ref, "salt_all": salt_all},
         )
-        c = crowns.select_columns(
-            ["crown_id", "ring", "cx", "cy", "minx", "miny", "maxx", "maxy"]
-        ).map_batches(
+        c = crowns.select_columns(_crown_cols(crowns)).map_batches(
             _crown_side, batch_format="pyarrow",
             fn_kwargs={"res": res, "hot_ref": hot_ref, "salt_all": salt_all},
         )
@@ -834,7 +819,7 @@ def _pairs_cell(group: pa.Table) -> pa.Table:
     skey = _stem_sort_key(sx, sy)
     order = np.argsort(skey, kind="stable")
     sx, sy, sid, skey = sx[order], sy[order], sid[order], skey[order]
-    pack = edge_pack_from_binary(crowns["ring_b"])
+    _ccx, _ccy, _m, pack = crown_pack_from_blob(crowns["crown_b"])
     cids = crowns["crown_id"].to_numpy(zero_copy_only=False)
     out_c, out_s = [], []
     for ring_ids, pt in _candidate_pairs(skey, sy, pack):
@@ -856,10 +841,7 @@ def _pairs_cell(group: pa.Table) -> pa.Table:
 def pip_join_pairs(stems, crowns, res: int = cells.DEFAULT_RES):
     """(crown_id, stem_id) — every point-in-polygon containment pair
     (the spatial inner join itself, without the nearest-stem reduce)."""
-    from ..stages.spatial import reject_holed
     from .relational import sorted_group_map, uniform_uint64_boundaries
-
-    crowns = reject_holed(crowns, "pip_join_pairs")
 
     # no salting: the vectorized pair kernel keeps even dense cells to
     # sub-second tasks, and the pair join has no per-crown reduce to
@@ -868,9 +850,7 @@ def pip_join_pairs(stems, crowns, res: int = cells.DEFAULT_RES):
         _stem_side, batch_format="pyarrow",
         fn_kwargs={"res": res, "salt_all": False},
     )
-    c = crowns.select_columns(
-        ["crown_id", "ring", "cx", "cy", "minx", "miny", "maxx", "maxy"]
-    ).map_batches(
+    c = crowns.select_columns(_crown_cols(crowns)).map_batches(
         _crown_side, batch_format="pyarrow",
         fn_kwargs={"res": res, "salt_all": False},
     )

@@ -30,7 +30,12 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions import codec, geom
-from ..stages.spatial import pack_rings, rings_from_binary
+from ..stages.spatial import (
+    decode_holes_blob,
+    pack_holes,
+    pack_rings,
+    rings_from_binary,
+)
 
 __all__ = ["extract_chips", "assign_crowns_to_tiles", "GridSpec",
            "zonal_stats"]
@@ -167,6 +172,10 @@ _UNION_SCHEMA = pa.schema(
         ("tile_id", pa.string()),
         ("crown_id", pa.string()),
         ("ring_b", pa.binary()),
+        # interior rings, self-contained blob (stages.spatial.pack_holes);
+        # ZERO bytes for hole-free crowns — the common case pays one
+        # 4-byte offset
+        ("holes_b", pa.binary()),
         ("cell", pa.uint64()),
         ("bytes", pa.binary()),
         ("fmt", pa.string()),
@@ -201,6 +210,26 @@ def _empty_chips() -> pa.Table:
     )
 
 
+def _crown_mask(ring: np.ndarray, holes_blob, wx: np.ndarray,
+                wy: np.ndarray) -> np.ndarray:
+    """Pixel-center mask of one crown: hole-aware when the row carries
+    interior rings (crossing parity over all loops —
+    geom.raster_mask_loops), bit-identical to the historic filled-ring
+    mask for hole-free crowns."""
+    holes = decode_holes_blob(holes_blob) if holes_blob else []
+    if holes:
+        return geom.raster_mask_loops([ring] + holes, wx, wy)
+    return geom.raster_mask(ring, wx, wy)
+
+
+def _holes_col(table: pa.Table, n: int):
+    """Per-row holes blobs (python bytes/None) or a None list when the
+    column is absent (hole-free sources)."""
+    if "holes_b" in table.column_names:
+        return table["holes_b"].to_pylist()
+    return [None] * n
+
+
 def _chip_kernel(group: pa.Table) -> pa.Table:
     """Per-tile kernel: decode the tile raster ONCE, then crop + mask +
     encode every crown chip of this tile."""
@@ -221,6 +250,7 @@ def _chip_kernel(group: pa.Table) -> pa.Table:
     e = t["e"][0].as_py(); f0 = t["f"][0].as_py()
     th, tw = img.shape[0], img.shape[1]
     rings = rings_from_binary(crowns["ring_b"])
+    hblobs = _holes_col(crowns, len(crowns))
     cids = crowns["crown_id"].to_numpy(zero_copy_only=False)
     cells_ = crowns["cell"].to_numpy()
     cols: dict[str, list] = {f.name: [] for f in _CHIP_SCHEMA}
@@ -238,7 +268,7 @@ def _chip_kernel(group: pa.Table) -> pa.Table:
         hh, ww = crop.shape[0], crop.shape[1]
         wx = c0 + (np.arange(col0, col1) + 0.5) * a
         wy = f0 + (np.arange(row0, row1) + 0.5) * e
-        inside = geom.raster_mask(ring, wx, wy)
+        inside = _crown_mask(ring, hblobs[i], wx, wy)
         masked = crop * inside[:, :, None]
         cols["crown_id"].append(cids[i])
         cols["tile_id"].append(tile_id)
@@ -419,6 +449,7 @@ class ChipExtractor:
         if len(batch) == 0:
             return _empty_chips()
         rings = rings_from_binary(batch["ring_b"])
+        hblobs = _holes_col(batch, len(batch))
         cids = batch["crown_id"].to_numpy(zero_copy_only=False)
         tids = batch["tile_id"].to_numpy(zero_copy_only=False)
         cells_ = batch["cell"].to_numpy()
@@ -439,7 +470,7 @@ class ChipExtractor:
             hh, ww = crop.shape[0], crop.shape[1]
             wx = c0 + (np.arange(col0, col1) + 0.5) * a
             wy = f0 + (np.arange(row0, row1) + 0.5) * e
-            inside = geom.raster_mask(ring, wx, wy)
+            inside = _crown_mask(ring, hblobs[i], wx, wy)
             masked = crop * inside[:, :, None]
             cols["crown_id"].append(cids[i])
             cols["tile_id"].append(tids[i])
@@ -487,10 +518,31 @@ _STORAGE_SCHEMA = pa.schema(
         ("tile_id", pa.string()),
         ("crown_id", pa.string()),
         ("ring_b", pa.binary()),
+        ("holes_b", pa.binary()),  # zero bytes / null when hole-free
         ("cell", pa.uint64()),
         ("caption", pa.string()),
     ]
 )
+
+
+def _prep_crowns_for_tiles(crowns):
+    """Slim crown projection + geometry packing shared by the tile
+    join paths: exterior rings → ``ring_b``, interior rings (when the
+    source emits a ``holes`` column) → ``holes_b`` blobs. Hole-free
+    sources pay nothing (no column)."""
+    cols = ["crown_id", "ring", "minx", "miny", "maxx", "maxy", "cell"]
+    holed = "holes" in (crowns.columns() or [])
+    if holed:
+        cols.append("holes")
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = pack_rings(t)
+        if holed:
+            t = pack_holes(t)
+        return t
+
+    return crowns.select_columns(cols).map_batches(
+        prep, batch_format="pyarrow"), holed
 
 
 def extract_chips_storage(crowns, tiles_path: str, captions, grid: GridSpec,
@@ -510,16 +562,8 @@ def extract_chips_storage(crowns, tiles_path: str, captions, grid: GridSpec,
     before any crown of that tile."""
     import ray
 
-    from ..stages.spatial import reject_holed
-
-    crowns = reject_holed(crowns, "extract_chips")
-
-    crowns_t = assign_crowns_to_tiles(
-        crowns.select_columns(
-            ["crown_id", "ring", "minx", "miny", "maxx", "maxy", "cell"]
-        ).map_batches(pack_rings, batch_format="pyarrow"),
-        grid,
-    )
+    packed, holed = _prep_crowns_for_tiles(crowns)
+    crowns_t = assign_crowns_to_tiles(packed, grid)
 
     def crown_rows(t: pa.Table) -> pa.Table:
         t = t.filter(pc.not_equal(t["tile_id"], ""))
@@ -533,6 +577,8 @@ def extract_chips_storage(crowns, tiles_path: str, captions, grid: GridSpec,
                 "tile_id": t["tile_id"].combine_chunks(),
                 "crown_id": t["crown_id"].combine_chunks(),
                 "ring_b": t["ring_b"].combine_chunks(),
+                "holes_b": (t["holes_b"].combine_chunks() if holed
+                            else pa.nulls(n, pa.binary())),
                 "cell": t["cell"].combine_chunks(),
                 "caption": pa.nulls(n, pa.string()),
             },
@@ -560,6 +606,7 @@ def extract_chips_storage(crowns, tiles_path: str, captions, grid: GridSpec,
                 "tile_id": ids,
                 "crown_id": pa.nulls(n, pa.string()),
                 "ring_b": pa.nulls(n, pa.binary()),
+                "holes_b": pa.nulls(n, pa.binary()),
                 "cell": pa.nulls(n, pa.uint64()),
                 "caption": t["caption"].combine_chunks(),
             },
@@ -643,18 +690,11 @@ def extract_chips(crowns, tiles, captions, grid: GridSpec, n_salt: int = 8):
     replicated once per salt (cheap: one small raster per task) while
     crowns are partitioned; each chip is still produced exactly once.
     """
-    from ..stages.spatial import reject_holed
-
-    crowns = reject_holed(crowns, "extract_chips")
     cap_cols = captions.columns()
     cap_key = "image_id" if "image_id" in cap_cols else "tile_id"
     captions = captions.select_columns([cap_key, "caption"])  # prune bytes
-    crowns_t = assign_crowns_to_tiles(
-        crowns.select_columns(
-            ["crown_id", "ring", "minx", "miny", "maxx", "maxy", "cell"]
-        ).map_batches(pack_rings, batch_format="pyarrow"),
-        grid,
-    ).map_batches(
+    packed, holed = _prep_crowns_for_tiles(crowns)
+    crowns_t = assign_crowns_to_tiles(packed, grid).map_batches(
         lambda t: t.filter(pc.not_equal(t["tile_id"], "")), batch_format="pyarrow"
     )
 
@@ -666,18 +706,17 @@ def extract_chips(crowns, tiles, captions, grid: GridSpec, n_salt: int = 8):
                 t["crown_id"].to_pandas(), index=False
             ).to_numpy() % np.uint64(n_salt)
         ).astype(np.int8)
-        return _nulls_like(
-            _UNION_SCHEMA,
-            len(t),
-            {
-                "side": pa.array(np.zeros(len(t), np.int8)),
-                "gkey": pa.array(_gkey(t["tile_id"], salt, grid), pa.uint64()),
-                "tile_id": t["tile_id"].combine_chunks(),
-                "crown_id": t["crown_id"].combine_chunks(),
-                "ring_b": t["ring_b"].combine_chunks(),
-                "cell": t["cell"].combine_chunks(),
-            },
-        )
+        present = {
+            "side": pa.array(np.zeros(len(t), np.int8)),
+            "gkey": pa.array(_gkey(t["tile_id"], salt, grid), pa.uint64()),
+            "tile_id": t["tile_id"].combine_chunks(),
+            "crown_id": t["crown_id"].combine_chunks(),
+            "ring_b": t["ring_b"].combine_chunks(),
+            "cell": t["cell"].combine_chunks(),
+        }
+        if "holes_b" in t.column_names:
+            present["holes_b"] = t["holes_b"].combine_chunks()
+        return _nulls_like(_UNION_SCHEMA, len(t), present)
 
     def tile_side(t: pa.Table) -> pa.Table:
         # replicate each tile row once per salt bucket
@@ -775,6 +814,7 @@ class ZonalExtractor(ChipExtractor):
 
     def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
         rings = rings_from_binary(batch["ring_b"])
+        hblobs = _holes_col(batch, len(batch))
         cids = batch["crown_id"].to_numpy(zero_copy_only=False)
         tids = batch["tile_id"].to_numpy(zero_copy_only=False)
         cols: dict[str, list] = {f.name: [] for f in _ZONAL_SCHEMA}
@@ -793,7 +833,7 @@ class ZonalExtractor(ChipExtractor):
             crop = _crop_window(entry, row0, row1, col0, col1)
             wx = c0 + (np.arange(col0, col1) + 0.5) * a
             wy = f0 + (np.arange(row0, row1) + 0.5) * e
-            inside = geom.raster_mask(ring, wx, wy)
+            inside = _crown_mask(ring, hblobs[i], wx, wy)
             npx = int(inside.sum())
             if npx == 0:
                 continue
@@ -824,17 +864,10 @@ def zonal_stats(crowns, tiles_path: str, grid: GridSpec,
     """Zonal statistics over the tile store: one slim sort exchange on
     tile_id, then worker-cached decode + masked per-band reductions.
     Output: (crown_id, tile_id, px_count, band_sums/mins/maxs)."""
-    from ..stages.spatial import reject_holed
-
-    crowns = reject_holed(crowns, "zonal_stats")
     import ray
 
-    crowns_t = assign_crowns_to_tiles(
-        crowns.select_columns(
-            ["crown_id", "ring", "minx", "miny", "maxx", "maxy", "cell"]
-        ).map_batches(pack_rings, batch_format="pyarrow"),
-        grid,
-    ).map_batches(
+    packed, _holed = _prep_crowns_for_tiles(crowns)
+    crowns_t = assign_crowns_to_tiles(packed, grid).map_batches(
         lambda t: t.filter(pc.not_equal(t["tile_id"], "")),
         batch_format="pyarrow",
     )

@@ -384,3 +384,59 @@ def write_all(cfg: SynthConfig, out_dir: str) -> dict[str, str]:
         pq.write_table(tbl, os.path.join(d, "part-00000.parquet"))
         paths[name] = d
     return paths
+
+
+def add_holes(crowns: pa.Table, frac: int = 3) -> pa.Table:
+    """Deterministic holed variant of a crowns table: every crown whose
+    crc32(crown_id) % ``frac`` == 0 gets one square interior ring
+    centered at its centroid, sized to half the centroid's exact
+    distance to the exterior boundary (strictly inside for the synth
+    star polygons, which are star-shaped about the centroid). The
+    ``holes`` column matches the geo readers' list<list<struct{x,y}>>
+    layout; ``area`` becomes net-of-holes. Drives the hole-aware
+    pipeline queries (synth_holed_assign / synth_holed_chips)."""
+    import zlib
+
+    from ..functions import geom
+    from ..stages.spatial import rings_from_arrow
+
+    ring_t = pa.list_(pa.struct([("x", pa.float64()), ("y", pa.float64())]))
+    holes_t = pa.list_(ring_t)
+    rings = rings_from_arrow(crowns["ring"])
+    cids = crowns["crown_id"].to_pylist()
+    cx = crowns["cx"].to_numpy()
+    cy = crowns["cy"].to_numpy()
+    holes_rows: list = []
+    areas: list[float] = []
+    for i, (cid, ring) in enumerate(zip(cids, rings)):
+        want = zlib.crc32(cid.encode()) % frac == 0
+        hole = None
+        if want:
+            # exact min distance centroid -> boundary (point-segment)
+            x1, y1 = ring[:, 0], ring[:, 1]
+            x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+            dx, dy = x2 - x1, y2 - y1
+            L2 = dx * dx + dy * dy
+            t = np.clip(((cx[i] - x1) * dx + (cy[i] - y1) * dy)
+                        / np.where(L2 == 0, 1.0, L2), 0.0, 1.0)
+            px, py = x1 + t * dx, y1 + t * dy
+            dmin = float(np.sqrt(((px - cx[i]) ** 2
+                                  + (py - cy[i]) ** 2).min()))
+            h = 0.5 * dmin / np.sqrt(2.0)  # half-width; diag = dmin/2
+            if h > 1e-3:
+                hole = np.array([
+                    [cx[i] - h, cy[i] - h], [cx[i] + h, cy[i] - h],
+                    [cx[i] + h, cy[i] + h], [cx[i] - h, cy[i] + h],
+                ])
+        if hole is not None:
+            holes_rows.append([[{"x": float(x), "y": float(y)}
+                                for x, y in hole]])
+            areas.append(geom.polygon_area_with_holes(ring, [hole]))
+        else:
+            holes_rows.append([])
+            areas.append(geom.ring_area(ring))
+    out = crowns.append_column("holes", pa.array(holes_rows, holes_t))
+    if "area" in out.column_names:
+        i = out.schema.get_field_index("area")
+        out = out.set_column(i, "area", pa.array(areas, pa.float64()))
+    return out
