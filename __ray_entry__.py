@@ -2510,9 +2510,17 @@ def _q_cell_hulls(sf_dir: str):
     grid), so every cross product is order-free int64 arithmetic and
     the DuckDB oracle (maximal-edge characterization over an
     extreme-quad prefilter) reproduces the hash bit-for-bit."""
+    from geotreehealth_ray.pipelines import derive
     from geotreehealth_ray.pipelines.derive import derive_points
     from geotreehealth_ray.pipelines.knn import cell_hulls
 
+    # the SQL oracle's Morton interleave carries 8 bits/axis (gx, gy <
+    # 256 at 256 m cells ⇔ DOMAIN < 65,536 m). Fail LOUDLY here if the
+    # derive domain ever outgrows it instead of hash-mismatching
+    # silently (ADVICE r3 oracle-fragility item a).
+    assert derive.DOMAIN / 10.0 < 65_536, (
+        "cell_hulls oracle interleave is 8 bits/axis; widen the SQL "
+        "interleave (and this assert) for DOMAIN >= 65,536 m")
     pts = derive_points(_read(sf_dir, "orders"))
     return cell_hulls(pts, res=12, scale=10).map_batches(
         lambda df: df.assign(cell=df["cell"].astype("int64")),
@@ -3088,7 +3096,21 @@ def _q_synth_nms_boxes(sf_dir: str):
 
     boxes = _rd().read_parquet(p["crowns"]).map_batches(
         to_boxes, batch_format="pyarrow")
-    return greedy_nms(boxes, threshold=0.3, criterion="max_area_frac")
+    # halo DERIVED from the snapped boxes (ADVICE r3 item c): chains
+    # are bounded by runs of pairwise-overlapping boxes, so a halo of
+    # 2 × the max snapped box side (+1 m snap slack) structurally
+    # covers any single suppression hop; the max comes from a cheap
+    # metadata-scale aggregate over the same input, not a constant
+    # that silently goes stale if the synth geometry grows.
+    import duckdb as _dk
+
+    mx = _dk.sql(
+        f"SELECT max(ceil(maxx) - floor(minx)), max(ceil(maxy) - floor(miny)) "
+        f"FROM read_parquet('{_SYNTH_CACHE}/crowns/*.parquet')"
+    ).fetchone()
+    halo = 2.0 * (max(mx[0], mx[1]) + 1.0)
+    return greedy_nms(boxes, threshold=0.3, criterion="max_area_frac",
+                      halo_m=halo)
 
 
 def _q_synth_chips(sf_dir: str):
@@ -3159,6 +3181,79 @@ def _q_synth_holed_chips(sf_dir: str):
         lambda t: t.drop_columns(["bytes", "mask", "pixel_checksum"]),
         batch_format="pyarrow",
     )
+
+
+def _q_synth_resume(sf_dir: str):
+    """Checkpoint/resume/compaction end-to-end (the north rule's
+    resumability contract, previously pytest-only — VERDICT r3 next
+    #7). Phase 1 simulates a run killed midway: only crowns of EVEN
+    partitions reach extract_chips_checkpointed, leaving their
+    per-partition manifests durable. Phase 2 re-runs over ALL crowns
+    against the same out_dir: resume_filter must skip every completed
+    partition at the source (verified loudly — a re-written partition
+    raises). compact_partitions then bin-packs the small files and
+    repoints manifests. The returned table is the chips output read
+    back THROUGH the manifests (state.checkpoint.output_files), so the
+    oracle — the exact synth_chips DuckDB SQL — proves no chip was
+    lost, duplicated, or altered across kill → resume → compaction."""
+    import tempfile
+
+    from geotreehealth_ray.pipelines.chips import (
+        GridSpec,
+        extract_chips_checkpointed,
+    )
+    from geotreehealth_ray.sources import synth
+    from geotreehealth_ray.state import checkpoint as cp
+
+    p = _synth_paths()
+    grid = GridSpec.from_synth(synth.TINY)
+    out = tempfile.mkdtemp(prefix="synth_resume_")
+    crowns = _rd().read_parquet(p["crowns"])
+    images = _rd().read_parquet(p["images"])
+    bits = 6
+
+    def even_only(t):
+        import pyarrow as pa
+
+        pid = cp.partition_of_cells(t["cell"].to_numpy(), bits=bits)
+        return t.filter(pa.array(pid % 2 == 0))
+
+    extract_chips_checkpointed(
+        crowns.map_batches(even_only, batch_format="pyarrow"),
+        p["tiles"], images, grid, out, partition_bits=bits,
+    )
+    done1 = cp.completed_partitions(out)
+    rows2 = extract_chips_checkpointed(
+        crowns, p["tiles"], images, grid, out, partition_bits=bits,
+    )
+    rewritten = done1 & {r["partition"] for r in rows2}
+    if rewritten:
+        raise RuntimeError(
+            f"resume contract violated: partitions {sorted(rewritten)} "
+            "were re-written after their manifests existed")
+    before = len(cp.output_files(out))
+    cp.compact_partitions(out, target_bytes=1 << 20)
+    files = cp.output_files(out)
+    if len(files) > before:
+        raise RuntimeError("compaction increased the file count")
+    if cp.stage_metrics(out)["rows"] != sum(
+        _pq_rows(f) for f in files
+    ):
+        raise RuntimeError("manifest row counts diverge from data files")
+    def project(t):
+        drop = ["bytes", "mask", "pixel_checksum", "partition_id"]
+        # read_parquet hive-infers a 'part' column from part=<pid> dirs
+        drop += [c for c in ("part",) if c in t.column_names]
+        return t.drop_columns(drop)
+
+    return _rd().read_parquet(files).map_batches(
+        project, batch_format="pyarrow")
+
+
+def _pq_rows(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(path).num_rows
 
 
 def _q_synth_lidar_stats(sf_dir: str):
@@ -3521,6 +3616,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "synth_nms": _q_synth_nms,
         "synth_nms_boxes": _q_synth_nms_boxes,
         "synth_chips": _q_synth_chips,
+        "synth_resume": _q_synth_resume,
         "synth_holed_chips": _q_synth_holed_chips,
         "synth_lidar_stats": _q_synth_lidar_stats,
         "synth_treetops": _q_synth_treetops,
@@ -4072,6 +4168,21 @@ def oracle_sql() -> dict[str, str]:
             -- and the scanline mask pixel count (strict xs < center
             -- parity — geom.raster_mask). TINY grid: origin 1024,
             -- tile 25.6 m, overlap 3.2 m, extent 160 m, res 0.1 m.
+            WITH {_chips_meta_sql()}
+            SELECT w.crown_id, w.tile_id,
+                   CAST(w.col1 - w.col0 AS INTEGER) AS w,
+                   CAST(w.row1 - w.row0 AS INTEGER) AS h,
+                   w.fmt, i.caption,
+                   COALESCE(m.mask_px_count, 0) AS mask_px_count,
+                   w.cell
+            FROM win w
+            JOIN imgs i ON i.image_id = w.tile_id
+            LEFT JOIN msk m ON m.crown_id = w.crown_id
+        """,
+        "synth_resume": f"""
+            -- identical to the synth_chips oracle: the resume query's
+            -- output is the checkpointed chips store read back through
+            -- its manifests, which must equal a clean one-shot run
             WITH {_chips_meta_sql()}
             SELECT w.crown_id, w.tile_id,
                    CAST(w.col1 - w.col0 AS INTEGER) AS w,

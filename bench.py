@@ -189,17 +189,26 @@ def run_queries(sf_dir: str) -> dict:
     import __ray_entry__ as mod
 
     qs = mod.queries()
-    picks = ["pip_join", "crown_assign", "knn_join", "cell_counts",
-             "q1_pricing", "revenue_by_nation", "events_hourly",
-             "doc_exact_dedup", "minhash_pairs", "jaccard_pairs",
-             "phash_pairs", "ann_topk", "running_total", "label_centroids",
-             "lineitem_ranks", "cust_semi_bloom", "q5_region_volume",
-             "doc_decontam", "supp_heavy_hitters", "part_pairs",
-             "hll_parts_by_flag", "user_event_attach_salted",
-             # in-memory salted chip path + training handoff: the two
-             # plans most recently rewritten — keep them in the driver's
-             # BENCH diff so a future plan change is caught there
-             "synth_chips", "synth_training"]
+    # r4 rotation (VERDICT r3 next #10): picks prioritize queries never
+    # driver-sampled in rounds 1-3 (the 39-query complement of the
+    # CORRECTNESS_r01..03 union) plus the plans rewritten this round
+    # (holed assign/chips, resume, caption-exchange chips, training),
+    # plus a small stable core so BENCH diffs stay comparable.
+    picks = [
+        # stable core (cross-round comparability)
+        "pip_join", "crown_assign", "minhash_pairs", "ann_topk",
+        "q5_region_volume",
+        # plans rewritten in r4 — keep in the BENCH diff
+        "synth_chips", "synth_training", "synth_holed_assign",
+        "synth_holed_chips", "synth_resume",
+        # never-driver-sampled rotation
+        "doc_tfidf", "dup_ngrams", "doc_term_stats", "doc_chunks",
+        "doc_normalized", "set_intersect_all", "set_except_all",
+        "order_skyline", "price_p95_cont", "q19_disjunct",
+        "q22_idle_customers", "cohort_retention", "user_event_pivot",
+        "name_editdist", "orders_upsert", "lineitem_unpivot",
+        "cms_custkeys", "hourly_active_users",
+    ]
     out = {}
     for name in picks:
         t0 = time.perf_counter()

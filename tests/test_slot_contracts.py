@@ -1,0 +1,102 @@
+"""Recorded I/O contracts for the model-scorer slots (VERDICT r3 next
+#9): ``tests/contracts/scorer_slots.npz`` pins the exact stub inputs
+and outputs for each slot. In-sandbox (no torch) the stub replay must
+be bit-exact — the contract file cannot rot silently. In a
+torch-present environment, the SAME recorded inputs drive TorchScript
+modules through the real seam and the structural contract (schema,
+shapes, dtypes, probability simplex) is validated with no new
+fixtures needed."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geotreehealth_ray.stages import scorers
+
+CONTRACT = "tests/contracts/scorer_slots.npz"
+
+
+@pytest.fixture(scope="module")
+def rec():
+    return np.load(CONTRACT, allow_pickle=False)
+
+
+def _sam_batch(rec) -> pa.Table:
+    png = rec["sam_png"].tobytes()
+    return pa.table({
+        "tile_id": pa.array(list(rec["sam_tile_id"])),
+        "bytes": pa.array([png] * len(rec["sam_tile_id"]), pa.binary()),
+        "fmt": pa.array(["png"] * len(rec["sam_tile_id"])),
+        "prompt_x": pa.array(rec["sam_prompt_x"]),
+        "prompt_y": pa.array(rec["sam_prompt_y"]),
+    })
+
+
+def test_stub_replay_is_bit_exact(rec):
+    """The stub slots replayed on the recorded inputs reproduce the
+    recorded outputs exactly — guards the contract files themselves."""
+    sam = scorers.SamSlotScorer()(_sam_batch(rec))
+    np.testing.assert_array_equal(
+        sam["mask_score"].to_numpy(), rec["sam_mask_score"])
+
+    box = scorers.BoxDetectorSlot()(pa.table({
+        "image_id": pa.array(list(rec["box_image_id"])),
+        "w": pa.array(rec["box_w"]), "h": pa.array(rec["box_h"]),
+    }))
+    assert box["image_id"].to_pylist() == list(rec["box_row_image_id"])
+    for col in ("xmin", "ymin", "xmax", "ymax", "score"):
+        np.testing.assert_array_equal(
+            box[col].to_numpy(), rec[f"box_{col}"])
+
+    health = scorers.HealthClassifierSlot()(pa.table({
+        "crown_id": pa.array(list(rec["health_crown_id"])),
+    }))
+    assert health["pred_status"].to_pylist() == list(rec["health_pred"])
+    np.testing.assert_array_equal(
+        health["prob"].to_numpy(), rec["health_prob"])
+
+
+def test_torch_forwards_meet_recorded_contract(rec, tmp_path):
+    """Real-seam validation (skipped in-sandbox): TorchScript modules
+    behind 'torch:<path>' consume the SAME recorded inputs in
+    tests/contracts/scorer_slots.npz and must satisfy the structural
+    contract — one float32 mask_score per prompt for the SAM slot,
+    an (n, 3) batched logits call collapsing to a probability simplex
+    for the classifier."""
+    torch = pytest.importorskip(
+        "torch",
+        reason="torch absent in-sandbox; recorded inputs/outputs live "
+               "in tests/contracts/scorer_slots.npz — run this test in "
+               "a torch-present environment to validate the real seam",
+    )
+
+    class TinySam(torch.nn.Module):
+        def forward(self, feat):
+            return torch.sigmoid(feat.sum())
+
+    class TinyMMN(torch.nn.Module):
+        def forward(self, feats):
+            return torch.cat(
+                [feats, feats * 0.5, -feats], dim=1)
+
+    sam_p = tmp_path / "sam.pt"
+    torch.jit.script(TinySam()).save(str(sam_p))
+    sam = scorers.SamSlotScorer(checkpoint=f"torch:{sam_p}")(
+        _sam_batch(rec))
+    assert sam.column_names == ["tile_id", "prompt_x", "prompt_y",
+                                "mask_score"]
+    scores = sam["mask_score"].to_numpy()
+    assert scores.dtype == np.float32 and len(scores) == len(
+        rec["sam_prompt_x"])
+    assert np.isfinite(scores).all()
+
+    mmn_p = tmp_path / "mmn.pt"
+    torch.jit.script(TinyMMN()).save(str(mmn_p))
+    health = scorers.HealthClassifierSlot(weights=f"torch:{mmn_p}")(
+        pa.table({"crown_id": pa.array(list(rec["health_crown_id"]))}))
+    assert health.column_names == ["crown_id", "pred_status", "prob"]
+    probs = health["prob"].to_numpy()
+    assert probs.dtype == np.float32
+    assert ((probs > 0) & (probs <= 1)).all()
+    assert set(health["pred_status"].to_pylist()) <= set(
+        scorers.HealthClassifierSlot.CLASSES)
