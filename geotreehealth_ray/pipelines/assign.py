@@ -693,10 +693,11 @@ def assign_stems_to_crowns(stems, crowns, res: int = cells.DEFAULT_RES,
         cover = (1.0 + 2.0 * mx / edge) * (1.0 + 2.0 * my / edge)
         mult = N_SALT if salt_all else 1.0
         stem_rows = n_stems * cover * mult + (0 if salt_all else hot_extra)
-        # per-row constants re-measured for the fused-blob schema
-        # (Arrow IPC: stem row 49 B — was 66 with the 4 crown null
-        # columns — plus block overheads; crown row +16 B header)
-        return stem_rows * 67.0 + n_crowns * 435.0
+        # per-row constants re-measured for the compact int32-delta
+        # blob (tools/measure_exchange.py @960k: stem row 45.3 B
+        # Arrow + block overheads; crown row 207.5 B — was 335.5 with
+        # f64 verts, 16 B/vertex → 8)
+        return stem_rows * 67.0 + n_crowns * 307.0
 
     if mode == "owner":
         import ray

@@ -308,9 +308,28 @@ def decode_holes_blob(b) -> list[np.ndarray]:
     return out
 
 
+# Compact vertex encoding for the crown blob: verts are stored as
+# int32 counts of 0.1 µm relative to the crown centroid, HALVING the
+# dominant exchange column (measured at 960k bench stems: crown_b was
+# 322 MB of the 485 MB union — 66% — at 16 B/vertex; compact is
+# 8 B/vertex). Quantization error ≤ 50 nm per coordinate, far below
+# any survey/LiDAR positioning noise and five orders below the chip
+# pixel (0.1 m); the engine's determinism contract is unaffected
+# (both parallelism levels read the same blobs). Crowns whose
+# vertex-to-centroid reach exceeds the int32 range (~214.7 m — a
+# malformed monster polygon) fall back to the exact f64 layout,
+# flagged per row, so no geometry is ever rejected or silently
+# clipped.
+_BLOB_SCALE = 1e7  # int32 counts of 0.1 µm
+_BLOB_INV = 1e-7
+_BLOB_FMT_BIT = np.int64(1) << 33  # meta bit 33: 1 = compact int32 verts
+_BLOB_DELTA_MAX = float(2**31 - 2)
+
+
 def pack_crown_blobs(batch: pa.Table, multi: np.ndarray | None = None,
                      ring_col: str = "ring", holes_col: str = "holes",
-                     cx_col: str = "cx", cy_col: str = "cy") -> pa.Array:
+                     cx_col: str = "cx", cy_col: str = "cy",
+                     compact: bool | None = None) -> pa.Array:
     """Fused crown exchange payload for the assignment join: ONE binary
     column carrying everything a crown row needs through the all-to-all
     — centroid, multi-cell flag, and every loop (exterior + holes) —
@@ -318,12 +337,19 @@ def pack_crown_blobs(batch: pa.Table, multi: np.ndarray | None = None,
     union also paid for (~24 dead bytes per stem row; VERDICT r3 next
     #3: shrink the assign exchange payload).
 
-    Blob layout (f64 stream, counts int64-bit-cast, all 8-aligned):
-    ``[ccx][ccy][meta = n_loops | multi<<32][verts per loop × n_loops]
-    [interleaved x,y — exterior loop first, then holes]``.
-    Parsed back by :func:`crown_pack_from_blob`; for hole-free crowns
-    the resulting edge pack is element-identical to
-    ``edge_pack_from_binary(pack_rings(...))``."""
+    Blob layout (8-aligned; header f64/int64, verts per format bit):
+    ``[ccx f64][ccy f64][meta = n_loops | multi<<32 | fmt<<33]``
+    then, fmt=1 (compact, the default whenever every vertex fits):
+    ``[verts-per-loop int32 × n_loops, zero-padded to 8 B][dx,dy int32
+    pairs = round((v − centroid) × 1e7)]``; fmt=0 (exact fallback):
+    ``[verts-per-loop int64 × n_loops][interleaved x,y f64]``.
+    Loop order: exterior first, then holes. Parsed back by
+    :func:`crown_pack_from_blob`; with ``compact=False`` the resulting
+    edge pack is element-identical to
+    ``edge_pack_from_binary(pack_rings(...))`` for hole-free crowns;
+    the default compact path reproduces every vertex to ≤ 50 nm.
+    ``compact``: None = auto per batch (fallback if any row is out of
+    int32 range), True = force (raises if out of range), False = f64."""
     ring = batch[ring_col]
     if isinstance(ring, pa.ChunkedArray):
         ring = ring.combine_chunks()
@@ -350,7 +376,45 @@ def pack_crown_blobs(batch: pa.Table, multi: np.ndarray | None = None,
         hole_row_verts = np.zeros(nrows, np.int64)
     n_loops = 1 + nh
     row_verts = ext_verts + hole_row_verts
-    len_f64 = 3 + n_loops + 2 * row_verts
+    total_hrings = int(nh.sum())
+    total_ext = int(ext_verts.sum())
+    total_hverts = int(hrv.sum())
+    # per-vertex row index + quantized deltas (shared by the range
+    # check and the compact scatter)
+    vrow = np.repeat(np.arange(nrows), ext_verts)
+    if total_ext:
+        vwithin = np.arange(total_ext) - np.repeat(r_off[:-1], ext_verts)
+        dxe = np.rint((exs[:total_ext] - cx[vrow]) * _BLOB_SCALE)
+        dye = np.rint((eys[:total_ext] - cy[vrow]) * _BLOB_SCALE)
+    else:
+        vwithin = np.zeros(0, np.int64)
+        dxe = dye = np.zeros(0, np.float64)
+    if total_hrings:
+        ring_row = np.repeat(np.arange(nrows), nh)
+        within = np.arange(total_hrings) - h_rstart[ring_row]
+        row_vert_base = h_vstart[h_rstart.clip(max=max(total_hrings - 1, 0))]
+        vert_ring = np.repeat(np.arange(total_hrings), hrv)
+        vert_within = np.arange(total_hverts) - np.repeat(h_vstart, hrv)
+        hrow = ring_row[vert_ring]
+        dxh = np.rint((hxs[:total_hverts] - cx[hrow]) * _BLOB_SCALE)
+        dyh = np.rint((hys[:total_hverts] - cy[hrow]) * _BLOB_SCALE)
+    else:
+        dxh = dyh = np.zeros(0, np.float64)
+    if compact is None or compact:
+        peak = 0.0
+        for d in (dxe, dye, dxh, dyh):
+            if len(d):
+                peak = max(peak, float(np.abs(d).max()))
+        fits = peak <= _BLOB_DELTA_MAX
+        if compact and not fits:
+            raise ValueError(
+                f"pack_crown_blobs(compact=True): vertex {peak * _BLOB_INV:.1f} m "
+                "from centroid exceeds the int32 0.1 µm range (±214.7 m)")
+        use_compact = fits
+    else:
+        use_compact = False
+    lens_slots = (n_loops + 1) // 2 if use_compact else n_loops
+    len_f64 = 3 + lens_slots + (1 if use_compact else 2) * row_verts
     total = int(len_f64.sum())
     buf = np.zeros(total, np.float64)
     ibuf = buf.view(np.int64)
@@ -358,35 +422,41 @@ def pack_crown_blobs(batch: pa.Table, multi: np.ndarray | None = None,
     buf[rs] = cx
     buf[rs + 1] = cy
     mflag = (multi.astype(np.int64) << 32) if multi is not None else 0
-    ibuf[rs + 2] = n_loops + mflag
-    # loop-length section: exterior is loop 0, holes follow
-    ibuf[rs + 3] = ext_verts
-    total_hrings = int(nh.sum())
-    data_start = rs + 3 + n_loops
-    # exterior vertices
-    total_ext = int(ext_verts.sum())
-    if total_ext:
-        vrow = np.repeat(np.arange(nrows), ext_verts)
-        vwithin = np.arange(total_ext) - np.repeat(r_off[:-1], ext_verts)
-        dest = data_start[vrow] + 2 * vwithin
-        buf[dest] = exs[:total_ext]
-        buf[dest + 1] = eys[:total_ext]
-    # hole loops
-    if total_hrings:
-        ring_row = np.repeat(np.arange(nrows), nh)
-        within = np.arange(total_hrings) - h_rstart[ring_row]
-        ibuf[rs[ring_row] + 4 + within] = hrv
-        hole_base = data_start + 2 * ext_verts
-        row_vert_base = h_vstart[h_rstart.clip(max=max(total_hrings - 1, 0))]
-        ring_dest = (hole_base[ring_row]
-                     + 2 * (h_vstart - row_vert_base[ring_row]))
-        total_hverts = int(hrv.sum())
-        if total_hverts:
-            vert_ring = np.repeat(np.arange(total_hrings), hrv)
-            vert_within = np.arange(total_hverts) - np.repeat(h_vstart, hrv)
-            dest = ring_dest[vert_ring] + 2 * vert_within
-            buf[dest] = hxs[:total_hverts]
-            buf[dest + 1] = hys[:total_hverts]
+    ibuf[rs + 2] = n_loops + mflag + (_BLOB_FMT_BIT if use_compact else 0)
+    data_start = rs + 3 + lens_slots
+    if use_compact:
+        i32 = buf.view(np.int32)
+        # loop-length section: int32, exterior is loop 0, holes follow
+        i32[2 * (rs + 3)] = ext_verts
+        if total_ext:
+            dest = 2 * (data_start[vrow] + vwithin)
+            i32[dest] = dxe.astype(np.int32)
+            i32[dest + 1] = dye.astype(np.int32)
+        if total_hrings:
+            i32[2 * (rs[ring_row] + 3) + 1 + within] = hrv
+            hole_base = data_start + ext_verts
+            ring_dest = (hole_base[ring_row]
+                         + (h_vstart - row_vert_base[ring_row]))
+            if total_hverts:
+                dest = 2 * (ring_dest[vert_ring] + vert_within)
+                i32[dest] = dxh.astype(np.int32)
+                i32[dest + 1] = dyh.astype(np.int32)
+    else:
+        # loop-length section: exterior is loop 0, holes follow
+        ibuf[rs + 3] = ext_verts
+        if total_ext:
+            dest = data_start[vrow] + 2 * vwithin
+            buf[dest] = exs[:total_ext]
+            buf[dest + 1] = eys[:total_ext]
+        if total_hrings:
+            ibuf[rs[ring_row] + 4 + within] = hrv
+            hole_base = data_start + 2 * ext_verts
+            ring_dest = (hole_base[ring_row]
+                         + 2 * (h_vstart - row_vert_base[ring_row]))
+            if total_hverts:
+                dest = ring_dest[vert_ring] + 2 * vert_within
+                buf[dest] = hxs[:total_hverts]
+                buf[dest + 1] = hys[:total_hverts]
     byte_off = np.zeros(nrows + 1, np.int32)
     np.cumsum(len_f64 * 8, out=byte_off[1:])
     return pa.Array.from_buffers(
@@ -416,27 +486,49 @@ def crown_pack_from_blob(col):
         col.offset: col.offset + n + 1
     ].astype(np.int64) // 8
     data = np.frombuffer(bufs[2], np.float64)
+    i32 = np.frombuffer(bufs[2], np.int32)
     rs = offs[:-1]
     ccx = data[rs]
     ccy = data[rs + 1]
     meta = data[rs + 2].view(np.int64)
     n_loops = meta & 0xFFFFFFFF
     multi = ((meta >> 32) & 1).astype(bool)
+    fmt = ((meta >> 33) & 1).astype(bool)  # 1 = compact int32 verts
     total_loops = int(n_loops.sum())
     loop_row = np.repeat(np.arange(n), n_loops)
     loop_rstart = np.cumsum(n_loops) - n_loops
     loop_within = np.arange(total_loops) - loop_rstart[loop_row]
-    loop_lens = data[rs[loop_row] + 3 + loop_within].view(np.int64)
-    data_start = rs + 3 + n_loops
+    # rows may mix formats after a shuffle — per-loop/vertex dispatch
+    lmask = fmt[loop_row]
+    loop_lens = np.empty(total_loops, np.int64)
+    if lmask.any():
+        loop_lens[lmask] = i32[
+            (2 * (rs[loop_row] + 3) + loop_within)[lmask]]
+    if not lmask.all():
+        loop_lens[~lmask] = data[
+            (rs[loop_row] + 3 + loop_within)[~lmask]].view(np.int64)
+    data_start = rs + 3 + np.where(fmt, (n_loops + 1) // 2, n_loops)
     loop_cs = np.cumsum(loop_lens) - loop_lens
     row_vert_base = loop_cs[loop_rstart]
-    loop_dstart = data_start[loop_row] + 2 * (loop_cs - row_vert_base[loop_row])
+    loop_voff = loop_cs - row_vert_base[loop_row]  # verts before loop, in row
     total_verts = int(loop_lens.sum())
     vert_loop = np.repeat(np.arange(total_loops), loop_lens)
     vert_within = np.arange(total_verts) - np.repeat(loop_cs, loop_lens)
-    src = loop_dstart[vert_loop] + 2 * vert_within
-    vx = data[src]
-    vy = data[src + 1]
+    vx = np.empty(total_verts, np.float64)
+    vy = np.empty(total_verts, np.float64)
+    vmask = lmask[vert_loop]
+    if vmask.any():
+        src = 2 * ((data_start[loop_row] + loop_voff)[vert_loop]
+                   + vert_within)[vmask]
+        rowv = loop_row[vert_loop[vmask]]
+        vx[vmask] = ccx[rowv] + i32[src] * _BLOB_INV
+        vy[vmask] = ccy[rowv] + i32[src + 1] * _BLOB_INV
+    if not vmask.all():
+        nm = ~vmask
+        src = ((data_start[loop_row] + 2 * loop_voff)[vert_loop]
+               + 2 * vert_within)[nm]
+        vx[nm] = data[src]
+        vy[nm] = data[src + 1]
     ends = np.cumsum(loop_lens)
     starts_l = ends - loop_lens
     nxt = np.arange(total_verts) + 1
