@@ -127,26 +127,36 @@ _REACH_QUANTILE = 0.9995
 _REACH_SPLIT_RATIO = 0.6
 
 
-def _reach_stats(crowns) -> tuple[float, float, float, float]:
-    """One narrow combiner scan → (mx, my, qx, qy): the global max
-    crown reach per axis (bbox extent from the centroid) AND a high
-    reach quantile (p≈99.8) from a deterministic hash sample. The
-    margin for owner-mode stem replication only needs to cover the
-    crowns that take the exchange path — crowns with reach beyond the
-    quantile go through the outlier broadcast join instead, so ONE
-    21 m monster crown no longer inflates every stem's margin box
-    (measured: max-reach margin was 1.77× stem replication vs 1.27×
-    at p99.8 on the 15.36M clustered input). Which crowns take which
-    path is a pure partitioning choice — both paths are exact — so a
-    sampled quantile is safe. The scan is a combiner (one slim row
-    per batch) — no shuffle."""
+_CROWN_HIST_STEP = 64
+
+
+def _reach_stats(crowns, res: int | None = None):
+    """One narrow combiner scan → (mx, my, qx, qy[, crown_hist]): the
+    global max crown reach per axis (bbox extent from the centroid)
+    AND a high reach quantile (p≈99.8) from a deterministic stride
+    sample. The margin for owner-mode stem replication only needs to
+    cover the crowns that take the exchange path — crowns with reach
+    beyond the quantile go through the outlier broadcast join
+    instead, so ONE 21 m monster crown no longer inflates every
+    stem's margin box (measured: max-reach margin was 1.77× stem
+    replication vs 1.27× at p99.8 on the 15.36M clustered input).
+    Which crowns take which path is a pure partitioning choice — both
+    paths are exact — so a sampled quantile is safe. The scan is a
+    combiner (one slim row per batch) — no shuffle.
+
+    With ``res``, the same stride sample additionally yields a
+    per-cell CROWN count histogram ``crown_hist = (keys, est)``
+    (centroid cells, counts × stride) for the pair-aware salt rule —
+    piggybacked here so the salting needs no third pre-pass, and
+    returns a 5-tuple."""
 
     def partial(t: pa.Table):
         if len(t) == 0:
             return pa.table({"mx": pa.array([], pa.float64()),
                              "my": pa.array([], pa.float64()),
                              "sx": pa.array([], pa.binary()),
-                             "sy": pa.array([], pa.binary())})
+                             "sy": pa.array([], pa.binary()),
+                             "ck": pa.array([], pa.binary())})
         cx = t["cx"].to_numpy()
         cy = t["cy"].to_numpy()
         rx = np.maximum(cx - t["minx"].to_numpy(),
@@ -158,12 +168,15 @@ def _reach_stats(crowns) -> tuple[float, float, float, float]:
         # partitioning choice, so mild within-batch correlation is
         # irrelevant — an id-hash sample here measurably slowed the
         # whole pass at small scale)
-        step = 64
+        step = _CROWN_HIST_STEP
+        ck = (cells.cell_of(cx[::step], cy[::step], res).tobytes()
+              if res is not None else b"")
         return pa.table({
             "mx": pa.array([float(rx.max())]),
             "my": pa.array([float(ry.max())]),
             "sx": pa.array([rx[::step].tobytes()], pa.binary()),
             "sy": pa.array([ry[::step].tobytes()], pa.binary()),
+            "ck": pa.array([ck], pa.binary()),
         })
 
     parts = (
@@ -171,17 +184,27 @@ def _reach_stats(crowns) -> tuple[float, float, float, float]:
         .map_batches(partial, batch_format="pyarrow")
         .to_pandas()
     )
+    zhist = (np.array([], np.uint64), np.array([], np.float64))
     if len(parts) == 0:
-        return 0.0, 0.0, 0.0, 0.0
+        return (0.0, 0.0, 0.0, 0.0) if res is None else (
+            0.0, 0.0, 0.0, 0.0, zhist)
     mx = float(parts["mx"].max())
     my = float(parts["my"].max())
-    sx = (np.concatenate([np.frombuffer(b) for b in parts["sx"]])
-          if len(parts) else np.array([]))
-    sy = (np.concatenate([np.frombuffer(b) for b in parts["sy"]])
-          if len(parts) else np.array([]))
+    sx = np.concatenate([np.frombuffer(b) for b in parts["sx"]])
+    sy = np.concatenate([np.frombuffer(b) for b in parts["sy"]])
     qx = float(np.quantile(sx, _REACH_QUANTILE)) if len(sx) else mx
     qy = float(np.quantile(sy, _REACH_QUANTILE)) if len(sy) else my
-    return mx, my, qx, qy
+    if res is None:
+        return mx, my, qx, qy
+    ck = np.concatenate(
+        [np.frombuffer(b, np.uint64) for b in parts["ck"]]
+    ) if len(parts) else np.array([], np.uint64)
+    if len(ck):
+        uniq, cnt = np.unique(ck, return_counts=True)
+        hist = (uniq, cnt.astype(np.float64) * _CROWN_HIST_STEP)
+    else:
+        hist = zhist
+    return mx, my, qx, qy, hist
 
 
 def _collect_big_crowns(crowns, qx: float, qy: float) -> pa.Table:
@@ -262,6 +285,8 @@ def _big_crown_partials(t: pa.Table, big_ref) -> pa.Table:
     skey = _stem_sort_key(sx, sy)
     order = np.argsort(skey, kind="stable")
     sx, sy, sid, skey = sx[order], sy[order], sid[order], skey[order]
+    sid_rank = np.empty(len(sid), np.int64)
+    sid_rank[np.argsort(sid, kind="stable")] = np.arange(len(sid))
     win_ring, win_pt, win_d = [], [], []
     for ring_ids, pt in _candidate_pairs(skey, sy, pack):
         inside = geom.points_in_rings_pairs(sx[pt], sy[pt], ring_ids, pack)
@@ -269,7 +294,7 @@ def _big_crown_partials(t: pa.Table, big_ref) -> pa.Table:
             continue
         ring_ids, pt = ring_ids[inside], pt[inside]
         d = np.hypot(sx[pt] - ccx[ring_ids], sy[pt] - ccy[ring_ids])
-        sel = np.lexsort((sid[pt], d, ring_ids))
+        sel = np.lexsort((sid_rank[pt], d, ring_ids))
         first = sel[np.r_[True, ring_ids[sel][1:] != ring_ids[sel][:-1]]]
         win_ring.append(ring_ids[first])
         win_pt.append(pt[first])
@@ -298,6 +323,13 @@ def _hot_cells(stems, res: int):
     the estimate feeds the shuffle partition-count sizing."""
     import ray
 
+    sh = _stem_cell_hist(stems, res)
+    return _salt_table(sh, None)
+
+
+def _stem_cell_hist(stems, res: int):
+    """Sampled per-cell stem-count histogram: (keys u64 sorted, est
+    f64). One narrow sampled read, no shuffle."""
     n = stems.count()  # parquet metadata count — no scan
     frac = min(1.0, _HOT_SAMPLE_ROWS / max(1, n))
     sample = stems.select_columns(["x", "y"])
@@ -305,13 +337,50 @@ def _hot_cells(stems, res: int):
         sample = sample.random_sample(frac, seed=0)
     df = sample.to_pandas()
     if df.empty:  # empty input (may arrive schema-less): no hot cells
+        return np.array([], np.uint64), np.array([], np.float64)
+    key = cells.cell_of(df["x"].to_numpy(), df["y"].to_numpy(), res)
+    uniq, cnt = np.unique(key, return_counts=True)
+    return uniq.astype(np.uint64), cnt / frac
+
+
+# Per-(sub)group pair-work budget for the crown-aware salt rule: the
+# vectorized pair kernel clears ~25M bbox-candidate pairs in
+# ~0.2-0.6 s. stem_est × crown_est per cell is the candidate-pair
+# proxy; k splits CROWNS while stems replicate, so per-sub-group work
+# ≈ stem_est × crown_est / k ≤ budget.
+PAIR_SALT_BUDGET = 25e6
+
+
+def _salt_table(stem_hist, crown_hist):
+    """Driver-side salt-table build from the sampled histograms:
+    (ray.ObjectRef[(keys, ks)], extra_stem_rows_estimate).
+
+    Two escalation rules, max wins: the legacy stem-count rule
+    (k ∝ est/T, ^1.5 in the extreme tail) and — when a crown
+    histogram is supplied — the PAIR rule k = ceil(stem_est ×
+    crown_est / PAIR_SALT_BUDGET). The pair rule is what actually
+    bounds the kernel tail in clustered inputs: cluster-core cells
+    hold ~4× more crown CENTROIDS than stems (owner keying), so a
+    stem-only rule leaves one ~650M-pair sub-group per core — a
+    measured 2.8 s straggler task at 3.84M/32 CPUs while the mean
+    task was 0.6 s. Which cells get salted (and how finely) is a pure
+    partitioning choice — output rows are identical under any
+    salting — so sampled estimates are safe."""
+    import ray
+
+    uniq, est = stem_hist
+    if len(uniq) == 0:
         return ray.put(
             (np.array([], np.uint64), np.array([], np.int64))
         ), 0.0
-    key = cells.cell_of(df["x"].to_numpy(), df["y"].to_numpy(), res)
-    uniq, cnt = np.unique(key, return_counts=True)
-    est = cnt / frac
-    hot = est > HOT_CELL_THRESHOLD
+    if crown_hist is not None and len(crown_hist[0]):
+        ck, cest = crown_hist
+        pos = np.clip(np.searchsorted(ck, uniq), 0, len(ck) - 1)
+        crown_est = np.where(ck[pos] == uniq, cest[pos], 0.0)
+    else:
+        crown_est = np.zeros(len(uniq), np.float64)
+    k_pair = np.ceil(est * crown_est / PAIR_SALT_BUDGET)
+    hot = (est > HOT_CELL_THRESHOLD) | (k_pair >= 2)
     # Per-group PIP work in a hot cell scales like stems × crowns ×
     # local density ∝ est² (dense clusters pack both join sides into
     # the same cell), and crowns split across salts while stems
@@ -324,12 +393,11 @@ def _hot_cells(stems, res: int):
     # the linear rule — a blanket superlinear k would multiply the
     # whole exchange (est·k extra stem rows per cell), while the
     # extreme tail is only a handful of cluster-core cells.
-    eh = est[hot] / HOT_CELL_THRESHOLD
-    ks = np.minimum(
-        np.where(est[hot] >= HOT_CELL_EXTREME,
-                 np.ceil(eh ** 1.5), np.ceil(eh)),
-        N_SALT_MAX,
-    ).astype(np.int64)
+    eh = np.maximum(est[hot] / HOT_CELL_THRESHOLD, 1.0)
+    k_rows = np.where(est[hot] >= HOT_CELL_EXTREME,
+                      np.ceil(eh ** 1.5), np.ceil(eh))
+    ks = np.minimum(np.maximum(k_rows, k_pair[hot]),
+                    N_SALT_MAX).astype(np.int64)
     keys = uniq[hot].astype(np.uint64)  # np.unique output is sorted
     extra = float(np.sum(est[hot] * (ks - 1)))
     return ray.put((keys, ks)), extra
@@ -603,6 +671,14 @@ def _assign_cell(group: pa.Table) -> pa.Table:
     skey = _stem_sort_key(sx, sy)
     order = np.argsort(skey, kind="stable")  # ties broken by (d, id) below
     sx, sy, sid, skey = sx[order], sy[order], sid[order], skey[order]
+    # integer rank of each stem's id, computed ONCE per group: the
+    # (dist, stem_id) tie-break below lexsorts PER PAIR, and dense
+    # cluster-core groups carry millions of inside-pairs — lexsort on
+    # the Python-object string array was 60% of the straggler task
+    # (measured 1.5 s of a 2.5 s group at 3.84M; ints sort ~20×
+    # faster and give the identical order)
+    sid_rank = np.empty(len(sid), np.int64)
+    sid_rank[np.argsort(sid, kind="stable")] = np.arange(len(sid))
     ccx, ccy, cmulti, pack = crown_pack_from_blob(crowns["crown_b"])
     cids = crowns["crown_id"].to_numpy(zero_copy_only=False)
     win_ring: list[np.ndarray] = []
@@ -616,7 +692,7 @@ def _assign_cell(group: pa.Table) -> pa.Table:
         d = np.hypot(sx[pt] - ccx[ring_ids], sy[pt] - ccy[ring_ids])
         # deterministic (dist, stem_id) argmin per crown, vectorized:
         # sort pairs by (ring, d, id) and keep each ring's first row
-        sel = np.lexsort((sid[pt], d, ring_ids))
+        sel = np.lexsort((sid_rank[pt], d, ring_ids))
         first = sel[np.r_[True, ring_ids[sel][1:] != ring_ids[sel][:-1]]]
         win_ring.append(ring_ids[first])
         win_pt.append(pt[first])
@@ -644,6 +720,24 @@ def _final_pick_bucket(df: pd.DataFrame) -> pd.DataFrame:
     return df.drop_duplicates("crown_id", keep="first")
 
 
+def _kernel_partitions(est_bytes: float) -> int:
+    """Sort-partition count for the assign exchange: the generic
+    sqrt(bytes) rule sizes for SORT cost alone, but here every output
+    partition is also one PIP-kernel task whose work is pairs — far
+    spikier than rows (measured at 3.84M/32 CPUs: 71 partitions, task
+    range 0.36–3.62 s, the 10× straggler tail alone ~1.5 s of the
+    12 s wall). Floor the count at 2× the default partitions
+    (≈ 4 × cluster CPUs) so the tail amortizes, bounded by ~8 MiB
+    blocks so small inputs don't pay barrier overhead for parallelism
+    they can't use."""
+    from .relational import _cpu_default_partitions, shuffle_partitions_for
+
+    base = shuffle_partitions_for(est_bytes)
+    cpu_floor = min(2 * _cpu_default_partitions(),
+                    int(est_bytes / (8 * 1024 * 1024)) + 1)
+    return max(base, cpu_floor)
+
+
 def assign_stems_to_crowns(stems, crowns, res: int = cells.DEFAULT_RES,
                            salt_mode: str = "hot", mode: str = "owner",
                            margin: tuple[float, float] | None = None):
@@ -669,9 +763,29 @@ def assign_stems_to_crowns(stems, crowns, res: int = cells.DEFAULT_RES,
     ``difference`` outputs) are honored: the crown blob carries every
     loop and the PIP parity excludes stems inside holes.
     """
-    hot_ref, hot_extra = (
-        _hot_cells(stems, res) if salt_mode == "hot" else (None, 0.0)
-    )
+    want_hot = salt_mode == "hot"
+    want_reach = mode == "owner" and margin is None
+    if want_hot and want_reach:
+        # the two driver pre-passes (sampled stem histogram, crown
+        # reach + cell-histogram combiner) scan DIFFERENT tables and
+        # are each ~read latency, not CPU — run them concurrently so
+        # the fixed pre-pass cost is paid once, not twice (it is pure
+        # non-scaling wall: measured ~1.8 s serial at every CPU
+        # count on the 3.84M bench input). The crown histogram rides
+        # the reach scan, so the pair-aware salt rule costs no third
+        # pass.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as _ex:
+            _fh = _ex.submit(_stem_cell_hist, stems, res)
+            _fr = _ex.submit(_reach_stats, crowns, res)
+            _sh = _fh.result()
+            mx_, my_, qx_, qy_, _crown_hist = _fr.result()
+        hot_ref, hot_extra = _salt_table(_sh, _crown_hist)
+        _reach = (mx_, my_, qx_, qy_)
+    else:
+        hot_ref, hot_extra = _hot_cells(stems, res) if want_hot else (None, 0.0)
+        _reach = _reach_stats(crowns) if want_reach else None
     salt_all = salt_mode == "all"
     from .relational import (
         bucketed_reduce,
@@ -706,7 +820,7 @@ def assign_stems_to_crowns(stems, crowns, res: int = cells.DEFAULT_RES,
         if margin is not None:
             mx, my = margin
         else:
-            mx, my, qx, qy = _reach_stats(crowns)
+            mx, my, qx, qy = _reach
             if (qx <= _REACH_SPLIT_RATIO * mx
                     or qy <= _REACH_SPLIT_RATIO * my):
                 # outlier split: crowns with reach beyond the high
@@ -717,14 +831,24 @@ def assign_stems_to_crowns(stems, crowns, res: int = cells.DEFAULT_RES,
                 if 0 < len(big_tbl) <= BIG_BROADCAST_MAX:
                     big_ref = ray.put(big_tbl)
                     mx, my = qx, qy
-        parts = shuffle_partitions_for(_union_bytes(mx, my))
+        parts = _kernel_partitions(_union_bytes(mx, my))
+        # side-builder OUTPUT block count feeds the sort's all-to-all:
+        # Ray's range exchange creates #input-blocks × #partitions
+        # intermediate objects, so 400 small side blocks against 128
+        # partitions is 51k objects of pure per-object overhead
+        # (measured ~2-3 s of the 12 s wall at 3.84M/32 CPUs).
+        # batch_size bundles multiple input files into one map task →
+        # one fat block each; ~2 side blocks per sort partition keeps
+        # every reduce fetch meaningful. Blocks stay ≤ ~32 MB.
+        sbatch = max(16384, int(n_stems / 32) + 1)
+        cbatch = max(16384, int(n_crowns / 32) + 1)
         s = stems.select_columns(["stem_id", "x", "y"]).map_batches(
-            _stem_side_owner, batch_format="pyarrow",
+            _stem_side_owner, batch_format="pyarrow", batch_size=sbatch,
             fn_kwargs={"res": res, "mx": mx, "my": my,
                        "hot_ref": hot_ref, "salt_all": salt_all},
         )
         c = crowns.select_columns(_crown_cols(crowns)).map_batches(
-            _crown_side_owner, batch_format="pyarrow",
+            _crown_side_owner, batch_format="pyarrow", batch_size=cbatch,
             fn_kwargs={"res": res, "hot_ref": hot_ref,
                        "salt_all": salt_all,
                        "max_reach": (mx, my) if big_ref is not None
