@@ -2857,6 +2857,45 @@ def _q_synth_las_roundtrip(sf_dir: str):
     return gf.read_lidar(path).map_batches(to_mm, batch_format="pyarrow")
 
 
+def _q_synth_glz_roundtrip(sf_dir: str):
+    """Compressed-LiDAR write→read roundtrip as a driver query: the
+    synth lidar table streams into one chunked .laz (GLZ flavor —
+    sources/lazformat.py: delta + zigzag + per-sub-block bit-packing,
+    independently decodable 50k-point chunks behind a chunk table)
+    and decodes back through the chunk-parallel reader. Same mm-snap
+    contract as synth_las_roundtrip, plus the rgb columns roundtrip
+    integer-exact — so the oracle is the writer's exact IEEE
+    quantization over the ORIGINAL parquet plus rgb passthrough.
+    Foreign laszip streams remain a loud gate (bit-conformance
+    unverifiable in-sandbox; lazformat module docstring)."""
+    import os
+
+    from geotreehealth_ray.sources import geoformats as gf
+    from geotreehealth_ray.sources import lazformat as lz
+    from geotreehealth_ray.sources import synth
+
+    cfg = synth.TINY
+    p = _synth_paths()
+    path = f"{_SYNTH_CACHE}/cloud_roundtrip_glz.laz"
+    origin = (cfg.origin_m, cfg.origin_m, 0.0)
+    if "glz" not in _FMT_DONE or not os.path.exists(path):
+        lz.write_laz(_rd().read_parquet(p["lidar"]), path, origin=origin,
+                     chunk_points=4096)  # several chunks even at TINY
+        _FMT_DONE.add("glz")
+
+    def to_mm(t: pa.Table) -> pa.Table:
+        def snap(col, o):
+            v = t[col].to_numpy()
+            return pa.array(np.floor((v - o) / 0.001 + 0.5).astype(np.int64))
+
+        return pa.table({"x_mm": snap("x", origin[0]),
+                         "y_mm": snap("y", origin[1]),
+                         "z_mm": snap("z", origin[2]),
+                         "r": t["r"], "g": t["g"], "b": t["b"]})
+
+    return gf.read_lidar(path).map_batches(to_mm, batch_format="pyarrow")
+
+
 def _q_synth_wav_roundtrip(sf_dir: str):
     """PCM WAV encode→decode roundtrip as a driver query: 24 integer
     waveforms (pure modular formula — no libm, so DuckDB reproduces
@@ -3640,6 +3679,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "synth_shp_roundtrip": _q_synth_shp_roundtrip,
         "synth_geotiff_windows": _q_synth_geotiff_windows,
         "synth_las_roundtrip": _q_synth_las_roundtrip,
+        "synth_glz_roundtrip": _q_synth_glz_roundtrip,
         "synth_wav_roundtrip": _q_synth_wav_roundtrip,
         # --- tier 2: dedup / ANN / text training-data family ---
         "doc_exact_dedup": _q_doc_dedup,
@@ -4304,6 +4344,18 @@ def oracle_sql() -> dict[str, str]:
               CAST(floor((x - 1024.0) / 0.001 + 0.5) AS BIGINT) AS x_mm,
               CAST(floor((y - 1024.0) / 0.001 + 0.5) AS BIGINT) AS y_mm,
               CAST(floor((z - 0.0) / 0.001 + 0.5) AS BIGINT) AS z_mm
+            FROM read_parquet('{_SYNTH_CACHE}/lidar/*.parquet')
+        """,
+        "synth_glz_roundtrip": f"""
+            -- compressed-LiDAR (GLZ .laz) write+read roundtrip
+            -- oracle: identical mm snap as synth_las_roundtrip (the
+            -- codec is lossless on the snapped int grid and rgb
+            -- passes through bit-exact), over the ORIGINAL table.
+            SELECT
+              CAST(floor((x - 1024.0) / 0.001 + 0.5) AS BIGINT) AS x_mm,
+              CAST(floor((y - 1024.0) / 0.001 + 0.5) AS BIGINT) AS y_mm,
+              CAST(floor((z - 0.0) / 0.001 + 0.5) AS BIGINT) AS z_mm,
+              r, g, b
             FROM read_parquet('{_SYNTH_CACHE}/lidar/*.parquet')
         """,
         "synth_wav_roundtrip": """

@@ -1401,30 +1401,51 @@ def read_lidar(path: str):
     through; uncompressed .las decodes natively (numpy structured
     dtype over the fixed record layout), fanned out as one byte-range
     task per ~2M-point chunk so a huge flight line never serializes
-    through one worker. LAZ needs laszip (absent here → loud gate)."""
+    through one worker. Compressed .laz in this engine's own GLZ
+    flavor (sources/lazformat.py — chunked, delta + bit-packed)
+    decodes natively with one task per ~40-chunk range; FOREIGN
+    laszip-encoded streams stay a loud gate (read_laz_header names
+    laszip — bit-conformance is unverifiable in-sandbox)."""
     import ray.data as rd
 
     files = _files_of(path, _LIDAR_EXTS)
     exts = {detect_format(f) for f in files}
     if exts == {".parquet"}:
         return rd.read_parquet(files)
-    if exts <= {".las", ".parquet"}:
-        las_files = [f for f in files if detect_format(f) == ".las"]
+    if exts <= {".las", ".laz", ".parquet"}:
+        from . import lazformat
+
         chunks = []
-        for f in las_files:
+        for f in files:
+            ext = detect_format(f)
+            if ext == ".parquet":
+                continue
             hdr = read_las_header(f)  # small header read per file
-            if hdr["compressed"]:
-                raise NotImplementedError(
-                    f"{f} is LAZ-compressed; see parse_las_points")
-            for s in range(0, max(hdr["count"], 1), _LAS_CHUNK_POINTS):
-                chunks.append({"path": f, "start": s,
-                               "n": min(_LAS_CHUNK_POINTS,
-                                        hdr["count"] - s)})
+            if ext == ".laz" or hdr["compressed"]:
+                # raises the loud laszip gate for foreign streams
+                ghdr = lazformat.read_laz_header(f)
+                n_chunks = len(ghdr["chunk_offsets"])
+                span = max(1, _LAS_CHUNK_POINTS // max(
+                    ghdr["chunk_points"], 1))
+                for s in range(0, max(n_chunks, 1), span):
+                    chunks.append({"path": f, "start": s,
+                                   "n": min(span, n_chunks - s),
+                                   "glz": 1})
+            else:
+                for s in range(0, max(hdr["count"], 1), _LAS_CHUNK_POINTS):
+                    chunks.append({"path": f, "start": s,
+                                   "n": min(_LAS_CHUNK_POINTS,
+                                            hdr["count"] - s),
+                                   "glz": 0})
 
         def decode(batch: dict) -> pa.Table:
-            return parse_las_points(str(batch["path"][0]),
-                                    int(batch["start"][0]),
-                                    int(batch["n"][0]))
+            p = str(batch["path"][0])
+            s, n = int(batch["start"][0]), int(batch["n"][0])
+            if int(batch["glz"][0]):
+                from . import lazformat as lz
+
+                return lz.parse_laz_points(p, s, n)
+            return parse_las_points(p, s, n)
 
         las_ds = rd.from_items(chunks).map_batches(
             decode, batch_format="numpy", batch_size=1)
@@ -1432,14 +1453,10 @@ def read_lidar(path: str):
         if pq_files:
             las_ds = las_ds.union(rd.read_parquet(pq_files))
         return las_ds
-    if _have("laspy"):  # pragma: no cover - absent here
-        raise NotImplementedError(
-            "LAZ decode seam: laspy.read per file → (x, y, z) columns"
-        )
     raise NotImplementedError(
-        "reading .laz requires laszip/laspy (not installed); decompress "
-        "to .las (reads natively here) or convert to a parquet "
-        "(x, y, z) table"
+        f"unsupported point-cloud inputs {sorted(exts)}; supported: "
+        ".las (native), .laz (GLZ flavor native; laszip streams need "
+        "laszip/laspy — decompress to .las first), .parquet"
     )
 
 

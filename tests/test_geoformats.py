@@ -109,9 +109,12 @@ def test_wkb_roundtrip_and_parquet_decode(ray_session, tmp_path):
 
 
 def test_gated_formats_fail_loudly(tmp_path):
+    # garbage .laz: not a LAS container at all → loud parse error
+    # (a REAL foreign laszip stream gates with NotImplementedError
+    # naming laszip — covered in test_lazformat.py)
     p = tmp_path / "x.laz"
     p.write_bytes(b"\x00")
-    with pytest.raises(NotImplementedError, match="requires"):
+    with pytest.raises(ValueError, match="LASF"):
         gf.read_lidar(str(p))
     # .tif decodes natively now; garbage fails loudly as a bad TIFF
     t = tmp_path / "x.tif"

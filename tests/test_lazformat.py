@@ -1,0 +1,146 @@
+"""Compressed LiDAR (.laz, GLZ flavor — sources/lazformat.py):
+lossless roundtrip on the snapped grid, chunk independence, the
+foreign-laszip loud gate, and the corrupt-stream guard.
+
+Reference seam: store_data_structures.py:42-55 reads .laz via laspy;
+laszip bit-conformance is unverifiable in-sandbox (no sample file, no
+laszip), so foreign streams gate loudly while this engine's own
+chunked flavor round-trips natively."""
+import os
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geotreehealth_ray.sources import lazformat as lz
+from geotreehealth_ray.sources.geoformats import read_las_header, read_lidar
+
+
+def _cloud(n=20_000, seed=9, rgb=True, gps=True):
+    rng = np.random.default_rng(seed)
+    cols = {
+        "x": np.cumsum(rng.normal(0, 0.5, n)) + 2000.0,
+        "y": np.cumsum(rng.normal(0, 0.5, n)) + 3000.0,
+        "z": rng.uniform(0, 45, n),
+        "intensity": rng.integers(0, 65536, n).astype(np.uint16),
+        "classification": np.full(n, 4, np.uint8),
+    }
+    if gps:
+        cols["gps_time"] = np.sort(rng.uniform(1e5, 1.1e5, n))
+    if rgb:
+        for c in ("r", "g", "b"):
+            cols[c] = rng.integers(0, 65536, n).astype(np.uint16)
+    return cols
+
+
+def _ds(cols):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table(cols))
+
+
+def test_roundtrip_exact_on_snapped_grid(ray_session, tmp_path):
+    cols = _cloud()
+    path = str(tmp_path / "a.laz")
+    n = lz.write_laz(_ds(cols), path, scale=0.001, origin=(2000.0, 3000.0, 0.0))
+    assert n == len(cols["x"])
+    t = lz.parse_laz_points(path)
+    assert len(t) == n
+    for axis, o in (("x", 2000.0), ("y", 3000.0), ("z", 0.0)):
+        got = t[axis].to_numpy()
+        want = np.floor((cols[axis] - o) * 1000 + 0.5) * 0.001 + o
+        np.testing.assert_array_equal(got, want)  # descale is bit-stable
+    for c in ("intensity", "classification", "r", "g", "b"):
+        np.testing.assert_array_equal(t[c].to_numpy(), cols[c])
+    # f8 payload fields are bit-exact (stored as bit-cast int64 deltas)
+    np.testing.assert_array_equal(t["gps_time"].to_numpy(), cols["gps_time"])
+
+
+def test_compresses_coherent_clouds(ray_session, tmp_path):
+    cols = _cloud(rgb=False, gps=True)
+    path = str(tmp_path / "c.laz")
+    lz.write_laz(_ds(cols), path)
+    raw = 28 * len(cols["x"])  # las pf1 record bytes
+    assert os.path.getsize(path) < 0.65 * raw
+    # constant column costs ~1 byte per 1024 points
+    hdr = lz.read_laz_header(path)
+    assert "classification" in hdr["fields"]
+
+
+def test_chunks_decode_independently(ray_session, tmp_path):
+    cols = _cloud(n=10_000, gps=False, rgb=False)
+    path = str(tmp_path / "k.laz")
+    lz.write_laz(_ds(cols), path, chunk_points=3000)
+    hdr = lz.read_laz_header(path)
+    assert len(hdr["chunk_offsets"]) == 4  # 3+3+3+1k
+    whole = lz.parse_laz_points(path)
+    parts = [lz.parse_laz_points(path, i, 1)
+             for i in range(len(hdr["chunk_offsets"]))]
+    cat = pa.concat_tables(parts)
+    assert cat.num_rows == whole.num_rows
+    np.testing.assert_array_equal(cat["x"].to_numpy(),
+                                  whole["x"].to_numpy())
+
+
+def test_read_lidar_fans_out_and_matches(ray_session, tmp_path):
+    cols = _cloud(n=9_000, gps=True, rgb=False)
+    d = tmp_path / "cloud"
+    d.mkdir()
+    lz.write_laz(_ds(cols), str(d / "a.laz"), chunk_points=2048)
+    back = read_lidar(str(d)).to_pandas().sort_values("gps_time")
+    np.testing.assert_array_equal(back["gps_time"].to_numpy(),
+                                  cols["gps_time"])
+    np.testing.assert_array_equal(
+        np.sort(back["intensity"].to_numpy()),
+        np.sort(cols["intensity"]))
+
+
+def test_foreign_laszip_stream_gates_loudly(tmp_path):
+    # compressed LAS header whose VLR is laszip's, not ours
+    path = str(tmp_path / "foreign.laz")
+    header = bytearray(227)
+    header[0:4] = b"LASF"
+    header[24], header[25] = 1, 2
+    struct.pack_into("<H", header, 94, 227)
+    payload = b"\x02\x00" * 17
+    vlr = struct.pack("<H16sHH32s", 0, b"laszip encoded\0\0", 22204,
+                      len(payload), b"\0" * 32)
+    struct.pack_into("<I", header, 96, 227 + len(vlr) + len(payload))
+    struct.pack_into("<I", header, 100, 1)
+    header[104] = 1 | 0x80
+    struct.pack_into("<H", header, 105, 28)
+    with open(path, "wb") as fh:
+        fh.write(header)
+        fh.write(vlr)
+        fh.write(payload)
+    assert read_las_header(path)["compressed"]
+    with pytest.raises(NotImplementedError, match="laszip"):
+        lz.read_laz_header(path)
+
+
+def test_corrupt_stream_raises_not_garbage(ray_session, tmp_path):
+    cols = _cloud(n=5_000, gps=False, rgb=False)
+    path = str(tmp_path / "ok.laz")
+    lz.write_laz(_ds(cols), path, chunk_points=2000)
+    hdr = lz.read_laz_header(path)
+    bad = str(tmp_path / "bad.laz")
+    blob = bytearray(open(path, "rb").read())
+    # stomp bytes in the middle of chunk 1's streams
+    off = hdr["chunk_offsets"][1] + 40
+    blob[off:off + 8] = b"\xff" * 8
+    open(bad, "wb").write(bytes(blob))
+    with pytest.raises(ValueError):
+        lz.parse_laz_points(bad)
+
+
+def test_empty_dataset_roundtrip(ray_session, tmp_path):
+    import ray.data as rd
+
+    path = str(tmp_path / "e.laz")
+    empty = rd.from_arrow(pa.table({
+        "x": pa.array([], pa.float64()),
+        "y": pa.array([], pa.float64()),
+        "z": pa.array([], pa.float64())}))
+    assert lz.write_laz(empty, path, origin=(0.0, 0.0, 0.0)) == 0
+    assert lz.parse_laz_points(path).num_rows == 0
