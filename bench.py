@@ -198,9 +198,9 @@ def run_queries(sf_dir: str) -> dict:
         # stable core (cross-round comparability)
         "pip_join", "crown_assign", "minhash_pairs", "ann_topk",
         "q5_region_volume",
-        # plans rewritten in r4 — keep in the BENCH diff
+        # plans rewritten/added in r4 — keep in the BENCH diff
         "synth_chips", "synth_training", "synth_holed_assign",
-        "synth_holed_chips", "synth_resume",
+        "synth_holed_chips", "synth_resume", "synth_glz_roundtrip",
         # never-driver-sampled rotation
         "doc_tfidf", "dup_ngrams", "doc_term_stats", "doc_chunks",
         "doc_normalized", "set_intersect_all", "set_except_all",

@@ -12,25 +12,30 @@ Reference semantics (mirrored exactly, validated by golden tests):
 - stems contained by no crown → "unassigned" report — reference
   utils.py:330-332 (a left-anti output of the join).
 
-Physical plan (SURVEY.md §7.1 steps 5+9):
-1. cell-encode stems at resolution ``res`` (narrow projection only);
-2. halo-replicate crowns to every cell their bbox covers (vectorized
-   explode), rings packed as binary; skew salting splits each cell
-   into N_SALT sub-groups — crowns partition by hash(crown_id), stems
-   replicate — so dense forest-patch cells fan out instead of
-   straggling;
-3. union both sides and ``groupby(cell, salt)`` — ONE all-to-all
-   exchange co-locating each sub-group's stems with every crown that
-   can contain them;
+Physical plan (SURVEY.md §7.1 steps 5+9), default ``mode='owner'``:
+1. two CONCURRENT narrow driver pre-passes: a sampled stem histogram
+   and the crown reach/cell-histogram combiner (the pair-aware salt
+   table costs no extra scan);
+2. each crown keys to its centroid's cell ONCE (no replication);
+   stems replicate to every cell their margin box touches — every
+   (crown, contained-stem) pair meets in exactly one group, so the
+   per-group argmin IS the global winner, no second exchange;
+3. union both sides (~32 fat blocks per side) and sort on the fused
+   (cell, salt) key with analytic uniform boundaries — ONE
+   all-to-all, no sample round; skew salting splits hot cells into
+   sub-groups (crowns partition by hash(crown_id), stems replicate)
+   sized by BOTH the stem count and the stem×crown pair estimate;
 4. per group: fully vectorized candidate generation (array
    ``searchsorted`` of crown bboxes over x-sorted stems — the R-tree
    slot collapsed into one probe for ALL crowns) + pair-level
-   multi-ring ray-casting PIP (``geom.points_in_rings_pairs``) + local
-   nearest-stem partial argmin (combiner) — no per-crown Python loop;
-5. a hash-bucketed reduce resolves the global winner per crown across
-   its ≤#covered-cells partials (single-cell crowns pass through
-   untouched inside the same reduce);
-6. unassigned = bucketed anti-reduce of distinct stems vs winners.
+   multi-ring ray-casting PIP (``geom.points_in_rings_pairs``) +
+   (dist, stem-id-rank) argmin — no per-crown Python loop, no string
+   sorts in the pair path;
+5. unassigned = bucketed anti-reduce of distinct stems vs winners.
+
+``mode='halo'`` inverts the replication (crowns explode to covering
+cells, a hash-bucketed reduce resolves cross-cell duplicate winners)
+— cheaper when a few monster crowns would blow up the owner margin.
 """
 
 from __future__ import annotations

@@ -262,9 +262,14 @@ def write_laz(ds, out_path: str, scale: float = 0.001,
             i = int(("XYZ".index(axis)))
             mins[i] = min(mins[i], float(v.min()))
             maxs[i] = max(maxs[i], float(v.max()))
-            arr[axis] = np.floor(
+            g = np.floor(
                 (v - origin["XYZ".index(axis)]) * inv + 0.5
             ).astype(np.int64)
+            if len(g) and max(-int(g.min()), int(g.max())) >= 2**31:
+                raise ValueError(
+                    f"{axis} grid index exceeds the LAS int32 range — "
+                    f"scale {scale} too fine for this extent/origin")
+            arr[axis] = g
         for nm in names:
             if nm in ("X", "Y", "Z"):
                 pend[nm].append(arr[nm])
