@@ -46,10 +46,12 @@ def main() -> None:
     n_crowns = crowns.count()
 
     res = cells.DEFAULT_RES
-    mx, my, qx, qy = A._reach_stats(crowns)
+    mx, my, qx, qy, crown_hist = A._reach_stats(crowns, res)
     if (qx <= A._REACH_SPLIT_RATIO * mx or qy <= A._REACH_SPLIT_RATIO * my):
         mx, my = qx, qy  # outlier-split margin, same rule as assign
-    hot_ref, _hot_extra = A._hot_cells(stems, res)
+    # same pair-aware salt table the owner plan builds
+    hot_ref, _hot_extra = A._salt_table(A._stem_cell_hist(stems, res),
+                                        crown_hist)
 
     def _col_bytes(t: pa.Table) -> dict:
         out = {}
