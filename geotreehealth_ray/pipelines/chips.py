@@ -962,16 +962,19 @@ def zonal_stats(crowns, tiles_path: str, grid: GridSpec,
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_out_blocks = cpus * 8
     # same single-exchange, file-locality-preserving plan as
-    # extract_chips_storage: sort by row-major tile rank with analytic
-    # uniform boundaries over the grid-rank space, one barrier total
+    # extract_chips_storage, including its work-weighted boundaries
+    # (clustered inputs are 10× denser in some rank ranges — the
+    # uniform rule left 10× kernel-task skew there)
     def add_gkey(t: pa.Table) -> pa.Table:
         return t.append_column(
             "gkey", pa.array(tile_rank(t["tile_id"], grid.n), pa.uint64())
         )
 
+    bounds = sampled_rank_boundaries(crowns, grid, num_out_blocks)
+    if bounds is None:
+        bounds = uniform_rank_boundaries(num_out_blocks, grid.n * grid.n)
     ordered = crowns_t.map_batches(add_gkey, batch_format="pyarrow").sort(
-        "gkey",
-        boundaries=uniform_rank_boundaries(num_out_blocks, grid.n * grid.n),
+        "gkey", boundaries=bounds,
     )
     return ordered.map_batches(
         _zonal_task, fn_kwargs={"tiles_path": tiles_path},
