@@ -166,6 +166,7 @@ def uniform_rank_boundaries(partitions: int, upper: int) -> list[int]:
 # over ~4+ chips — weighting boundaries by chips alone left a 2.4×
 # kernel-task spread at the dense 3.84M input.
 TILE_DECODE_WEIGHT = 3.5
+_RANK_SAMPLE_MIN_ROWS = 500_000
 
 
 def sampled_rank_boundaries(crowns, grid: "GridSpec",
@@ -187,7 +188,14 @@ def sampled_rank_boundaries(crowns, grid: "GridSpec",
     same vectorized owning-tile map the main plan runs), no shuffle;
     the driver merge holds one (rank, count) pair per OCCUPIED tile —
     bounded by the tile count, not the crown count. Returns None on
-    tiny inputs (callers fall back to the uniform rule)."""
+    small inputs (callers fall back to the uniform rule): below
+    ~500k crowns the kernel tasks are small enough that the uniform
+    rule's skew costs less than this scan (~0.5 s at sf0.1)."""
+    try:
+        if crowns.count() < _RANK_SAMPLE_MIN_ROWS:
+            return None  # parquet-metadata count when available
+    except Exception:
+        pass
 
     def partial(t: pa.Table) -> pa.Table:
         if len(t) == 0:
