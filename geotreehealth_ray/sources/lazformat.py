@@ -65,8 +65,8 @@ _GLZ_VERSION = 1
 _SUB = 1024  # bit-packing sub-block (values per k byte)
 DEFAULT_CHUNK_POINTS = 50_000
 
-# (name, las dtype, integer width code) — order is the stream order.
-# width 4 = int32-representable field, 8 = int64/bit-cast double.
+# (name, las dtype) — order is the stream order; f64 fields are
+# bit-cast to i64 for the delta stream and cast back on decode.
 _FIELDS = [
     ("X", np.int32), ("Y", np.int32), ("Z", np.int32),
     ("intensity", np.uint16), ("classification", np.uint8),
