@@ -3152,6 +3152,90 @@ def _q_synth_nms_boxes(sf_dir: str):
                       halo_m=halo)
 
 
+def _q_synth_holed_nms(sf_dir: str):
+    """Greedy NMS over integer-snapped crown boxes where every
+    crown_id % 3 == 0 box (that is at least 3×3 m) carries a centered
+    1 m-inset rectangular INTERIOR RING — the hole-aware NMS path
+    (VERDICT r4 #2: nms kernels previously treated holed polygons as
+    filled). Net areas and pairwise overlaps go through
+    geom.polygon_area_with_holes / intersection_area_with_holes; with
+    axis-rect rings every inclusion–exclusion term is the closed-form
+    integer bbox product, so the DuckDB oracle reproduces the greedy
+    pass bit-for-bit (same construction discipline as
+    synth_nms_boxes). The score intentionally uses the GROSS box area
+    (+ id hash) so greedy ORDER matches synth_nms_boxes and only the
+    suppression geometry changes."""
+    import pyarrow as pa
+
+    from geotreehealth_ray.pipelines.nms import greedy_nms
+
+    p = _synth_paths()
+
+    def to_holed_boxes(t: pa.Table) -> pa.Table:
+        x1 = np.floor(t["minx"].to_numpy())
+        y1 = np.floor(t["miny"].to_numpy())
+        x2 = np.ceil(t["maxx"].to_numpy())
+        y2 = np.ceil(t["maxy"].to_numpy())
+        ids = t["crown_id"].to_pylist()
+        num = np.array([int(s[2:]) for s in ids], dtype=np.int64)
+        score = (x2 - x1) * (y2 - y1) + (num % 97).astype(np.float64)
+        n = len(ids)
+        xs = np.empty(4 * n); ys = np.empty(4 * n)
+        xs[0::4], xs[1::4], xs[2::4], xs[3::4] = x1, x2, x2, x1
+        ys[0::4], ys[1::4], ys[2::4], ys[3::4] = y1, y1, y2, y2
+        pts = pa.StructArray.from_arrays(
+            [pa.array(xs, pa.float64()), pa.array(ys, pa.float64())],
+            ["x", "y"],
+        )
+        ring = pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1) * 4, pa.int32()), pts)
+        # deterministic interior ring: 1 m inset, only where it stays
+        # a proper hole (box strictly wider than 2 m each way)
+        has = (num % 3 == 0) & (x2 - x1 > 2) & (y2 - y1 > 2)
+        m = int(has.sum())
+        hx1, hy1 = x1[has] + 1.0, y1[has] + 1.0
+        hx2, hy2 = x2[has] - 1.0, y2[has] - 1.0
+        hxs = np.empty(4 * m); hys = np.empty(4 * m)
+        hxs[0::4], hxs[1::4], hxs[2::4], hxs[3::4] = hx1, hx2, hx2, hx1
+        hys[0::4], hys[1::4], hys[2::4], hys[3::4] = hy1, hy1, hy2, hy2
+        hpts = pa.StructArray.from_arrays(
+            [pa.array(hxs, pa.float64()), pa.array(hys, pa.float64())],
+            ["x", "y"],
+        )
+        hring = pa.ListArray.from_arrays(
+            pa.array(np.arange(m + 1) * 4, pa.int32()), hpts)
+        holes = pa.ListArray.from_arrays(
+            pa.array(np.concatenate([[0], np.cumsum(has.astype(np.int32))]),
+                     pa.int32()),
+            hring)
+        return pa.table({
+            "crown_id": t["crown_id"],
+            "ring": ring,
+            "holes": holes,
+            "score": pa.array(score, pa.float64()),
+            "cx": pa.array((x1 + x2) * 0.5, pa.float64()),
+            "cy": pa.array((y1 + y2) * 0.5, pa.float64()),
+            "minx": pa.array(x1, pa.float64()),
+            "miny": pa.array(y1, pa.float64()),
+            "maxx": pa.array(x2, pa.float64()),
+            "maxy": pa.array(y2, pa.float64()),
+        })
+
+    boxes = _rd().read_parquet(p["crowns"]).map_batches(
+        to_holed_boxes, batch_format="pyarrow")
+    # same derived-halo rule as synth_nms_boxes: holes only SHRINK
+    # overlaps, so the chain-hop bound from the gross box sides holds
+    import duckdb as _dk
+
+    mx = _dk.sql(
+        f"SELECT max(ceil(maxx) - floor(minx)), max(ceil(maxy) - floor(miny)) "
+        f"FROM read_parquet('{_SYNTH_CACHE}/crowns/*.parquet')"
+    ).fetchone()
+    halo = 2.0 * (max(mx[0], mx[1]) + 1.0)
+    return greedy_nms(boxes, threshold=0.3, criterion="max_area_frac",
+                      halo_m=halo)
+
+
 def _q_synth_chips(sf_dir: str):
     from geotreehealth_ray.pipelines.chips import GridSpec, extract_chips_storage
     from geotreehealth_ray.sources import synth
@@ -3654,6 +3738,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "synth_holed_assign": _q_synth_holed_assign,
         "synth_nms": _q_synth_nms,
         "synth_nms_boxes": _q_synth_nms_boxes,
+        "synth_holed_nms": _q_synth_holed_nms,
         "synth_chips": _q_synth_chips,
         "synth_resume": _q_synth_resume,
         "synth_holed_chips": _q_synth_holed_chips,
@@ -4764,6 +4849,90 @@ def oracle_sql() -> dict[str, str]:
                             {{'id': cand.crown_id, 'x1': cand.x1,
                               'y1': cand.y1, 'x2': cand.x2,
                               'y2': cand.y2, 'area': cand.area}})
+                     ELSE st.kept END
+              FROM st JOIN b cand ON cand.r = st.cur + 1),
+            final AS (
+              SELECT kept FROM st ORDER BY cur DESC LIMIT 1),
+            kept_ids AS (
+              SELECT unnest(kept).id AS crown_id FROM final)
+            SELECT b.crown_id,
+                   b.crown_id IN (SELECT crown_id FROM kept_ids)
+                     AS selected
+            FROM b
+        """,
+        "synth_holed_nms": f"""
+            -- hole-aware greedy NMS over integer-snapped boxes: every
+            -- id%3==0 box (>2 m each way) carries a 1 m-inset
+            -- rectangular hole. Net area = gross − hole; pair overlap
+            -- by inclusion–exclusion R(a,b) − R(ha,b) − R(hb,a)
+            -- + R(ha,hb), each term a closed-form integer bbox
+            -- product, so every double op is exact and the recursive
+            -- greedy matches the distributed hole-aware kernel
+            -- bit-for-bit. Score uses the GROSS area (matches the
+            -- engine-side construction in _q_synth_holed_nms).
+            WITH RECURSIVE c AS (
+              SELECT crown_id,
+                     floor(minx) AS x1, floor(miny) AS y1,
+                     ceil(maxx) AS x2, ceil(maxy) AS y2,
+                     CAST(substr(crown_id, 3) AS BIGINT) AS num
+              FROM read_parquet('{_SYNTH_CACHE}/crowns/*.parquet')),
+            h AS (
+              SELECT crown_id, x1, y1, x2, y2,
+                     (x2 - x1) * (y2 - y1)
+                       + CAST(num % 97 AS DOUBLE) AS score,
+                     CASE WHEN num % 3 = 0 AND x2 - x1 > 2
+                               AND y2 - y1 > 2
+                          THEN x1 + 1 ELSE x1 END AS hx1,
+                     CASE WHEN num % 3 = 0 AND x2 - x1 > 2
+                               AND y2 - y1 > 2
+                          THEN y1 + 1 ELSE y1 END AS hy1,
+                     CASE WHEN num % 3 = 0 AND x2 - x1 > 2
+                               AND y2 - y1 > 2
+                          THEN x2 - 1 ELSE x1 END AS hx2,
+                     CASE WHEN num % 3 = 0 AND x2 - x1 > 2
+                               AND y2 - y1 > 2
+                          THEN y2 - 1 ELSE y1 END AS hy2
+              FROM c),
+            b AS (
+              SELECT *,
+                     (x2 - x1) * (y2 - y1)
+                       - (hx2 - hx1) * (hy2 - hy1) AS area,
+                     row_number() OVER (ORDER BY score DESC, crown_id)
+                       AS r
+              FROM h),
+            st AS (
+              SELECT 0 AS cur,
+                     CAST([] AS STRUCT(id VARCHAR, x1 DOUBLE, y1 DOUBLE,
+                                       x2 DOUBLE, y2 DOUBLE,
+                                       hx1 DOUBLE, hy1 DOUBLE,
+                                       hx2 DOUBLE, hy2 DOUBLE,
+                                       area DOUBLE)[]) AS kept
+              UNION ALL
+              SELECT st.cur + 1,
+                     CASE WHEN len(list_filter(st.kept, k ->
+                          (greatest(0, least(k.x2, cand.x2)
+                                       - greatest(k.x1, cand.x1))
+                           * greatest(0, least(k.y2, cand.y2)
+                                         - greatest(k.y1, cand.y1))
+                           - greatest(0, least(k.hx2, cand.x2)
+                                         - greatest(k.hx1, cand.x1))
+                             * greatest(0, least(k.hy2, cand.y2)
+                                           - greatest(k.hy1, cand.y1))
+                           - greatest(0, least(cand.hx2, k.x2)
+                                         - greatest(cand.hx1, k.x1))
+                             * greatest(0, least(cand.hy2, k.y2)
+                                           - greatest(cand.hy1, k.y1))
+                           + greatest(0, least(k.hx2, cand.hx2)
+                                         - greatest(k.hx1, cand.hx1))
+                             * greatest(0, least(k.hy2, cand.hy2)
+                                           - greatest(k.hy1, cand.hy1)))
+                          / greatest(k.area, cand.area) > 0.3)) = 0
+                     THEN list_append(st.kept,
+                            {{'id': cand.crown_id, 'x1': cand.x1,
+                              'y1': cand.y1, 'x2': cand.x2,
+                              'y2': cand.y2, 'hx1': cand.hx1,
+                              'hy1': cand.hy1, 'hx2': cand.hx2,
+                              'hy2': cand.hy2, 'area': cand.area}})
                      ELSE st.kept END
               FROM st JOIN b cand ON cand.r = st.cur + 1),
             final AS (

@@ -520,6 +520,42 @@ def _is_convex(ring: np.ndarray) -> bool:
     return bool((cross >= -1e-9).all() or (cross <= 1e-9).all())
 
 
+def intersection_area_with_holes(a: np.ndarray,
+                                 ha: list[np.ndarray] | None,
+                                 b: np.ndarray,
+                                 hb: list[np.ndarray] | None) -> float:
+    """Exact area of (a − ∪ha) ∩ (b − ∪hb) for polygons with interior
+    rings, by inclusion–exclusion over the hole rings:
+
+        I = I(a,b) − Σᵢ I(haᵢ,b) − Σⱼ I(hbⱼ,a) + Σᵢⱼ I(haᵢ,hbⱼ)
+
+    Valid under OGC polygon validity — each polygon's holes are
+    pairwise disjoint and contained in its exterior, which collapses
+    haᵢ∩a∩b to haᵢ∩b (and symmetrically). Each term is
+    :func:`intersection_area_star`, so the whole expression is exact
+    for arbitrary simple rings, and closed-form (integer-exact) when
+    every ring is an axis-aligned rectangle — the property the
+    synth_holed_nms DuckDB oracle relies on. Hole-free inputs cost one
+    extra truthiness check over plain intersection_area_star.
+
+    Reference parity: shapely ``intersection(...).area`` on holed
+    polygons (the reference's ``difference`` outputs,
+    tree_delineation/delineation_utils.py:38-47, feed its overlap
+    checks at batch_sam.py:150-151)."""
+    total = intersection_area_star(a, b)
+    if total <= 0.0:
+        return 0.0
+    for h in ha or ():
+        total -= intersection_area_star(h, b)
+    for h in hb or ():
+        total -= intersection_area_star(h, a)
+    if ha and hb:
+        for i in ha:
+            for j in hb:
+                total += intersection_area_star(i, j)
+    return max(total, 0.0)
+
+
 def iou_star(a: np.ndarray, b: np.ndarray) -> float:
     """IoU = |a∩b| / |a∪b| (reference ``calculate_overlap``,
     batch_sam.py:150-151)."""

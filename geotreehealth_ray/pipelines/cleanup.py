@@ -32,7 +32,12 @@ from .relational import sorted_group_map
 
 from ..functions import cells, geom
 from ..stages.spatial import pack_rings, rings_from_binary, scramble_cell
-from .nms import DEFAULT_HALO_M, _explode_with_halo
+from .nms import (
+    DEFAULT_HALO_M,
+    _explode_with_halo,
+    _group_holes,
+    _maybe_pack_holes,
+)
 
 __all__ = ["remove_perc_of_smallest", "remove_smaller_overlapping",
            "subtract_overlap_from_larger_kernel", "explode_multirings",
@@ -64,8 +69,13 @@ def _drop_smaller_kernel(group: pa.Table, min_frac: float) -> pa.Table:
     ids = group["crown_id"].to_numpy(zero_copy_only=False)
     owner = group["owner"].to_numpy(zero_copy_only=False)
     rings = rings_from_binary(group["ring_b"])
+    holes = _group_holes(group)
     n = len(ids)
-    areas = np.array([geom.ring_area(r) for r in rings])
+    if holes is None:
+        areas = np.array([geom.ring_area(r) for r in rings])
+    else:
+        areas = np.array([geom.polygon_area_with_holes(r, h)
+                          for r, h in zip(rings, holes)])
     bboxes = np.array([geom.ring_bbox(r) for r in rings]) if n else np.empty((0, 4))
     # deterministic order: area desc, id asc; larger polygons "defend"
     order = np.lexsort((ids, -areas))
@@ -80,7 +90,11 @@ def _drop_smaller_kernel(group: pa.Table, min_frac: float) -> pa.Table:
                 continue
             if not geom.bbox_intersects(*bboxes[i], *bboxes[j]):
                 continue
-            inter = geom.intersection_area_star(rings[i], rings[j])
+            if holes is None:
+                inter = geom.intersection_area_star(rings[i], rings[j])
+            else:
+                inter = geom.intersection_area_with_holes(
+                    rings[i], holes[i], rings[j], holes[j])
             if inter > min_frac * min(areas[i], areas[j]):
                 dropped[j] = True  # j is the smaller (order is area desc)
     keep = owner & ~dropped
@@ -96,9 +110,11 @@ def remove_smaller_overlapping(crowns, min_frac: float = 0.5,
                                res: int = cells.DEFAULT_RES,
                                halo_m: float = DEFAULT_HALO_M):
     """(crown_id, kept) — survivors after dropping the smaller of every
-    pair overlapping > min_frac of the smaller area."""
+    pair overlapping > min_frac of the smaller area. Hole-aware when
+    the input carries a ``holes`` column (same contract as the NMS
+    family; VERDICT r4 #2)."""
     cols = ["crown_id", "ring", "cx", "cy", "minx", "miny", "maxx", "maxy"]
-    c = crowns.select_columns(cols).map_batches(pack_rings, batch_format="pyarrow")
+    c = _maybe_pack_holes(crowns, cols)
     exploded = c.map_batches(
         _explode_with_halo, batch_format="pyarrow",
         fn_kwargs={"res": res, "halo_m": halo_m},
@@ -125,7 +141,11 @@ def subtract_overlap_from_larger_kernel(ring_a: np.ndarray, ring_b: np.ndarray,
     overlap yields one keyhole ring with exact shoelace area.
 
     ``res_m`` is retained for API compatibility; the vector path does
-    not quantize."""
+    not quantize. Scalar contract: operates on EXTERIOR rings only —
+    interior rings cannot be passed through this signature; holed
+    inputs must subtract holes upstream (geom.difference_rings) or go
+    through the hole-aware dataset kernels (nms.greedy_nms /
+    remove_smaller_overlapping)."""
     a_area = geom.ring_area(ring_a)
     b_area = geom.ring_area(ring_b)
     inter = geom.intersection_area_star(ring_a, ring_b)
@@ -155,16 +175,37 @@ def explode_multirings(ds, rings_col: str = "rings"):
 
 def drop_degenerate(crowns, min_area: float = 1e-9):
     """Filter rings with < 3 vertices or ~zero area (degenerate
-    geometries — reference delineation_utils.py:258-272)."""
+    geometries — reference delineation_utils.py:258-272). Hole-aware:
+    when a ``holes`` column is present the area test uses the NET
+    area (exterior minus interior rings), so a polygon hollowed down
+    to ~nothing is dropped like the reference's shapely ``.area``
+    would."""
+    have_holes = "holes" in (crowns.columns() or [])
 
     def fn(t: pa.Table) -> pa.Table:
         from ..stages.spatial import rings_from_arrow
 
         rings = rings_from_arrow(t["ring"])
-        ok = np.array(
-            [len(r) >= 3 and geom.ring_area(r) > min_area for r in rings],
-            dtype=bool,
-        )
+        if have_holes:
+            from ..stages.spatial import _nested_loops_arrays
+
+            n_r, rv, xs, ys, vstart, rstart = _nested_loops_arrays(t["holes"])
+            hole_area = np.zeros(len(t))
+            ri = 0
+            for row in range(len(t)):
+                for _ in range(int(n_r[row])):
+                    s, m = int(vstart[ri]), int(rv[ri])
+                    hole_area[row] += geom.ring_area(
+                        np.column_stack([xs[s:s + m], ys[s:s + m]]))
+                    ri += 1
+            ok = np.array(
+                [len(r) >= 3 and geom.ring_area(r) - ha > min_area
+                 for r, ha in zip(rings, hole_area)], dtype=bool)
+        else:
+            ok = np.array(
+                [len(r) >= 3 and geom.ring_area(r) > min_area for r in rings],
+                dtype=bool,
+            )
         return t.filter(pa.array(ok))
 
     return crowns.map_batches(fn, batch_format="pyarrow")

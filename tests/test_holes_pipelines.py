@@ -145,3 +145,106 @@ def test_pip_pairs_and_assign_exclude_hole_stems(ray_session):
     # the nearest-stem pick; in_hole is excluded by the hole parity)
     assert sorted(un.to_pandas()["stem_id"]) == [
         "in_hole", "in_ring", "outside"]
+
+
+def _ring_col(rings):
+    return pa.array([[{"x": float(x), "y": float(y)} for x, y in r]
+                     for r in rings], RING_T)
+
+
+def _holes_col(holes):
+    return pa.array([[[{"x": float(x), "y": float(y)} for x, y in h]
+                      for h in hs] for hs in holes], HOLES_T)
+
+
+def _sq(x1, y1, x2, y2):
+    return np.array([[x1, y1], [x2, y1], [x2, y2], [x1, y2]], float)
+
+
+def test_intersection_area_with_holes_exact():
+    a = _sq(0, 0, 10, 10); ha = [_sq(1, 1, 9, 9)]
+    b = _sq(2, 2, 8, 8)
+    # b entirely inside a's hole -> zero net intersection
+    assert geom.intersection_area_with_holes(a, ha, b, None) == 0.0
+    # filled comparison
+    assert geom.intersection_area_star(a, b) == 36.0
+    # partial: c overlaps a's frame and hole
+    c = _sq(-2, -2, 3, 3)  # I(a,c)=9, I(ha,c)=4 -> 5
+    assert geom.intersection_area_with_holes(a, ha, c, None) == 5.0
+    # holes on both sides incl. hole-hole overlap
+    d = _sq(0, 0, 10, 10); hd = [_sq(3, 3, 7, 7)]
+    # I(a,d)=100 - I(ha,d)=64 - I(hd,a)=16 + I(ha,hd)=16 -> 36
+    assert geom.intersection_area_with_holes(a, ha, d, hd) == 36.0
+    assert geom.polygon_area_with_holes(a, ha) == 36.0
+
+
+def _nms_input(ray_session):
+    """A = 10x10 donut (frame), B = 6x6 box inside A's hole, C = far
+    box. Filled treatment suppresses B under A; hole-aware keeps it."""
+    import ray.data as rd
+
+    rings = [_sq(0, 0, 10, 10), _sq(2, 2, 8, 8), _sq(20, 20, 26, 26)]
+    holes = [[_sq(1, 1, 9, 9)], [], []]
+    t = pa.table({
+        "crown_id": pa.array(["c_A", "c_B", "c_C"]),
+        "ring": _ring_col(rings),
+        "holes": _holes_col(holes),
+        "score": pa.array([3.0, 2.0, 1.0]),
+        "cx": pa.array([5.0, 5.0, 23.0]),
+        "cy": pa.array([5.0, 5.0, 23.0]),
+        "minx": pa.array([0.0, 2.0, 20.0]),
+        "miny": pa.array([0.0, 2.0, 20.0]),
+        "maxx": pa.array([10.0, 8.0, 26.0]),
+        "maxy": pa.array([10.0, 8.0, 26.0]),
+    })
+    return rd.from_arrow(t), rd.from_arrow(t.drop_columns(["holes"]))
+
+
+def test_greedy_nms_hole_aware(ray_session):
+    from geotreehealth_ray.pipelines.nms import greedy_nms
+
+    holed, filled = _nms_input(ray_session)
+    a = greedy_nms(holed, threshold=0.3).to_pandas().set_index("crown_id")
+    b = greedy_nms(filled, threshold=0.3).to_pandas().set_index("crown_id")
+    assert bool(a.loc["c_B", "selected"]) is True     # hole: no overlap
+    assert bool(b.loc["c_B", "selected"]) is False    # filled: suppressed
+    assert bool(a.loc["c_A", "selected"]) and bool(a.loc["c_C", "selected"])
+
+
+def test_merge_components_hole_aware(ray_session):
+    from geotreehealth_ray.pipelines.nms import merge_overlapping_components
+
+    holed, filled = _nms_input(ray_session)
+    a = merge_overlapping_components(holed).to_pandas().set_index("crown_id")
+    b = merge_overlapping_components(filled).to_pandas().set_index("crown_id")
+    assert a.loc["c_A", "component_id"] != a.loc["c_B", "component_id"]
+    assert b.loc["c_A", "component_id"] == b.loc["c_B", "component_id"]
+
+
+def test_remove_smaller_overlapping_hole_aware(ray_session):
+    from geotreehealth_ray.pipelines.cleanup import remove_smaller_overlapping
+
+    holed, filled = _nms_input(ray_session)
+    a = remove_smaller_overlapping(holed, min_frac=0.5).to_pandas()
+    b = remove_smaller_overlapping(filled, min_frac=0.5).to_pandas()
+    assert sorted(a["crown_id"]) == ["c_A", "c_B", "c_C"]
+    assert sorted(b["crown_id"]) == ["c_A", "c_C"]
+
+
+def test_drop_degenerate_net_area(ray_session):
+    import ray.data as rd
+
+    from geotreehealth_ray.pipelines.cleanup import drop_degenerate
+
+    rings = [_sq(0, 0, 4, 4), _sq(10, 10, 14, 14)]
+    holes = [[_sq(0, 0, 4, 4)], []]  # first is hollowed to zero net
+    t = pa.table({
+        "crown_id": pa.array(["hollow", "solid"]),
+        "ring": _ring_col(rings),
+        "holes": _holes_col(holes),
+    })
+    out = drop_degenerate(rd.from_arrow(t)).to_pandas()
+    assert out["crown_id"].tolist() == ["solid"]
+    out2 = drop_degenerate(
+        rd.from_arrow(t.drop_columns(["holes"]))).to_pandas()
+    assert sorted(out2["crown_id"]) == ["hollow", "solid"]
