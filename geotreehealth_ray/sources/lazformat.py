@@ -211,7 +211,17 @@ def write_laz(ds, out_path: str, scale: float = 0.001,
     GLZ roundtrip equals a LAS roundtrip bit-for-bit. Returns point
     count. Single-file writer (the merged-output contract); the
     CHUNKS inside are independently decodable, so reading back is
-    parallel regardless."""
+    parallel regardless.
+
+    .. warning:: NOT laszip-interoperable (ADVICE r4). The output
+       carries the LAS compressed bit and the ``.laz`` extension but
+       the stream is this engine's own GLZ codec (identified by the
+       ``GRAFT_GLZ`` VLR) — laszip/laspy/PDAL and the reference's
+       laspy reader (store_data_structures.py:42-55) cannot read it,
+       and :func:`parse_laz_points` loudly refuses foreign laszip
+       streams for the same reason. Use these files only within this
+       engine, or write uncompressed ``.las`` (:func:`write_las`)
+       for interchange."""
     cols_avail = set(ds.columns() or [])
     names = [nm for nm, _ in _FIELDS
              if nm in ("X", "Y", "Z") or nm in cols_avail]
@@ -277,12 +287,17 @@ def write_laz(ds, out_path: str, scale: float = 0.001,
                 dt = _FIELD_BY_NAME[nm]
                 if nm in batch.column_names:
                     v = batch[nm].to_numpy(zero_copy_only=False)
+                    # float64 fields (gps_time) travel as int64 BIT
+                    # views; cast any narrower float input to float64
+                    # FIRST so encode bit-cast == decode bit-view
+                    # (ADVICE r4: a float32 input was value-cast to
+                    # int64 here but bit-viewed as float64 on read,
+                    # silently producing garbage)
                     pend[nm].append(
-                        v.view(np.int64).astype(np.int64)
-                        if dt == np.float64 and v.dtype == np.float64
-                        else np.asarray(v).astype(np.int64
-                                                  if dt == np.float64
-                                                  else dt))
+                        np.asarray(v).astype(np.float64,
+                                             copy=False).view(np.int64)
+                        if dt == np.float64
+                        else np.asarray(v).astype(dt))
                 else:
                     pend[nm].append(np.zeros(len(batch), np.int64))
         pend_n += len(batch)
@@ -416,15 +431,21 @@ def parse_laz_points(path: str, chunk_start: int = 0,
         "y": pa.array(cat["Y"] * sy + oy, pa.float64()),
         "z": pa.array(cat["Z"] * sz + oz, pa.float64()),
     }
-    # bbox sanity: a desynced/corrupt stream produces wild coordinates
+    # bbox sanity: a desynced/corrupt stream produces wild
+    # coordinates. The bound is the structural maximum representable
+    # span for this header's scale — grid indices are int32, so a
+    # valid file's span cannot exceed 2**32 * scale per axis (ADVICE
+    # r4: a fixed 1e7 m constant rejected valid coarse-scale files
+    # this engine itself can write).
     if n:
-        for c in ("x", "y", "z"):
+        for c, s in (("x", sx), ("y", sy), ("z", sz)):
             v = out[c].to_numpy()
             span = abs(float(v.max() - v.min()))
-            if not np.isfinite(span) or span > 1e7:
+            if not np.isfinite(span) or span > 2.0**32 * s:
                 raise ValueError(
-                    f"{path}: decoded {c} span {span:.3g} m fails the "
-                    "sanity bound — corrupt or foreign GLZ stream")
+                    f"{path}: decoded {c} span {span:.3g} m exceeds "
+                    f"the representable {2.0**32 * s:.3g} m for scale "
+                    f"{s} — corrupt or foreign GLZ stream")
     for nm in names:
         if nm in ("X", "Y", "Z"):
             continue

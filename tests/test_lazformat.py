@@ -144,3 +144,37 @@ def test_empty_dataset_roundtrip(ray_session, tmp_path):
         "z": pa.array([], pa.float64())}))
     assert lz.write_laz(empty, path, origin=(0.0, 0.0, 0.0)) == 0
     assert lz.parse_laz_points(path).num_rows == 0
+
+
+def test_gps_time_float32_input_roundtrips_by_value(ray_session, tmp_path):
+    """ADVICE r4: a non-float64 gps_time used to be value-cast to
+    int64 on encode but bit-viewed as float64 on decode — garbage.
+    Now any float dtype is widened to float64 before the bit-cast,
+    so the decode returns the float64-widened values exactly."""
+    cols = _cloud(n=2000, rgb=False)
+    f32 = cols["gps_time"].astype(np.float32)
+    cols["gps_time"] = f32
+    path = str(tmp_path / "g32.laz")
+    lz.write_laz(_ds(cols), path, scale=0.001, origin=(2000.0, 3000.0, 0.0))
+    t = lz.parse_laz_points(path)
+    np.testing.assert_array_equal(t["gps_time"].to_numpy(),
+                                  f32.astype(np.float64))
+
+
+def test_sanity_bound_scales_with_header_scale(ray_session, tmp_path):
+    """ADVICE r4: the corrupt-stream span bound is 2^32 * scale, not
+    a fixed 1e7 m — a coarse-scale (0.01) file spanning 2e7 m is
+    valid output of write_laz and must read back."""
+    n = 5000
+    rng = np.random.default_rng(3)
+    cols = {
+        "x": np.sort(rng.uniform(0.0, 2.0e7, n)),
+        "y": rng.uniform(0.0, 100.0, n),
+        "z": rng.uniform(0.0, 50.0, n),
+    }
+    path = str(tmp_path / "wide.laz")
+    lz.write_laz(_ds(cols), path, scale=0.01, origin=(0.0, 0.0, 0.0))
+    t = lz.parse_laz_points(path)
+    assert len(t) == n
+    want = np.floor(cols["x"] * 100 + 0.5) * 0.01
+    np.testing.assert_array_equal(t["x"].to_numpy(), want)
