@@ -19,3 +19,11 @@ def ray_session():
     ctx.enable_progress_bars = False
     yield
     ray.shutdown()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "full_gate: full queries()-vs-oracle_sql() gate at sf0.001 "
+        "(~4 min; deselect with -m 'not full_gate' when iterating)",
+    )

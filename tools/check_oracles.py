@@ -36,18 +36,12 @@ def value_hash(df: pd.DataFrame) -> str:
     return hashlib.md5("\n".join(rows).encode()).hexdigest()
 
 
-def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    import ray
-
-    if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False,
-                 ignore_reinit_error=True, logging_level="ERROR")
-    from ray.data import DataContext
-
-    DataContext.get_current().enable_progress_bars = False
-
+def run_gate(sf_dir: str, only=None, echo=print) -> int:
+    """Run every queries() entry at sf_dir against its oracle_sql()
+    (rows + sorted-schema + order-insensitive value hash) and return
+    the failure count. Assumes Ray is ALREADY initialised (the pytest
+    session fixture or main() below owns the session); never inits or
+    shuts down Ray itself, so it is safe to call from tests."""
     import __ray_entry__ as mod
 
     qs = mod.queries()
@@ -63,28 +57,44 @@ def main():
         try:
             got = to_pandas(fn(sf_dir))
         except Exception as e:
-            print(f"FAIL {name}: query raised {type(e).__name__}: {e}")
+            echo(f"FAIL {name}: query raised {type(e).__name__}: {e}")
             failures += 1
             continue
         if name not in oracles:
-            print(f"okR  {name}: rows={len(got)} (rows-only, no oracle)")
+            echo(f"okR  {name}: rows={len(got)} (rows-only, no oracle)")
             continue
         exp = con.sql(oracles[name]).df()
         ok_rows = len(got) == len(exp)
         ok_schema = sorted(got.columns) == sorted(exp.columns)
         ok_hash = ok_rows and ok_schema and value_hash(got) == value_hash(exp)
         if ok_hash:
-            print(f"OK   {name}: rows={len(got)}")
+            echo(f"OK   {name}: rows={len(got)}")
         else:
             failures += 1
-            print(f"FAIL {name}: rows {len(got)} vs {len(exp)}; "
-                  f"schema {sorted(got.columns)} vs {sorted(exp.columns)}; hash_eq={ok_hash}")
+            echo(f"FAIL {name}: rows {len(got)} vs {len(exp)}; "
+                 f"schema {sorted(got.columns)} vs {sorted(exp.columns)}; hash_eq={ok_hash}")
             if ok_rows and ok_schema:
                 g = got[sorted(got.columns)].sort_values(sorted(got.columns)).reset_index(drop=True)
                 e = exp[sorted(exp.columns)].sort_values(sorted(exp.columns)).reset_index(drop=True)
                 diff = (g.astype(str) != e.astype(str)).any(axis=1)
-                print(g[diff].head(3))
-                print(e[diff].head(3))
+                echo(g[diff].head(3))
+                echo(e[diff].head(3))
+    return failures
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    failures = run_gate(sf_dir, only=only)
     ray.shutdown()
     sys.exit(1 if failures else 0)
 
