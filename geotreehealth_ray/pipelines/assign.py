@@ -54,26 +54,62 @@ from ..stages.spatial import (
 
 __all__ = ["assign_stems_to_crowns", "candidate_pairs_schema"]
 
-# Exchange payload (VERDICT r3 next #3): crown-only fields — centroid,
-# multi-cell flag, every ring loop (exterior + interior) — are FUSED
-# into one ``crown_b`` blob (stages.spatial.pack_crown_blobs) instead
-# of 4 separate columns. The stem side (the replicated, dominant side
-# of the union) previously paid ~24 dead bytes/row for the crown
-# columns' null slots (2 allocated float64 + 2 binary offsets); now it
-# pays one 4-byte blob offset. The blob also carries interior rings,
+# Exchange payload (VERDICT r3 next #3 + r4 next #3): crown-only
+# fields — centroid, multi-cell flag, every ring loop (exterior +
+# interior) — are FUSED into one blob (stages.spatial.pack_crown_blobs)
+# instead of 4 separate columns; the blob also carries interior rings,
 # making the PIP kernels hole-aware (crossing parity over all loops —
-# crown_pack_from_blob) with no kernel change.
+# crown_pack_from_blob) with no kernel change. r5 slims the schema to
+# FOUR columns: both sides have exactly one id (stem_id XOR crown_id)
+# so they share the ``id`` column, and the stem coordinates pack into
+# the shared ``payload`` binary column (16 B fixed rows — _pack_xy)
+# that crowns use for their blob. Arrow null columns are NOT free —
+# a null float64 column still allocates 8 B/row and a null
+# string/binary column 4 B/row of offsets — so the 7-column schema
+# paid ~8 dead B per stem row and ~20 dead B per crown row
+# (tools/measure_exchange.py: union 345 → 311 MB at 960k, −10%).
 _UNION_SCHEMA = pa.schema(
     [
         ("side", pa.int8()),  # 0 = stem, 1 = crown
         ("cell", pa.uint64()),
-        ("stem_id", pa.string()),
-        ("x", pa.float64()),
-        ("y", pa.float64()),
-        ("crown_id", pa.string()),
-        ("crown_b", pa.binary()),
+        ("id", pa.string()),       # stem_id (side 0) / crown_id (side 1)
+        ("payload", pa.binary()),  # packed (x, y) / crown blob
     ]
 )
+
+
+def _pack_xy(x: np.ndarray, y: np.ndarray) -> pa.Array:
+    """(x, y) float64 pairs → 16-byte binary rows (the stem payload).
+    Vectorized: one interleaved buffer + uniform offsets."""
+    n = len(x)
+    inter = np.empty(2 * n, np.float64)
+    inter[0::2] = x
+    inter[1::2] = y
+    off = (np.arange(n + 1, dtype=np.int64) * 16).astype(np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(off.tobytes()), pa.py_buffer(inter.tobytes())],
+    )
+
+
+def _unpack_xy(col) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of :func:`_pack_xy` — zero-copy view over the binary
+    column's value buffer (rows are uniform 16 B by construction;
+    loudly guarded)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.array([], np.float64), np.array([], np.float64)
+    bufs = col.buffers()
+    off = np.frombuffer(bufs[1], np.int32)[col.offset:col.offset + n + 1]
+    base, end = int(off[0]), int(off[-1])
+    if end - base != 16 * n:
+        raise ValueError("stem payload rows must be uniform 16 bytes")
+    a = np.frombuffer(memoryview(bufs[2])[base:end],
+                      np.float64).reshape(-1, 2)
+    # aligned copies (BLAS-alignment determinism rule, functions.geom)
+    return np.ascontiguousarray(a[:, 0]), np.ascontiguousarray(a[:, 1])
 # NOTE: salt is FUSED into the mixed cell key (cells.fused_group_key),
 # not carried as a column — the exchange sorts ONE uniform uint64 key,
 # which lets the caller hand the sort analytic uniform boundaries and
@@ -210,6 +246,138 @@ def _reach_stats(crowns, res: int | None = None):
     else:
         hist = zhist
     return mx, my, qx, qy, hist
+
+
+def _parquet_read_files(ds) -> list[str] | None:
+    """The file list iff ``ds`` is a PLAIN parquet read — a bare Read
+    op with a ParquetDatasource and no upstream transforms. Only then
+    is bypassing the Dataset plan semantics-preserving (a filtered or
+    mapped dataset must go through its own plan). None otherwise."""
+    try:
+        dag = ds._logical_plan.dag
+        if type(dag).__name__ != "Read" or dag.input_dependencies:
+            return None
+        if type(getattr(dag, "_datasource", None)).__name__ \
+                != "ParquetDatasource":
+            return None
+        files = ds.input_files()
+        return list(files) or None
+    except Exception:
+        return None
+
+
+def _prepass_chunk(stem_files, crown_files, res: int, stride: int):
+    """One raw-task unit of the fused pre-pass: per-file narrow
+    parquet reads → stem (cell, count) partials (strided sample) and
+    crown reach partials (exact per-file max + strided quantile /
+    histogram samples). Runs as a plain Ray task — see
+    _fused_prepass for why not map_batches."""
+    import pyarrow.parquet as pq
+
+    ks, cs = [], []
+    for f in stem_files:
+        t = pq.read_table(f, columns=["x", "y"])
+        key = cells.cell_of(t["x"].to_numpy()[::stride],
+                            t["y"].to_numpy()[::stride], res)
+        u, c = np.unique(key, return_counts=True)
+        ks.append(u)
+        cs.append(c)
+    mx = my = 0.0
+    rxs, rys, cks = [], [], []
+    step = _CROWN_HIST_STEP
+    for f in crown_files:
+        t = pq.read_table(f, columns=["cx", "cy", "minx", "miny",
+                                      "maxx", "maxy"])
+        cx = t["cx"].to_numpy()
+        cy = t["cy"].to_numpy()
+        rx = np.maximum(cx - t["minx"].to_numpy(),
+                        t["maxx"].to_numpy() - cx)
+        ry = np.maximum(cy - t["miny"].to_numpy(),
+                        t["maxy"].to_numpy() - cy)
+        if len(rx):
+            mx = max(mx, float(rx.max()))  # EXACT max — margin safety
+            my = max(my, float(ry.max()))
+        rxs.append(rx[::step])
+        rys.append(ry[::step])
+        cks.append(cells.cell_of(cx[::step], cy[::step], res))
+    z64 = np.array([], np.uint64)
+    return (
+        np.concatenate(ks) if ks else z64,
+        np.concatenate(cs) if cs else np.array([], np.int64),
+        mx, my,
+        np.concatenate(rxs) if rxs else np.array([], np.float64),
+        np.concatenate(rys) if rys else np.array([], np.float64),
+        np.concatenate(cks) if cks else z64,
+    )
+
+
+def _fused_prepass(stems, crowns, res: int):
+    """BOTH driver pre-passes in one task wave (VERDICT r4 #4): the
+    sampled stem cell histogram and the crown reach/histogram scan are
+    ~0.04 s of actual compute at the 960k bench input, but as two
+    Dataset executions they cost ~1.0 s of plan/schedule/collect
+    latency that never scales with CPUs — the measured floor of the
+    small-input scaling efficiency. When both inputs are PLAIN parquet
+    reads (the production shape; _parquet_read_files), the pre-pass
+    runs as one wave of raw Ray tasks over the file lists — narrow
+    column reads, per-task fold, driver merge — for ~10× less fixed
+    wall. Any other input shape falls back to the two concurrent
+    Dataset executions (correct for arbitrary upstream plans).
+
+    Returns (stem_hist, mx, my, qx, qy, crown_hist). mx/my are the
+    EXACT per-axis max crown reach (margin correctness depends on
+    them); the histograms and the qx/qy quantile come from
+    deterministic stride samples and only steer partitioning choices
+    (salting / outlier split), never output rows — the raw path's
+    samples differ from the Dataset path's only in batch framing."""
+    import ray
+
+    sf = _parquet_read_files(stems)
+    cf = _parquet_read_files(crowns)
+    zhist = (np.array([], np.uint64), np.array([], np.float64))
+    if not (sf and cf):
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            fh = ex.submit(_stem_cell_hist, stems, res)
+            fr = ex.submit(_reach_stats, crowns, res)
+            sh = fh.result()
+            mx, my, qx, qy, crown_hist = fr.result()
+        return sh, mx, my, qx, qy, crown_hist
+
+    n = stems.count()  # parquet metadata — no scan
+    stride = max(1, n // _HOT_SAMPLE_ROWS)
+    k = max(1, min(len(sf) + len(cf),
+                   2 * int(ray.cluster_resources().get("CPU", 8))))
+    fn = ray.remote(_prepass_chunk)
+    outs = ray.get([
+        fn.remote(sf[i::k], cf[i::k], res, stride) for i in range(k)
+    ])
+
+    keys = np.concatenate([o[0] for o in outs])
+    cnts = np.concatenate([o[1] for o in outs])
+    if len(keys):
+        order = np.argsort(keys, kind="stable")
+        keys, cnts = keys[order], cnts[order]
+        new = np.r_[True, keys[1:] != keys[:-1]]
+        gidx = np.cumsum(new) - 1
+        stem_hist = (keys[new],
+                     np.bincount(gidx, weights=cnts) * float(stride))
+    else:
+        stem_hist = zhist
+    mx = max((o[2] for o in outs), default=0.0)
+    my = max((o[3] for o in outs), default=0.0)
+    rx = np.concatenate([o[4] for o in outs])
+    ry = np.concatenate([o[5] for o in outs])
+    qx = float(np.quantile(rx, _REACH_QUANTILE)) if len(rx) else mx
+    qy = float(np.quantile(ry, _REACH_QUANTILE)) if len(ry) else my
+    ck = np.concatenate([o[6] for o in outs])
+    if len(ck):
+        uniq, cnt = np.unique(ck, return_counts=True)
+        crown_hist = (uniq, cnt.astype(np.float64) * _CROWN_HIST_STEP)
+    else:
+        crown_hist = zhist
+    return stem_hist, mx, my, qx, qy, crown_hist
 
 
 def _collect_big_crowns(crowns, qx: float, qy: float) -> pa.Table:
@@ -447,11 +615,9 @@ def _stem_side(batch: pa.Table, res: int, hot_ref=None, salt_all=True) -> pa.Tab
                 cells.fused_group_key(batch["cell"].to_numpy(), salt),
                 pa.uint64(),
             ),
-            "stem_id": batch["stem_id"],
-            "x": batch["x"],
-            "y": batch["y"],
-            "crown_id": pa.nulls(n, pa.string()),
-            "crown_b": pa.nulls(n, pa.binary()),
+            "id": batch["stem_id"],
+            "payload": _pack_xy(batch["x"].to_numpy(),
+                                batch["y"].to_numpy()),
         },
         schema=_UNION_SCHEMA,
     )
@@ -480,11 +646,8 @@ def _crown_side(batch: pa.Table, res: int, hot_ref=None, salt_all=True) -> pa.Ta
         {
             "side": pa.array(np.ones(n, np.int8)),
             "cell": pa.array(cells.fused_group_key(keys, salts), pa.uint64()),
-            "stem_id": pa.nulls(n, pa.string()),
-            "x": pa.nulls(n, pa.float64()),
-            "y": pa.nulls(n, pa.float64()),
-            "crown_id": taken["crown_id"],
-            "crown_b": pack_crown_blobs(taken, multi=(reps > 1)[idx]),
+            "id": taken["crown_id"],
+            "payload": pack_crown_blobs(taken, multi=(reps > 1)[idx]),
         },
         schema=_UNION_SCHEMA,
     )
@@ -516,11 +679,9 @@ def _stem_side_owner(batch: pa.Table, res: int, mx: float, my: float,
         {
             "side": pa.array(np.zeros(n, np.int8)),
             "cell": pa.array(cells.fused_group_key(keys2, salt), pa.uint64()),
-            "stem_id": taken["stem_id"],
-            "x": taken["x"],
-            "y": taken["y"],
-            "crown_id": pa.nulls(n, pa.string()),
-            "crown_b": pa.nulls(n, pa.binary()),
+            "id": taken["stem_id"],
+            "payload": _pack_xy(taken["x"].to_numpy(),
+                                taken["y"].to_numpy()),
         },
         schema=_UNION_SCHEMA,
     )
@@ -555,11 +716,8 @@ def _crown_side_owner(batch: pa.Table, res: int, hot_ref=None,
         {
             "side": pa.array(np.ones(n, np.int8)),
             "cell": pa.array(cells.fused_group_key(keys, salts), pa.uint64()),
-            "stem_id": pa.nulls(n, pa.string()),
-            "x": pa.nulls(n, pa.float64()),
-            "y": pa.nulls(n, pa.float64()),
-            "crown_id": batch["crown_id"],
-            "crown_b": pack_crown_blobs(batch),
+            "id": batch["crown_id"],
+            "payload": pack_crown_blobs(batch),
         },
         schema=_UNION_SCHEMA,
     )
@@ -670,9 +828,8 @@ def _assign_cell(group: pa.Table) -> pa.Table:
     )
     if len(stems) == 0 or len(crowns) == 0:
         return empty
-    sx = stems["x"].to_numpy()
-    sy = stems["y"].to_numpy()
-    sid = stems["stem_id"].to_numpy(zero_copy_only=False)
+    sx, sy = _unpack_xy(stems["payload"])
+    sid = stems["id"].to_numpy(zero_copy_only=False)
     skey = _stem_sort_key(sx, sy)
     order = np.argsort(skey, kind="stable")  # ties broken by (d, id) below
     sx, sy, sid, skey = sx[order], sy[order], sid[order], skey[order]
@@ -684,8 +841,8 @@ def _assign_cell(group: pa.Table) -> pa.Table:
     # faster and give the identical order)
     sid_rank = np.empty(len(sid), np.int64)
     sid_rank[np.argsort(sid, kind="stable")] = np.arange(len(sid))
-    ccx, ccy, cmulti, pack = crown_pack_from_blob(crowns["crown_b"])
-    cids = crowns["crown_id"].to_numpy(zero_copy_only=False)
+    ccx, ccy, cmulti, pack = crown_pack_from_blob(crowns["payload"])
+    cids = crowns["id"].to_numpy(zero_copy_only=False)
     win_ring: list[np.ndarray] = []
     win_pt: list[np.ndarray] = []
     win_d: list[np.ndarray] = []
@@ -772,20 +929,16 @@ def assign_stems_to_crowns(stems, crowns, res: int = cells.DEFAULT_RES,
     want_reach = mode == "owner" and margin is None
     if want_hot and want_reach:
         # the two driver pre-passes (sampled stem histogram, crown
-        # reach + cell-histogram combiner) scan DIFFERENT tables and
-        # are each ~read latency, not CPU — run them concurrently so
-        # the fixed pre-pass cost is paid once, not twice (it is pure
-        # non-scaling wall: measured ~1.8 s serial at every CPU
-        # count on the 3.84M bench input). The crown histogram rides
-        # the reach scan, so the pair-aware salt rule costs no third
-        # pass.
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=2) as _ex:
-            _fh = _ex.submit(_stem_cell_hist, stems, res)
-            _fr = _ex.submit(_reach_stats, crowns, res)
-            _sh = _fh.result()
-            mx_, my_, qx_, qy_, _crown_hist = _fr.result()
+        # reach + cell-histogram combiner) scan DIFFERENT tables but
+        # are each ~driver latency, not CPU — ONE tag-unioned Dataset
+        # execution pays the plan/schedule/collect round once instead
+        # of twice (r4 ran them as two threaded executions; the fixed
+        # non-scaling wall was still ~2 executions' worth and set the
+        # small-input efficiency floor — VERDICT r4 #4). The crown
+        # histogram rides the reach scan, so the pair-aware salt rule
+        # costs no third pass.
+        _sh, mx_, my_, qx_, qy_, _crown_hist = _fused_prepass(
+            stems, crowns, res)
         hot_ref, hot_extra = _salt_table(_sh, _crown_hist)
         _reach = (mx_, my_, qx_, qy_)
     else:
@@ -812,11 +965,11 @@ def assign_stems_to_crowns(stems, crowns, res: int = cells.DEFAULT_RES,
         cover = (1.0 + 2.0 * mx / edge) * (1.0 + 2.0 * my / edge)
         mult = N_SALT if salt_all else 1.0
         stem_rows = n_stems * cover * mult + (0 if salt_all else hot_extra)
-        # per-row constants re-measured for the compact int32-delta
-        # blob (tools/measure_exchange.py @960k: stem row 45.3 B
-        # Arrow + block overheads; crown row 207.5 B — was 335.5 with
-        # f64 verts, 16 B/vertex → 8)
-        return stem_rows * 67.0 + n_crowns * 307.0
+        # per-row constants re-measured for the 4-column slim schema
+        # (tools/measure_exchange.py @960k: stem row 41.0 B Arrow +
+        # block overheads, crown row 187.1 B — the r4 7-column schema
+        # paid 45.3 / 207.5 in dead null slots; union 345 → 312 MB)
+        return stem_rows * 63.0 + n_crowns * 287.0
 
     if mode == "owner":
         import ray
@@ -943,14 +1096,13 @@ def _pairs_cell(group: pa.Table) -> pa.Table:
             {"crown_id": pa.array([], pa.string()),
              "stem_id": pa.array([], pa.string())}
         )
-    sx = stems["x"].to_numpy()
-    sy = stems["y"].to_numpy()
-    sid = stems["stem_id"].to_numpy(zero_copy_only=False)
+    sx, sy = _unpack_xy(stems["payload"])
+    sid = stems["id"].to_numpy(zero_copy_only=False)
     skey = _stem_sort_key(sx, sy)
     order = np.argsort(skey, kind="stable")
     sx, sy, sid, skey = sx[order], sy[order], sid[order], skey[order]
-    _ccx, _ccy, _m, pack = crown_pack_from_blob(crowns["crown_b"])
-    cids = crowns["crown_id"].to_numpy(zero_copy_only=False)
+    _ccx, _ccy, _m, pack = crown_pack_from_blob(crowns["payload"])
+    cids = crowns["id"].to_numpy(zero_copy_only=False)
     out_c, out_s = [], []
     for ring_ids, pt in _candidate_pairs(skey, sy, pack):
         inside = geom.points_in_rings_pairs(sx[pt], sy[pt], ring_ids, pack)
