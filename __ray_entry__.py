@@ -2239,6 +2239,48 @@ def _synth_paths():
 
 
 _GOLDEN_DONE: set = set()
+_INDEPENDENT_DONE: set = set()
+
+
+def _independent_nms_path() -> str:
+    """Materialize the INDEPENDENT single-process greedy-NMS table
+    over the synth crowns and return its parquet path.
+
+    Unlike _golden_sql (whose tables are built from the engine's own
+    per-row kernels and would co-inherit a kernel bug), this oracle
+    comes from tools/independent_oracle.py — a from-scratch y-slab
+    trapezoid-decomposition geometry implementation that shares only
+    the NMS SPEC (reference get_polygons.py:785-819) with the engine,
+    not a line of kernel code (VERDICT r4 #6). Input is read via
+    DuckDB, not the engine's readers."""
+    import importlib.util
+    import os
+
+    _synth_paths()
+    gdir = f"{_SYNTH_CACHE}/independent"
+    path = f"{gdir}/synth_nms.parquet"
+    if "synth_nms" not in _INDEPENDENT_DONE:
+        os.makedirs(gdir, exist_ok=True)
+        spec = importlib.util.spec_from_file_location(
+            "independent_oracle",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "tools", "independent_oracle.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        import duckdb as _dk
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        crowns = _dk.sql(
+            f"SELECT crown_id, ring, score FROM "
+            f"read_parquet('{_SYNTH_CACHE}/crowns/*.parquet')"
+        ).df()
+        df = mod.greedy_nms(crowns, threshold=0.3)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp)
+        os.replace(tmp, path)
+        _INDEPENDENT_DONE.add("synth_nms")
+    return path
 
 
 def _golden_sql(name: str) -> str:
@@ -2259,20 +2301,8 @@ def _golden_sql(name: str) -> str:
     path = f"{gdir}/{name}.parquet"
     if name not in _GOLDEN_DONE:
         os.makedirs(gdir, exist_ok=True)
-        grid = GridSpec.from_synth(synth.TINY)
-        if name == "synth_nms":
-            df = goldenref.golden_nms(goldenref.read_dir(p["crowns"]))
-        elif name == "synth_delineation":
-            df = goldenref.golden_delineation(
-                goldenref.read_dir(p["crowns"]), goldenref.read_dir(p["stems"])
-            )
-        elif name == "synth_training":
-            df = goldenref.golden_training(
-                goldenref.read_dir(p["crowns"]), goldenref.read_dir(p["tiles"]),
-                goldenref.read_dir(p["images"]), goldenref.read_dir(p["lidar"]),
-                grid, rgb_shape=16, max_points=64,
-            )
-        elif name == "synth_alignment":
+        grid = GridSpec.from_synth(synth.TINY)  # noqa: F841 (doc link)
+        if name == "synth_alignment":
             df = goldenref.golden_alignment(goldenref.read_dir(p["stems"]))
         elif name == "synth_pansharpen":
             df = goldenref.golden_pansharpen(goldenref.read_dir(p["images"]))
@@ -2576,9 +2606,18 @@ def _q_synth_health_dataset(sf_dir: str):
 def _q_synth_training(sf_dir: str):
     """Training handoff (reference MultiModalDataset/DataLoader,
     build_dataloaders.py:13-169) as a driver query: chips + per-crown
-    lidar point sets → fixed-shape multimodal samples, streamed back
-    as per-sample checksums (the arrays themselves stay distributed;
-    rows-only check — tensor assembly is not SQL-expressible)."""
+    lidar point sets → fixed-shape multimodal samples. The
+    driver-facing projection is the sample's JOIN/LINEAGE surface —
+    label (caption attach through the chip path) and the raw lidar
+    stats (bbox range-join point count + integer-mm coordinate sums,
+    computed pre-subsample inside the merge fold) — which has an
+    EXACT DuckDB oracle (VERDICT r4 #6; previously a goldenref
+    distribution golden). The tensor BYTES stay verified by
+    tests/test_training_ops.py unit goldens and the
+    fused-vs-composable byte-equality in
+    tests/test_training_handoff.py — the assembly math is per-row and
+    Ray-independent, the distributed surface is the joins checked
+    here."""
     p = _synth_paths()
 
     from geotreehealth_ray.pipelines.chips import GridSpec, extract_chips
@@ -2598,18 +2637,10 @@ def _q_synth_training(sf_dir: str):
     rows = multimodal_training_pipeline(chips, lidar, crowns,
                                         rgb_shape=16, max_points=64)
 
-    def checksum(df: pd.DataFrame) -> pd.DataFrame:
-        import zlib
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["crown_id", "label", "n_pts_raw", "x_c3", "z_c3"]]
 
-        return pd.DataFrame({
-            "crown_id": df["crown_id"],
-            "hsi_crc": [zlib.crc32(b) for b in df["hsi_b"]],
-            "rgb_crc": [zlib.crc32(b) for b in df["rgb_b"]],
-            "lidar_crc": [zlib.crc32(b) for b in df["lidar_b"]],
-            "label": df["label"],
-        })
-
-    return rows.map_batches(checksum, batch_format="pandas")
+    return rows.map_batches(slim, batch_format="pandas")
 
 
 def _q_synth_alignment(sf_dir: str):
@@ -2894,6 +2925,44 @@ def _q_synth_glz_roundtrip(sf_dir: str):
                          "r": t["r"], "g": t["g"], "b": t["b"]})
 
     return gf.read_lidar(path).map_batches(to_mm, batch_format="pyarrow")
+
+
+def _q_synth_glz_ingest(sf_dir: str):
+    """Compressed-LiDAR INGEST at pipeline scale (VERDICT r4 #7): the
+    multi-chunk GLZ file (several independently-decodable 4096-point
+    chunks) is read CHUNK-PARALLEL (>1 decode task — asserted by
+    tests/test_lazformat.py::test_multi_chunk_fan_out against the
+    same chunk planner) and fed straight into the per-crown bbox
+    range-join stats — proving the chunk-table fan-out feeds a real
+    distributed consumer, not just the roundtrip check. Oracle: the
+    synth_lidar_stats SQL over mm-QUANTIZED coordinates (the GLZ
+    grid snap, exact IEEE on both sides)."""
+    from geotreehealth_ray.pipelines.lidar import crown_lidar_stats
+    from geotreehealth_ray.sources import geoformats as gf
+
+    p = _synth_paths()
+    _q_synth_glz_roundtrip(sf_dir)  # ensures the chunked file exists
+    path = f"{_SYNTH_CACHE}/cloud_roundtrip_glz.laz"
+    pts = gf.read_lidar(path, target_chunk_points=4096)
+    stats = crown_lidar_stats(pts, _rd().read_parquet(p["crowns"]))
+
+    def to_units(df: pd.DataFrame) -> pd.DataFrame:
+        # z is mm-quantized here, so a µm-snapped MEAN can land on an
+        # exact .5 boundary where summation order decides the side
+        # (observed once in 351 crowns). sum_z_mm instead: mean×n
+        # recovers the exact integer mm sum (float error ≪ 0.5) —
+        # order-independent on both sides.
+        return pd.DataFrame({
+            "crown_id": df["crown_id"],
+            "n_points": df["n_points"].astype("int64"),
+            "max_z_um": np.floor(
+                df["max_z"].to_numpy() * 1e6 + 0.5).astype("int64"),
+            "sum_z_mm": np.floor(
+                df["mean_z"].to_numpy() * df["n_points"].to_numpy()
+                * 1000.0 + 0.5).astype("int64"),
+        })
+
+    return stats.map_batches(to_units, batch_format="pandas")
 
 
 def _q_synth_wav_roundtrip(sf_dir: str):
@@ -3765,6 +3834,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "synth_geotiff_windows": _q_synth_geotiff_windows,
         "synth_las_roundtrip": _q_synth_las_roundtrip,
         "synth_glz_roundtrip": _q_synth_glz_roundtrip,
+        "synth_glz_ingest": _q_synth_glz_ingest,
         "synth_wav_roundtrip": _q_synth_wav_roundtrip,
         # --- tier 2: dedup / ANN / text training-data family ---
         "doc_exact_dedup": _q_doc_dedup,
@@ -4248,6 +4318,37 @@ def oracle_sql() -> dict[str, str]:
                      AS max_z_um,
                    CAST(floor(sum(l.z) / count(*) * 1000000 + 0.5)
                         AS BIGINT) AS mean_z_um
+            FROM c JOIN l
+              ON l.x >= c.minx AND l.x <= c.maxx
+             AND l.y >= c.miny AND l.y <= c.maxy
+            GROUP BY c.crown_id
+        """,
+        "synth_glz_ingest": f"""
+            -- same range-join stats, but over the GLZ-roundtripped
+            -- cloud: coordinates snap to the writer's mm grid
+            -- (origin 1024/1024/0, scale 0.001 — TINY write_laz
+            -- call), g = floor((v-o)*1000+0.5); decode g*0.001+o.
+            -- Same IEEE ops both sides, so the join and stats are
+            -- exact on the quantized values.
+            WITH l AS (
+              SELECT CAST(floor((x - 1024.0) * 1000.0 + 0.5) AS BIGINT)
+                       * 0.001 + 1024.0 AS x,
+                     CAST(floor((y - 1024.0) * 1000.0 + 0.5) AS BIGINT)
+                       * 0.001 + 1024.0 AS y,
+                     CAST(floor(z * 1000.0 + 0.5) AS BIGINT)
+                       * 0.001 + 0.0 AS z
+              FROM read_parquet('{_SYNTH_CACHE}/lidar/*.parquet')),
+            c AS (
+              SELECT crown_id, minx, miny, maxx, maxy
+              FROM read_parquet('{_SYNTH_CACHE}/crowns/*.parquet'))
+            SELECT c.crown_id, count(*) AS n_points,
+                   CAST(floor(max(l.z) * 1000000 + 0.5) AS BIGINT)
+                     AS max_z_um,
+                   -- exact integer mm sum: a µm-snapped mean of
+                   -- mm-quantized z can land on a .5 boundary where
+                   -- float sum order decides (see _q_synth_glz_ingest)
+                   CAST(sum(CAST(floor(l.z * 1000.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_z_mm
             FROM c JOIN l
               ON l.x >= c.minx AND l.x <= c.maxx
              AND l.y >= c.miny AND l.y <= c.maxy
@@ -6644,12 +6745,53 @@ def oracle_sql() -> dict[str, str]:
             FROM ph a JOIN ph b ON a.image_id < b.image_id
             WHERE bit_count(xor(a.phash, b.phash)) <= 7
         """,
+        # --- independent composites (r5, VERDICT r4 #6): NMS /
+        # delineation against tools/independent_oracle.py — a
+        # from-scratch y-slab geometry implementation sharing no
+        # kernel code with the engine; training against a pure SQL
+        # reconstruction of its join/lineage surface
+        "synth_nms": f"""
+            SELECT crown_id, selected
+            FROM read_parquet('{_independent_nms_path()}')
+        """,
+        "synth_delineation": f"""
+            -- the delineation composition reconstructed without
+            -- engine kernels: NMS flags from the INDEPENDENT
+            -- geometry table, the crown->stem attribute join chain
+            -- in SQL (filter stem_id valid; both hash joins inner)
+            SELECT c.crown_id, c.stem_id, n.selected, s.species
+            FROM read_parquet('{_SYNTH_CACHE}/crowns/*.parquet') c
+            JOIN read_parquet('{_independent_nms_path()}') n
+              ON n.crown_id = c.crown_id
+            JOIN read_parquet('{_SYNTH_CACHE}/stems/*.parquet') s
+              ON s.stem_id = c.stem_id
+            WHERE c.stem_id IS NOT NULL
+        """,
+        "synth_training": "WITH " + _chips_meta_sql() + f""",
+            pts AS (
+              -- the lidar bbox range join, pre-subsample: inclusive
+              -- bounds (assign._bbox_candidate_pairs), integer-mm
+              -- coordinate sums (order-independent adds)
+              SELECT c.crown_id,
+                     count(*) AS n_pts_raw,
+                     CAST(sum(CAST(floor(p.x * 1000 + 0.5) AS BIGINT))
+                          AS BIGINT) AS x_c3,
+                     CAST(sum(CAST(floor(p.z * 1000 + 0.5) AS BIGINT))
+                          AS BIGINT) AS z_c3
+              FROM read_parquet('{_SYNTH_CACHE}/crowns/*.parquet') c
+              JOIN read_parquet('{_SYNTH_CACHE}/lidar/*.parquet') p
+                ON p.x >= c.minx AND p.x <= c.maxx
+               AND p.y >= c.miny AND p.y <= c.maxy
+              GROUP BY c.crown_id)
+            SELECT w.crown_id, i.caption AS label,
+                   pt.n_pts_raw, pt.x_c3, pt.z_c3
+            FROM win w
+            JOIN imgs i ON i.image_id = w.tile_id
+            JOIN pts pt ON pt.crown_id = w.crown_id
+        """,
         # --- goldenref composites (read_parquet golden tables built
         # by single-process global-loop recomputation — see
         # geotreehealth_ray/goldenref.py; oracles the DISTRIBUTED plan)
-        "synth_nms": _golden_sql("synth_nms"),
-        "synth_delineation": _golden_sql("synth_delineation"),
-        "synth_training": _golden_sql("synth_training"),
         "synth_alignment": _golden_sql("synth_alignment"),
         "synth_pansharpen": _golden_sql("synth_pansharpen"),
         # health dataset: shared chip CTE (area > 8 filter) + the

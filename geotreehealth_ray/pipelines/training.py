@@ -166,6 +166,9 @@ def crown_lidar_points(lidar, crowns, res: int = cells.DEFAULT_RES,
         lambda df: pa.table({
             "crown_id": pa.array(df["crown_id"], pa.string()),
             "xyz_b": pa.array(df["xyz_b"].tolist(), pa.binary()),
+            "n_pts_raw": pa.array(df["n_pts_raw"], pa.int64()),
+            "x_c3": pa.array(df["x_c3"], pa.int64()),
+            "z_c3": pa.array(df["z_c3"], pa.int64()),
         }),
         batch_format="pandas",
     )
@@ -176,8 +179,17 @@ def _merge_crown_points(df: pd.DataFrame, max_points: int) -> pd.DataFrame:
     canonical-sort BEFORE the index-ranked subsample (merge order of
     partials must not matter), subsample/pad to ``max_points``, mean-
     center. Shared by the composable and fused handoff paths — the
-    bytes are identical by construction."""
-    out_id, out_b = [], []
+    bytes are identical by construction.
+
+    Also emits per-crown RAW point lineage stats — ``n_pts_raw`` and
+    integer-millimeter coordinate sums ``x_c3`` / ``z_c3`` (computed
+    BEFORE subsample/center, integer adds → order-independent). They
+    serve as per-sample provenance AND give the training pipeline an
+    exact SQL-reconstructable surface (the bbox range join + caption
+    attach) so its driver oracle no longer needs a distribution
+    golden (VERDICT r4 #6); tensor bytes stay covered by the unit
+    goldens and the fused-vs-composable handoff test."""
+    out_id, out_b, out_n, out_x, out_z = [], [], [], [], []
     for cid, grp in df.groupby("crown_id", sort=False):
         pts = np.concatenate([
             np.frombuffer(b, np.float64).reshape(-1, 3)
@@ -187,7 +199,15 @@ def _merge_crown_points(df: pd.DataFrame, max_points: int) -> pd.DataFrame:
         fixed = normalize_xyz(subsample_points(pts, max_points))
         out_id.append(cid)
         out_b.append(fixed.tobytes())
-    return pd.DataFrame({"crown_id": out_id, "xyz_b": out_b})
+        out_n.append(len(pts))
+        out_x.append(int(np.floor(pts[:, 0] * 1000 + 0.5)
+                         .astype(np.int64).sum()))
+        out_z.append(int(np.floor(pts[:, 2] * 1000 + 0.5)
+                         .astype(np.int64).sum()))
+    return pd.DataFrame({"crown_id": out_id, "xyz_b": out_b,
+                         "n_pts_raw": np.array(out_n, np.int64),
+                         "x_c3": np.array(out_x, np.int64),
+                         "z_c3": np.array(out_z, np.int64)})
 
 
 # HSI stand-in band count AFTER preprocess_hsi's reference contract
@@ -242,7 +262,7 @@ def multimodal_training_rows(chips, lidar_points, rgb_shape: int = 32,
 
     def assemble(df: pd.DataFrame) -> pd.DataFrame:
         out = {"crown_id": [], "hsi_b": [], "rgb_b": [], "lidar_b": [],
-               "label": []}
+               "label": [], "n_pts_raw": [], "x_c3": [], "z_c3": []}
         for row in df.itertuples():  # per-SAMPLE image decode (each
             # chip has its own dims — genuinely row-wise work, like
             # the reference __getitem__; the kernels inside are numpy)
@@ -253,6 +273,9 @@ def multimodal_training_rows(chips, lidar_points, rgb_shape: int = 32,
             out["rgb_b"].append(rgb_b)
             out["lidar_b"].append(lidar_b)
             out["label"].append(getattr(row, label_col) or "")
+            out["n_pts_raw"].append(row.n_pts_raw)
+            out["x_c3"].append(row.x_c3)
+            out["z_c3"].append(row.z_c3)
         res = pd.DataFrame(out)
         res["rgb_shape"] = rgb_shape
         res["max_points"] = max_points
@@ -331,6 +354,9 @@ def multimodal_training_pipeline(chips, lidar, crowns,
              "rgb_b": pd.Series([], dtype=object),
              "lidar_b": pd.Series([], dtype=object),
              "label": pd.Series([], dtype=object),
+             "n_pts_raw": pd.Series([], dtype="int64"),
+             "x_c3": pd.Series([], dtype="int64"),
+             "z_c3": pd.Series([], dtype="int64"),
              "rgb_shape": pd.Series([], dtype="int64"),
              "max_points": pd.Series([], dtype="int64")}
         )
@@ -345,7 +371,7 @@ def multimodal_training_pipeline(chips, lidar, crowns,
         if len(m) == 0:
             return empty
         out = {"crown_id": [], "hsi_b": [], "rgb_b": [], "lidar_b": [],
-               "label": []}
+               "label": [], "n_pts_raw": [], "x_c3": [], "z_c3": []}
         for row in m.itertuples():
             hsi_b, rgb_b, lidar_b = _build_sample(
                 row.bytes, row.fmt, row.xyz_b_p, rgb_shape)
@@ -354,6 +380,9 @@ def multimodal_training_pipeline(chips, lidar, crowns,
             out["rgb_b"].append(rgb_b)
             out["lidar_b"].append(lidar_b)
             out["label"].append(row.label or "")
+            out["n_pts_raw"].append(row.n_pts_raw)
+            out["x_c3"].append(row.x_c3)
+            out["z_c3"].append(row.z_c3)
         res = pd.DataFrame(out)
         res["rgb_shape"] = rgb_shape
         res["max_points"] = max_points

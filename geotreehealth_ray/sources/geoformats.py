@@ -1396,16 +1396,50 @@ def write_las(ds, out_path: str, scale: float = 0.001,
     return n
 
 
-def read_lidar(path: str):
+def plan_lidar_chunks(files: list[str],
+                      target_chunk_points: int | None = None) -> list[dict]:
+    """Independently-decodable task units for .las/.laz inputs: one
+    item per ≤target-point byte range (las) or GLZ chunk range (laz).
+    Header-only reads — no point data touched at plan time. Exposed
+    for tests to assert the fan-out (>1 task per large file)."""
+    from . import lazformat
+
+    target = target_chunk_points or _LAS_CHUNK_POINTS
+    chunks = []
+    for f in files:
+        ext = detect_format(f)
+        if ext == ".parquet":
+            continue
+        hdr = read_las_header(f)  # small header read per file
+        if ext == ".laz" or hdr["compressed"]:
+            # raises the loud laszip gate for foreign streams
+            ghdr = lazformat.read_laz_header(f)
+            n_chunks = len(ghdr["chunk_offsets"])
+            span = max(1, target // max(ghdr["chunk_points"], 1))
+            for s in range(0, max(n_chunks, 1), span):
+                chunks.append({"path": f, "start": s,
+                               "n": min(span, n_chunks - s),
+                               "glz": 1})
+        else:
+            for s in range(0, max(hdr["count"], 1), target):
+                chunks.append({"path": f, "start": s,
+                               "n": min(target, hdr["count"] - s),
+                               "glz": 0})
+    return chunks
+
+
+def read_lidar(path: str, target_chunk_points: int | None = None):
     """Point-cloud source → Dataset with (x, y, z, ...). Parquet passes
     through; uncompressed .las decodes natively (numpy structured
     dtype over the fixed record layout), fanned out as one byte-range
     task per ~2M-point chunk so a huge flight line never serializes
     through one worker. Compressed .laz in this engine's own GLZ
     flavor (sources/lazformat.py — chunked, delta + bit-packed)
-    decodes natively with one task per ~40-chunk range; FOREIGN
+    decodes natively with one task per chunk range; FOREIGN
     laszip-encoded streams stay a loud gate (read_laz_header names
-    laszip — bit-conformance is unverifiable in-sandbox)."""
+    laszip — bit-conformance is unverifiable in-sandbox).
+    ``target_chunk_points`` tunes task granularity (default ~2M
+    points/task — small inputs can force a wider fan-out)."""
     import ray.data as rd
 
     files = _files_of(path, _LIDAR_EXTS)
@@ -1413,30 +1447,7 @@ def read_lidar(path: str):
     if exts == {".parquet"}:
         return rd.read_parquet(files)
     if exts <= {".las", ".laz", ".parquet"}:
-        from . import lazformat
-
-        chunks = []
-        for f in files:
-            ext = detect_format(f)
-            if ext == ".parquet":
-                continue
-            hdr = read_las_header(f)  # small header read per file
-            if ext == ".laz" or hdr["compressed"]:
-                # raises the loud laszip gate for foreign streams
-                ghdr = lazformat.read_laz_header(f)
-                n_chunks = len(ghdr["chunk_offsets"])
-                span = max(1, _LAS_CHUNK_POINTS // max(
-                    ghdr["chunk_points"], 1))
-                for s in range(0, max(n_chunks, 1), span):
-                    chunks.append({"path": f, "start": s,
-                                   "n": min(span, n_chunks - s),
-                                   "glz": 1})
-            else:
-                for s in range(0, max(hdr["count"], 1), _LAS_CHUNK_POINTS):
-                    chunks.append({"path": f, "start": s,
-                                   "n": min(_LAS_CHUNK_POINTS,
-                                            hdr["count"] - s),
-                                   "glz": 0})
+        chunks = plan_lidar_chunks(files, target_chunk_points)
 
         def decode(batch: dict) -> pa.Table:
             p = str(batch["path"][0])

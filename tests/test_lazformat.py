@@ -178,3 +178,28 @@ def test_sanity_bound_scales_with_header_scale(ray_session, tmp_path):
     assert len(t) == n
     want = np.floor(cols["x"] * 100 + 0.5) * 0.01
     np.testing.assert_array_equal(t["x"].to_numpy(), want)
+
+
+def test_multi_chunk_fan_out(ray_session, tmp_path):
+    """VERDICT r4 #7: a multi-chunk GLZ file must plan to >1 decode
+    task (the chunk-table fan-out) and the chunk-parallel read must
+    equal a whole-file decode."""
+    from geotreehealth_ray.sources.geoformats import (
+        plan_lidar_chunks,
+        read_lidar,
+    )
+
+    cols = _cloud(n=20_000, rgb=False, gps=False)
+    path = str(tmp_path / "many.laz")
+    lz.write_laz(_ds(cols), path, scale=0.001, origin=(2000.0, 3000.0, 0.0),
+                 chunk_points=4096)
+    plan = plan_lidar_chunks([path], target_chunk_points=4096)
+    assert len(plan) >= 2 and all(c["glz"] == 1 for c in plan)
+    assert sum(c["n"] for c in plan) == len(lz.read_laz_header(path)["chunk_offsets"])
+    got = (read_lidar(path, target_chunk_points=4096)
+           .to_pandas().sort_values(["x", "y", "z"]).reset_index(drop=True))
+    whole = (lz.parse_laz_points(path).to_pandas()
+             .sort_values(["x", "y", "z"]).reset_index(drop=True))
+    assert len(got) == len(cols["x"])
+    for c in ("x", "y", "z", "intensity", "classification"):
+        np.testing.assert_array_equal(got[c].to_numpy(), whole[c].to_numpy())

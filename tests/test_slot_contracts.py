@@ -65,7 +65,9 @@ def test_torch_forwards_meet_recorded_contract(rec, tmp_path):
     for the classifier."""
     torch = pytest.importorskip(
         "torch",
-        reason="torch absent in-sandbox; recorded inputs/outputs live "
+        reason="torch absent in-sandbox; see README 'Validating the "
+               "real model forwards' — run this file in a "
+               "torch-present environment; recorded inputs/outputs live "
                "in tests/contracts/scorer_slots.npz — run this test in "
                "a torch-present environment to validate the real seam",
     )
