@@ -171,6 +171,17 @@ _REACH_SPLIT_RATIO = 0.6
 _CROWN_HIST_STEP = 64
 
 
+def _crown_stride(n_crowns: int | None) -> int:
+    """Deterministic crown-sample stride, scaled so the DRIVER-side
+    collected sample (reach quantile + cell histogram) stays bounded
+    at ~_HOT_SAMPLE_ROWS regardless of crown count — the fixed 1/64
+    stride grew linearly with the table (the same unbounded-collect
+    class as the r4 chips boundary pre-scan finding). The stride only
+    steers sampled estimates (quantile / salt table), never output
+    rows."""
+    return max(_CROWN_HIST_STEP, (n_crowns or 0) // _HOT_SAMPLE_ROWS)
+
+
 def _reach_stats(crowns, res: int | None = None):
     """One narrow combiner scan → (mx, my, qx, qy[, crown_hist]): the
     global max crown reach per axis (bbox extent from the centroid)
@@ -189,7 +200,14 @@ def _reach_stats(crowns, res: int | None = None):
     per-cell CROWN count histogram ``crown_hist = (keys, est)``
     (centroid cells, counts × stride) for the pair-aware salt rule —
     piggybacked here so the salting needs no third pre-pass, and
-    returns a 5-tuple."""
+    returns a 5-tuple. The stride scales with a metadata-backed crown
+    count (:func:`_crown_stride`) so the driver collect stays
+    bounded."""
+    try:
+        meta_n = crowns._meta_count()
+    except Exception:
+        meta_n = None
+    step = _crown_stride(meta_n)
 
     def partial(t: pa.Table):
         if len(t) == 0:
@@ -204,12 +222,11 @@ def _reach_stats(crowns, res: int | None = None):
                         t["maxx"].to_numpy() - cx)
         ry = np.maximum(cy - t["miny"].to_numpy(),
                         t["maxy"].to_numpy() - cy)
-        # every-64th row: deterministic, costs nothing (row order
+        # every-step'th row: deterministic, costs nothing (row order
         # inside a parquet batch is stable; the quantile only steers a
         # partitioning choice, so mild within-batch correlation is
         # irrelevant — an id-hash sample here measurably slowed the
         # whole pass at small scale)
-        step = _CROWN_HIST_STEP
         ck = (cells.cell_of(cx[::step], cy[::step], res).tobytes()
               if res is not None else b"")
         return pa.table({
@@ -242,7 +259,7 @@ def _reach_stats(crowns, res: int | None = None):
     ) if len(parts) else np.array([], np.uint64)
     if len(ck):
         uniq, cnt = np.unique(ck, return_counts=True)
-        hist = (uniq, cnt.astype(np.float64) * _CROWN_HIST_STEP)
+        hist = (uniq, cnt.astype(np.float64) * step)
     else:
         hist = zhist
     return mx, my, qx, qy, hist
@@ -266,12 +283,14 @@ def _parquet_read_files(ds) -> list[str] | None:
         return None
 
 
-def _prepass_chunk(stem_files, crown_files, res: int, stride: int):
+def _prepass_chunk(stem_files, crown_files, res: int, stride: int,
+                   step: int = _CROWN_HIST_STEP):
     """One raw-task unit of the fused pre-pass: per-file narrow
     parquet reads → stem (cell, count) partials (strided sample) and
-    crown reach partials (exact per-file max + strided quantile /
-    histogram samples). Runs as a plain Ray task — see
-    _fused_prepass for why not map_batches."""
+    crown reach partials (exact per-file max + step-strided quantile /
+    histogram samples; ``step`` scales with crown count so the driver
+    merge stays bounded — _crown_stride). Runs as a plain Ray task —
+    see _fused_prepass for why not map_batches."""
     import pyarrow.parquet as pq
 
     ks, cs = [], []
@@ -284,7 +303,6 @@ def _prepass_chunk(stem_files, crown_files, res: int, stride: int):
         cs.append(c)
     mx = my = 0.0
     rxs, rys, cks = [], [], []
-    step = _CROWN_HIST_STEP
     for f in crown_files:
         t = pq.read_table(f, columns=["cx", "cy", "minx", "miny",
                                       "maxx", "maxy"])
@@ -347,11 +365,13 @@ def _fused_prepass(stems, crowns, res: int):
 
     n = stems.count()  # parquet metadata — no scan
     stride = max(1, n // _HOT_SAMPLE_ROWS)
+    cstep = _crown_stride(crowns.count())
     k = max(1, min(len(sf) + len(cf),
                    2 * int(ray.cluster_resources().get("CPU", 8))))
     fn = ray.remote(_prepass_chunk)
     outs = ray.get([
-        fn.remote(sf[i::k], cf[i::k], res, stride) for i in range(k)
+        fn.remote(sf[i::k], cf[i::k], res, stride, cstep)
+        for i in range(k)
     ])
 
     keys = np.concatenate([o[0] for o in outs])
@@ -374,7 +394,7 @@ def _fused_prepass(stems, crowns, res: int):
     ck = np.concatenate([o[6] for o in outs])
     if len(ck):
         uniq, cnt = np.unique(ck, return_counts=True)
-        crown_hist = (uniq, cnt.astype(np.float64) * _CROWN_HIST_STEP)
+        crown_hist = (uniq, cnt.astype(np.float64) * cstep)
     else:
         crown_hist = zhist
     return stem_hist, mx, my, qx, qy, crown_hist
