@@ -47,14 +47,47 @@ __all__ = ["remove_perc_of_smallest", "remove_smaller_overlapping",
 def remove_perc_of_smallest(crowns, pct: float, sample_n: int = 10_000):
     """Drop the smallest ``pct`` percent of crowns by area. The cut
     threshold is an approximate global quantile from a deterministic
-    sample (first sample_n rows by crown_id — stable at any
-    parallelism); the filter itself is exact against that threshold."""
-    sample = (
-        crowns.select_columns(["crown_id", "area"])
-        .sort("crown_id")
-        .limit(sample_n)
-        .to_pandas()
-    )
+    sample — the ``sample_n`` rows with the smallest stable
+    crown_id hash, identical at any parallelism and (unlike the old
+    first-N-by-id rule) uncorrelated with any id↔area pattern; the
+    filter itself is exact against that threshold.
+
+    Scale shape (r5): the sample was previously drawn via
+    ``sort('crown_id').limit(n)`` — a full all-to-all sort exchange
+    just to pick 10k rows. Now: with a metadata-backed row count, a
+    hash-threshold filter keeps ~1.25×sample_n rows in one narrow
+    scan (no shuffle, bounded driver collect); otherwise a per-batch
+    partial top-k (exact global top-k-by-hash under the driver
+    merge — inputs without metadata counts are the small/test
+    shapes)."""
+    import pyarrow.compute as pc
+
+    try:
+        meta_n = crowns._meta_count()
+    except Exception:
+        meta_n = None
+
+    def hashed(t: pa.Table) -> pa.Table:
+        ids = pd.Series(t["crown_id"].to_numpy(zero_copy_only=False))
+        h = pd.util.hash_pandas_object(ids, index=False).to_numpy()
+        return pa.table({"h": pa.array(h, pa.uint64()), "area": t["area"]})
+
+    narrow = crowns.select_columns(["crown_id", "area"]).map_batches(
+        hashed, batch_format="pyarrow")
+    if meta_n and meta_n > sample_n:
+        cutoff = int((2**64 - 1) * min(1.0, 1.25 * sample_n / meta_n))
+        parts = narrow.map_batches(
+            lambda t: t.filter(pc.less(t["h"], pa.scalar(cutoff, pa.uint64()))),
+            batch_format="pyarrow",
+        ).to_pandas()
+    else:
+        parts = narrow.map_batches(
+            lambda df: df.nsmallest(min(sample_n, len(df)), "h"),
+            batch_format="pandas",
+        ).to_pandas()
+    if len(parts) == 0:
+        return crowns
+    sample = parts.nsmallest(min(sample_n, len(parts)), "h")
     thresh = float(np.quantile(sample["area"].to_numpy(), pct / 100.0))
 
     def fn(t: pa.Table) -> pa.Table:

@@ -126,7 +126,17 @@ def health_dataset_pipeline(crowns, tiles_path: str, images, grid,
 
 
 def alignment_pipeline(field_stems, ref_stems):
-    """Field→reference coordinate alignment (field_data_alignment)."""
+    """Field→reference coordinate alignment (field_data_alignment).
+
+    Size contract: the control-point MATCH collects both tables'
+    (stem_id, x, y) projections to the driver — correct for the
+    reference's semantics, where field-campaign stem tables are
+    hand-collected (thousands of rows, reference
+    field_data_alignment/utils.py loads both CSVs in memory too). The
+    APPLY side streams distributed at any size. For a hypothetical
+    huge control survey, subsample the control points upstream
+    (e.g. remove_perc-style hash sampling) before calling this — the
+    fit needs thousands of matches, not millions."""
     from .alignment import apply_alignment, fit_offset_model, match_control_points
 
     field_df = field_stems.select_columns(["stem_id", "x", "y"]).to_pandas()
