@@ -189,25 +189,27 @@ def run_queries(sf_dir: str) -> dict:
     import __ray_entry__ as mod
 
     qs = mod.queries()
-    # r4 rotation (VERDICT r3 next #10): picks prioritize queries never
-    # driver-sampled in rounds 1-3 (the 39-query complement of the
-    # CORRECTNESS_r01..03 union) plus the plans rewritten this round
-    # (holed assign/chips, resume, caption-exchange chips, training),
-    # plus a small stable core so BENCH diffs stay comparable.
+    # r5 rotation: picks prioritize the plans rewritten/added this
+    # round (hole-aware NMS, independent-oracle composites, training
+    # lineage stats, GLZ ingest, distributed chips pre-scan, slim
+    # assign exchange) plus the remaining never-driver-sampled
+    # complement of CORRECTNESS_r01..r04, plus a small stable core so
+    # BENCH diffs stay comparable across rounds.
     picks = [
         # stable core (cross-round comparability)
         "pip_join", "crown_assign", "minhash_pairs", "ann_topk",
         "q5_region_volume",
-        # plans rewritten/added in r4 — keep in the BENCH diff
-        "synth_chips", "synth_training", "synth_holed_assign",
-        "synth_holed_chips", "synth_resume", "synth_glz_roundtrip",
-        # never-driver-sampled rotation
-        "doc_tfidf", "dup_ngrams", "doc_term_stats", "doc_chunks",
-        "doc_normalized", "set_intersect_all", "set_except_all",
-        "order_skyline", "price_p95_cont", "q19_disjunct",
-        "q22_idle_customers", "cohort_retention", "user_event_pivot",
-        "name_editdist", "orders_upsert", "lineitem_unpivot",
-        "cms_custkeys", "hourly_active_users",
+        # plans rewritten/added in r5 — keep in the BENCH diff
+        "synth_chips", "synth_training", "synth_nms",
+        "synth_holed_nms", "synth_delineation", "synth_glz_ingest",
+        "synth_resume",
+        # never-driver-sampled rotation (complement of r1–r4)
+        "funnel_vcp", "order_rank_fracs", "acctbal_equidepth",
+        "doc_decontam", "qty_disc_corr", "supp_heavy_hitters",
+        "order_grouping_sets", "order_first_last", "ship_overlap",
+        "user_top_event", "price_p90", "part_pairs",
+        "nation_rev_share", "lineitem_audit", "hll_parts_by_flag",
+        "orders_diff", "user_event_attach", "user_event_attach_salted",
     ]
     out = {}
     for name in picks:
