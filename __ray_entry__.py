@@ -3294,15 +3294,152 @@ def _q_synth_holed_nms(sf_dir: str):
         to_holed_boxes, batch_format="pyarrow")
     # same derived-halo rule as synth_nms_boxes: holes only SHRINK
     # overlaps, so the chain-hop bound from the gross box sides holds
+    return greedy_nms(boxes, threshold=0.3, criterion="max_area_frac",
+                      halo_m=_snapped_box_halo())
+
+
+def _snapped_box_halo() -> float:
+    """Derived halo for the snapped-box NMS family: 2 × the max
+    snapped box side (+1 m snap slack) — see _q_synth_nms_boxes."""
     import duckdb as _dk
 
     mx = _dk.sql(
         f"SELECT max(ceil(maxx) - floor(minx)), max(ceil(maxy) - floor(miny)) "
         f"FROM read_parquet('{_SYNTH_CACHE}/crowns/*.parquet')"
     ).fetchone()
-    halo = 2.0 * (max(mx[0], mx[1]) + 1.0)
-    return greedy_nms(boxes, threshold=0.3, criterion="max_area_frac",
-                      halo_m=halo)
+    return 2.0 * (max(mx[0], mx[1]) + 1.0)
+
+
+def _q_synth_weighted_nms(sf_dir: str):
+    """WEIGHTED greedy NMS (reference batch_sam.py:692-731: priority =
+    Σ min-max-normalized priority columns, greedy keep while
+    IoU ≤ 0.5) over integer-snapped boxes with two deterministic
+    integer priority columns derived from the crown id. Every IoU is
+    the closed-form integer bbox product ratio and the normalization
+    is the same two IEEE ops on both sides, so the DuckDB
+    recursive-CTE oracle reproduces the pass bit-for-bit — upgrades
+    the weighted-NMS path (previously pytest-only) to a driver-exact
+    query."""
+    import pyarrow as pa
+
+    from geotreehealth_ray.pipelines.nms import greedy_nms
+
+    p = _synth_paths()
+
+    def to_pboxes(t: pa.Table) -> pa.Table:
+        x1 = np.floor(t["minx"].to_numpy())
+        y1 = np.floor(t["miny"].to_numpy())
+        x2 = np.ceil(t["maxx"].to_numpy())
+        y2 = np.ceil(t["maxy"].to_numpy())
+        ids = t["crown_id"].to_pylist()
+        num = np.array([int(s[2:]) for s in ids], dtype=np.int64)
+        n = len(ids)
+        xs = np.empty(4 * n); ys = np.empty(4 * n)
+        xs[0::4], xs[1::4], xs[2::4], xs[3::4] = x1, x2, x2, x1
+        ys[0::4], ys[1::4], ys[2::4], ys[3::4] = y1, y1, y2, y2
+        pts = pa.StructArray.from_arrays(
+            [pa.array(xs, pa.float64()), pa.array(ys, pa.float64())],
+            ["x", "y"],
+        )
+        ring = pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1) * 4, pa.int32()), pts)
+        return pa.table({
+            "crown_id": t["crown_id"],
+            "ring": ring,
+            "crwnpst": pa.array((num % 13).astype(np.float64)),
+            "dbh": pa.array(((num * 7) % 11).astype(np.float64)),
+            "cx": pa.array((x1 + x2) * 0.5, pa.float64()),
+            "cy": pa.array((y1 + y2) * 0.5, pa.float64()),
+            "minx": pa.array(x1, pa.float64()),
+            "miny": pa.array(y1, pa.float64()),
+            "maxx": pa.array(x2, pa.float64()),
+            "maxy": pa.array(y2, pa.float64()),
+        })
+
+    boxes = _rd().read_parquet(p["crowns"]).map_batches(
+        to_pboxes, batch_format="pyarrow")
+    return greedy_nms(boxes, threshold=0.5, criterion="iou",
+                      priority_cols=["crwnpst", "dbh"],
+                      halo_m=_snapped_box_halo())
+
+
+def _q_synth_holed_components(sf_dir: str):
+    """Connected components of the >50%-of-smaller-NET-area overlap
+    graph over the HOLED snapped boxes (the hole-aware
+    merge_overlapping_components path — reference
+    from_mask_to_polygons.py:9-42). Component id = min crown_id.
+    Inclusion–exclusion overlaps and net areas are closed-form
+    integer products, so the oracle reconstructs the graph in SQL and
+    folds components with recursive min-label propagation (same
+    pattern as the synth_treetops oracle)."""
+    from geotreehealth_ray.pipelines.nms import merge_overlapping_components
+
+    boxes = _holed_boxes_raw()
+    # components CHAIN: the exactness condition is component diameter
+    # ≤ halo (nms.py merge_overlapping_components docstring); >50%
+    # overlaps need near-coincident boxes, so 2× the single-hop halo
+    # structurally covers any chain the synthetic distribution forms
+    # (the exact oracle below verifies it)
+    return merge_overlapping_components(boxes, min_frac=0.5,
+                                        halo_m=2.0 * _snapped_box_halo())
+
+
+def _holed_boxes_raw():
+    """The holed snapped-box dataset of _q_synth_holed_nms (same
+    construction; no score column — the components path doesn't use
+    one)."""
+    import pyarrow as pa
+
+    p = _synth_paths()
+
+    def to_holed_boxes(t: pa.Table) -> pa.Table:
+        x1 = np.floor(t["minx"].to_numpy())
+        y1 = np.floor(t["miny"].to_numpy())
+        x2 = np.ceil(t["maxx"].to_numpy())
+        y2 = np.ceil(t["maxy"].to_numpy())
+        ids = t["crown_id"].to_pylist()
+        num = np.array([int(s[2:]) for s in ids], dtype=np.int64)
+        n = len(ids)
+        xs = np.empty(4 * n); ys = np.empty(4 * n)
+        xs[0::4], xs[1::4], xs[2::4], xs[3::4] = x1, x2, x2, x1
+        ys[0::4], ys[1::4], ys[2::4], ys[3::4] = y1, y1, y2, y2
+        pts = pa.StructArray.from_arrays(
+            [pa.array(xs, pa.float64()), pa.array(ys, pa.float64())],
+            ["x", "y"],
+        )
+        ring = pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1) * 4, pa.int32()), pts)
+        has = (num % 3 == 0) & (x2 - x1 > 2) & (y2 - y1 > 2)
+        m = int(has.sum())
+        hx1, hy1 = x1[has] + 1.0, y1[has] + 1.0
+        hx2, hy2 = x2[has] - 1.0, y2[has] - 1.0
+        hxs = np.empty(4 * m); hys = np.empty(4 * m)
+        hxs[0::4], hxs[1::4], hxs[2::4], hxs[3::4] = hx1, hx2, hx2, hx1
+        hys[0::4], hys[1::4], hys[2::4], hys[3::4] = hy1, hy1, hy2, hy2
+        hpts = pa.StructArray.from_arrays(
+            [pa.array(hxs, pa.float64()), pa.array(hys, pa.float64())],
+            ["x", "y"],
+        )
+        hring = pa.ListArray.from_arrays(
+            pa.array(np.arange(m + 1) * 4, pa.int32()), hpts)
+        holes = pa.ListArray.from_arrays(
+            pa.array(np.concatenate([[0], np.cumsum(has.astype(np.int32))]),
+                     pa.int32()),
+            hring)
+        return pa.table({
+            "crown_id": t["crown_id"],
+            "ring": ring,
+            "holes": holes,
+            "cx": pa.array((x1 + x2) * 0.5, pa.float64()),
+            "cy": pa.array((y1 + y2) * 0.5, pa.float64()),
+            "minx": pa.array(x1, pa.float64()),
+            "miny": pa.array(y1, pa.float64()),
+            "maxx": pa.array(x2, pa.float64()),
+            "maxy": pa.array(y2, pa.float64()),
+        })
+
+    return _rd().read_parquet(p["crowns"]).map_batches(
+        to_holed_boxes, batch_format="pyarrow")
 
 
 def _q_synth_chips(sf_dir: str):
@@ -3808,6 +3945,8 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "synth_nms": _q_synth_nms,
         "synth_nms_boxes": _q_synth_nms_boxes,
         "synth_holed_nms": _q_synth_holed_nms,
+        "synth_weighted_nms": _q_synth_weighted_nms,
+        "synth_holed_components": _q_synth_holed_components,
         "synth_chips": _q_synth_chips,
         "synth_resume": _q_synth_resume,
         "synth_holed_chips": _q_synth_holed_chips,
@@ -5044,6 +5183,138 @@ def oracle_sql() -> dict[str, str]:
                    b.crown_id IN (SELECT crown_id FROM kept_ids)
                      AS selected
             FROM b
+        """,
+        "synth_weighted_nms": f"""
+            -- weighted greedy NMS over integer-snapped boxes:
+            -- priority = (crwnpst - min)/(max - min)
+            --          + (dbh - min)/(max - min), integer priority
+            -- cols derived from the id; greedy by (priority DESC,
+            -- crown_id), suppress when IoU > 0.5. Integer coords make
+            -- inter/union closed-form-exact; normalization is the
+            -- same two IEEE ops as the engine's _score stage.
+            WITH RECURSIVE c AS (
+              SELECT crown_id,
+                     floor(minx) AS x1, floor(miny) AS y1,
+                     ceil(maxx) AS x2, ceil(maxy) AS y2,
+                     CAST(CAST(substr(crown_id, 3) AS BIGINT) % 13
+                          AS DOUBLE) AS p1,
+                     CAST((CAST(substr(crown_id, 3) AS BIGINT) * 7) % 11
+                          AS DOUBLE) AS p2
+              FROM read_parquet('{_SYNTH_CACHE}/crowns/*.parquet')),
+            nrm AS (
+              SELECT min(p1) AS lo1, max(p1) AS hi1,
+                     min(p2) AS lo2, max(p2) AS hi2
+              FROM c),
+            b AS (
+              SELECT c.*,
+                     (c.p1 - n.lo1)
+                       / (CASE WHEN n.hi1 = n.lo1 THEN 1.0
+                               ELSE n.hi1 - n.lo1 END)
+                     + (c.p2 - n.lo2)
+                       / (CASE WHEN n.hi2 = n.lo2 THEN 1.0
+                               ELSE n.hi2 - n.lo2 END) AS score,
+                     (c.x2 - c.x1) * (c.y2 - c.y1) AS area,
+                     row_number() OVER (
+                       ORDER BY (c.p1 - n.lo1)
+                         / (CASE WHEN n.hi1 = n.lo1 THEN 1.0
+                                 ELSE n.hi1 - n.lo1 END)
+                       + (c.p2 - n.lo2)
+                         / (CASE WHEN n.hi2 = n.lo2 THEN 1.0
+                                 ELSE n.hi2 - n.lo2 END) DESC,
+                       c.crown_id) AS r
+              FROM c CROSS JOIN nrm n),
+            st AS (
+              SELECT 0 AS cur,
+                     CAST([] AS STRUCT(id VARCHAR, x1 DOUBLE, y1 DOUBLE,
+                                       x2 DOUBLE, y2 DOUBLE,
+                                       area DOUBLE)[]) AS kept
+              UNION ALL
+              SELECT st.cur + 1,
+                     CASE WHEN len(list_filter(st.kept, k ->
+                          greatest(0, least(k.x2, cand.x2)
+                                      - greatest(k.x1, cand.x1))
+                          * greatest(0, least(k.y2, cand.y2)
+                                        - greatest(k.y1, cand.y1))
+                          / (k.area + cand.area
+                             - greatest(0, least(k.x2, cand.x2)
+                                           - greatest(k.x1, cand.x1))
+                               * greatest(0, least(k.y2, cand.y2)
+                                             - greatest(k.y1, cand.y1)))
+                          > 0.5)) = 0
+                     THEN list_append(st.kept,
+                            {{'id': cand.crown_id, 'x1': cand.x1,
+                              'y1': cand.y1, 'x2': cand.x2,
+                              'y2': cand.y2, 'area': cand.area}})
+                     ELSE st.kept END
+              FROM st JOIN b cand ON cand.r = st.cur + 1),
+            final AS (
+              SELECT kept FROM st ORDER BY cur DESC LIMIT 1),
+            kept_ids AS (
+              SELECT unnest(kept).id AS crown_id FROM final)
+            SELECT b.crown_id,
+                   b.crown_id IN (SELECT crown_id FROM kept_ids)
+                     AS selected
+            FROM b
+        """,
+        "synth_holed_components": f"""
+            -- connected components of the >0.5-of-smaller-NET-area
+            -- overlap graph over the holed snapped boxes:
+            -- inclusion–exclusion closed-form overlaps, recursive
+            -- min-label propagation (synth_treetops pattern),
+            -- component id = min crown_id
+            WITH RECURSIVE c AS (
+              SELECT crown_id,
+                     floor(minx) AS x1, floor(miny) AS y1,
+                     ceil(maxx) AS x2, ceil(maxy) AS y2,
+                     CAST(substr(crown_id, 3) AS BIGINT) AS num
+              FROM read_parquet('{_SYNTH_CACHE}/crowns/*.parquet')),
+            h AS (
+              SELECT crown_id, x1, y1, x2, y2,
+                     CASE WHEN num % 3 = 0 AND x2 - x1 > 2
+                               AND y2 - y1 > 2
+                          THEN x1 + 1 ELSE x1 END AS hx1,
+                     CASE WHEN num % 3 = 0 AND x2 - x1 > 2
+                               AND y2 - y1 > 2
+                          THEN y1 + 1 ELSE y1 END AS hy1,
+                     CASE WHEN num % 3 = 0 AND x2 - x1 > 2
+                               AND y2 - y1 > 2
+                          THEN x2 - 1 ELSE x1 END AS hx2,
+                     CASE WHEN num % 3 = 0 AND x2 - x1 > 2
+                               AND y2 - y1 > 2
+                          THEN y2 - 1 ELSE y1 END AS hy2
+              FROM c),
+            b AS (
+              SELECT *,
+                     (x2 - x1) * (y2 - y1)
+                       - (hx2 - hx1) * (hy2 - hy1) AS area
+              FROM h),
+            adj AS (
+              SELECT a.crown_id AS ca, bb.crown_id AS cb
+              FROM b a JOIN b bb ON bb.crown_id <> a.crown_id
+              WHERE (greatest(0, least(a.x2, bb.x2)
+                                 - greatest(a.x1, bb.x1))
+                     * greatest(0, least(a.y2, bb.y2)
+                                   - greatest(a.y1, bb.y1))
+                     - greatest(0, least(a.hx2, bb.x2)
+                                   - greatest(a.hx1, bb.x1))
+                       * greatest(0, least(a.hy2, bb.y2)
+                                     - greatest(a.hy1, bb.y1))
+                     - greatest(0, least(bb.hx2, a.x2)
+                                   - greatest(bb.hx1, a.x1))
+                       * greatest(0, least(bb.hy2, a.y2)
+                                     - greatest(bb.hy1, a.y1))
+                     + greatest(0, least(a.hx2, bb.hx2)
+                                   - greatest(a.hx1, bb.hx1))
+                       * greatest(0, least(a.hy2, bb.hy2)
+                                     - greatest(a.hy1, bb.hy1)))
+                    > 0.5 * least(a.area, bb.area)),
+            r(id, lbl) AS (
+              SELECT crown_id, crown_id FROM b
+              UNION
+              SELECT a.cb, r.lbl FROM r JOIN adj a ON a.ca = r.id),
+            comp AS (
+              SELECT id, min(lbl) AS component_id FROM r GROUP BY id)
+            SELECT id AS crown_id, component_id FROM comp
         """,
         "synth_treetops": f"""
             -- per-Morton-cell grid clustering: 2 m max-z raster
