@@ -158,9 +158,16 @@ def kmeans_lloyd(embeddings, k: int = 8, iters: int = 5,
     import ray
 
     ds = embeddings.select_columns([id_col, vec_col])
+    # exact global k-smallest-by-id seeds via staged partial top-k
+    # (per-batch → per-merged-block → driver): the driver collect is
+    # ≤ 8k rows regardless of batch count (a raw collect of per-batch
+    # top-k grew as k × batches — vectors included)
     init = (
         ds.map_batches(lambda df: df.nsmallest(k, id_col),
                        batch_format="pandas")
+        .repartition(8)
+        .map_batches(lambda df: df.nsmallest(k, id_col),
+                     batch_format="pandas")
         .to_pandas().nsmallest(k, id_col).sort_values(id_col)
     )
     cent = np.stack(init[vec_col].to_numpy()).astype(np.float64)
@@ -187,13 +194,28 @@ def kmeans_lloyd(embeddings, k: int = 8, iters: int = 5,
                 }
             )
 
-        parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
-        for ci in range(k):
-            rows = parts[parts["c"] == ci]
-            n = int(rows["n"].sum())
-            if n:
-                s = np.sum(np.stack(rows["s"].to_numpy()).astype(np.int64), axis=0)
-                cent[ci] = (s / n) / 1e6
+        # distributed fold of the k-row per-batch partials (the raw
+        # collect grew as k × batch count — multi-GB at the 100-TB
+        # target); integer sums are order-free, so the bucketed
+        # reduce is exact and the driver sees exactly k rows
+        def fold(df: pd.DataFrame) -> pd.DataFrame:
+            out_c, out_n, out_s = [], [], []
+            for ci, grp in df.groupby("c", sort=False):
+                out_c.append(ci)
+                out_n.append(int(grp["n"].sum()))
+                out_s.append(np.sum(np.stack(grp["s"].to_numpy())
+                                    .astype(np.int64), axis=0))
+            return pd.DataFrame({"c": out_c, "n": out_n, "s": out_s})
+
+        from .relational import bucketed_reduce
+
+        parts = bucketed_reduce(
+            ds.map_batches(partial, batch_format="pandas"), "c", fold
+        ).to_pandas()
+        for row in parts.itertuples():
+            if row.n:
+                s = np.asarray(row.s, dtype=np.int64)
+                cent[int(row.c)] = (s / int(row.n)) / 1e6
 
     ref = ray.put(cent)
 
@@ -215,8 +237,19 @@ def train_centroids(embeddings, n_centroids: int = 16, sample_n: int = 4096,
                     vec_col: str = "embedding") -> np.ndarray:
     """Driver-side mini k-means on a deterministic sample (the IVF
     coarse quantizer). Sample = first ``sample_n`` rows by vec_id —
-    stable across parallelism levels."""
-    sample = embeddings.sort("vec_id").limit(sample_n).to_pandas()
+    stable across parallelism levels. Drawn via staged partial top-k
+    (r5): identical rows to the old ``sort().limit()`` but without an
+    all-to-all sort of the whole table just to take a bounded head."""
+    sample = (
+        embeddings.select_columns(["vec_id", vec_col])
+        .map_batches(lambda df: df.nsmallest(sample_n, "vec_id"),
+                     batch_format="pandas")
+        .repartition(8)
+        .map_batches(lambda df: df.nsmallest(sample_n, "vec_id"),
+                     batch_format="pandas")
+        .to_pandas().nsmallest(sample_n, "vec_id").sort_values("vec_id")
+        .reset_index(drop=True)
+    )
     x = _unit(_as_matrix(sample[vec_col]))
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(len(x), min(n_centroids, len(x)), replace=False)]

@@ -51,8 +51,14 @@ def audit(ds, checks: list[Check], key_col: str | None = None,
 
     outs = []
     if checks:
-        p = ds.map_batches(partial, batch_format="pandas").to_pandas()
-        outs.append(p.groupby("check_name", sort=False)["cnt"].sum().reset_index())
+        # distributed fold: the per-batch k-row partials reduce in a
+        # groupby before the collect, so the driver sees exactly k
+        # rows regardless of batch count (a raw collect grew with the
+        # table — the r4/r5 verdicts' unbounded-collect class)
+        p = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("check_name").sum("cnt").to_pandas())
+        p = p.rename(columns={"sum(cnt)": "cnt"})
+        outs.append(p[["check_name", "cnt"]])
 
     if key_col is not None:
         def dedup(df: pd.DataFrame) -> pd.DataFrame:
